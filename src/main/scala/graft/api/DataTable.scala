@@ -1,0 +1,417 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Expression, SpecifiedWindowFrame, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** How colliding non-key columns are treated by [[DataTable.innerJoin]].
+  *
+  * Mirrors the reference's `CommonColumnMerge`
+  * (`/root/reference/src/datamancer/dataframe.nim:1857-1883`): `ccRename`
+  * (default) suffixes `_left` / `_right`, `ccLeft` keeps the left side's
+  * column, `ccDrop` drops the column from both sides.
+  */
+sealed trait CommonColumnMerge
+case object CcRename extends CommonColumnMerge
+case object CcLeft extends CommonColumnMerge
+case object CcDrop extends CommonColumnMerge
+
+/** dplyr-style verb layer over a Spark `DataFrame`.
+  *
+  * Re-expresses the verb surface of SciNim/Datamancer
+  * (`/root/reference/src/datamancer/dataframe.nim`) Spark-first: every verb
+  * compiles to the public DataFrame API, so Catalyst provides planning,
+  * pushdown, pruning and distribution — none of which exist in the reference
+  * (eager, single-node, fully materialized per verb; SURVEY.md §3).
+  *
+  * Grouping is lazy metadata, like the reference's `dfGrouped`
+  * (`dataframe.nim:2007-2035`): [[groupBy]] only records key names; downstream
+  * verbs dispatch on them. Aggregates appearing inside [[mutate]] /
+  * [[filter]] expressions on a grouped table are rewritten to window
+  * functions over the group keys, mirroring the reference's per-group
+  * closure evaluation (`dataframe.nim:1708-1722`, `1373-1385`) without a
+  * per-group loop — one shuffle, fully distributed.
+  *
+  * All verbs are shuffle-conscious: nothing here collects to the driver, and
+  * verbs that need a row order take it explicitly (Spark has no physical row
+  * order; SURVEY.md §7.5 risk 5).
+  */
+final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
+
+  import DataTable._
+
+  def columns: Seq[String] = df.columns.toSeq
+  def isGrouped: Boolean = groupKeys.nonEmpty
+
+  private def withDf(d: DataFrame): DataTable = copy(df = d)
+
+  /** Wrap naked aggregate calls in `c` with a window over the group keys.
+    * This is the Spark analogue of the reference's loop-invariant lifting of
+    * whole-column subexpressions (`formulaExp.nim:438-485`): `x - mean(x)`
+    * on a grouped table becomes `x - avg(x) OVER (PARTITION BY keys)`.
+    */
+  private def windowize(c: Column): Column = {
+    if (groupKeys.isEmpty) c
+    else {
+      val spec = WindowSpecDefinition(
+        groupKeys.map(k => UnresolvedAttribute.quoted(k)), Nil, UnspecifiedFrame)
+      def wrap(e: Expression): Expression = e match {
+        case w: WindowExpression => w
+        case f: UnresolvedFunction if AggFunctionNames(f.nameParts.last.toLowerCase) =>
+          WindowExpression(f, spec)
+        case other => other.mapChildren(wrap)
+      }
+      Shim.toColumn(wrap(Shim.toExpression(c)))
+    }
+  }
+
+  // ---------------------------------------------------------------- selects
+
+  /** Keep exactly `cols`, in the given order (`dataframe.nim:1403-1443`).
+    * Raises if a group key would be dropped, like the reference. */
+  def select(cols: String*): DataTable = {
+    val missingKeys = groupKeys.filterNot(cols.contains)
+    require(missingKeys.isEmpty,
+      s"select would drop group keys: ${missingKeys.mkString(", ")}")
+    withDf(df.select(cols.map(col): _*))
+  }
+
+  /** select with arbitrary column expressions (rename via `.as`). */
+  def selectCols(cols: Column*): DataTable = withDf(df.select(cols: _*))
+
+  /** Drop columns (`dataframe.nim:876-884`). */
+  def drop(cols: String*): DataTable = withDf(df.drop(cols: _*))
+
+  /** Rename columns, `newName -> oldName` pairs (reference `rename` takes
+    * `f{"new" <- "old"}` formulas, `dataframe.nim:1821-1847`). */
+  def rename(pairs: (String, String)*): DataTable =
+    withDf(pairs.foldLeft(df) { case (d, (nw, old)) => d.withColumnRenamed(old, nw) })
+
+  /** Move `which` right after `after` (`relocate`, `dataframe.nim:1476-1527`). */
+  def relocateAfter(which: String, after: String): DataTable = {
+    val rest = df.columns.filterNot(_ == which)
+    val i = rest.indexOf(after)
+    require(i >= 0, s"no such column: $after")
+    val (pre, post) = rest.splitAt(i + 1)
+    withDf(df.select((pre ++ Array(which) ++ post).map(col).toIndexedSeq: _*))
+  }
+
+  /** Move `which` right before `before`. */
+  def relocateBefore(which: String, before: String): DataTable = {
+    val rest = df.columns.filterNot(_ == which)
+    val i = rest.indexOf(before)
+    require(i >= 0, s"no such column: $before")
+    val (pre, post) = rest.splitAt(i)
+    withDf(df.select((pre ++ Array(which) ++ post).map(col).toIndexedSeq: _*))
+  }
+
+  // ---------------------------------------------------------------- mutate
+
+  /** Add or overwrite computed columns (`mutate`, `dataframe.nim:1674-1767`).
+    * On a grouped table, aggregate subexpressions evaluate per group (window
+    * rewrite — no per-group materialization, unlike the reference). */
+  def mutate(pairs: (String, Column)*): DataTable =
+    withDf(pairs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, windowize(c)) })
+
+  /** mutate, keeping only the group keys and the computed columns
+    * (`transmute`, `dataframe.nim:1777-1819`). */
+  def transmute(pairs: (String, Column)*): DataTable = {
+    val keyCols = groupKeys.map(col)
+    withDf(df.select(keyCols ++ pairs.map { case (n, c) => windowize(c).as(n) }: _*))
+  }
+
+  /** Masked update: `df[cond, key] = value` (`dataframe.nim:344-370`). */
+  def maskedUpdate(cond: Column, key: String, value: Column): DataTable =
+    withDf(df.withColumn(key, when(cond, value).otherwise(col(key))))
+
+  // ---------------------------------------------------------------- filter
+
+  /** AND of boolean conditions (`filter`, `dataframe.nim:1280-1385`). On a
+    * grouped table a condition containing aggregates keeps/drops whole
+    * groups, matching the reference's per-subgroup evaluation. */
+  def filter(conds: Column*): DataTable = {
+    val cond = conds.map(windowize).reduce(_ && _)
+    if (groupKeys.isEmpty) withDf(df.filter(cond))
+    else {
+      // Window functions are not allowed in WHERE: project the (possibly
+      // windowed) condition, filter on it, drop the helper column.
+      val c = "__graft_cond"
+      withDf(df.withColumn(c, cond).filter(col(c)).drop(c))
+    }
+  }
+
+  /** Drop rows with SQL nulls in `cols` (all columns if empty)
+    * (`drop_null`, `dataframe.nim:2424-2465`). */
+  def dropNull(cols: String*): DataTable =
+    withDf(if (cols.isEmpty) df.na.drop() else df.na.drop(cols))
+
+  /** Drop rows with NaNs in the given (or all) floating-point columns
+    * (`dropNaN`, `dataframe.nim:2467-2493`). */
+  def dropNaN(cols: String*): DataTable = {
+    val floatCols =
+      (if (cols.nonEmpty) cols
+       else df.schema.fields.collect {
+         case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+       }.toSeq)
+    if (floatCols.isEmpty) this
+    else withDf(df.filter(floatCols.map(c => !isnan(col(c))).reduce(_ && _)))
+  }
+
+  // ---------------------------------------------------------------- arrange
+
+  /** Multi-key sort, ascending (`arrange`, `dataframe.nim:1529-1657`). The
+    * reference applies one global order to all keys; per-key direction is
+    * available via [[arrangeBy]]. */
+  def arrange(keys: String*): DataTable = withDf(df.orderBy(keys.map(col): _*))
+
+  /** Multi-key sort, descending. */
+  def arrangeDesc(keys: String*): DataTable =
+    withDf(df.orderBy(keys.map(k => col(k).desc): _*))
+
+  /** Sort by arbitrary sort expressions (per-key direction upgrade). */
+  def arrangeBy(cols: Column*): DataTable = withDf(df.orderBy(cols: _*))
+
+  /** First n rows (`head`, `dataframe.nim:2197-2203`). After [[arrange]],
+    * Catalyst plans TakeOrderedAndProject — a true distributed top-k. */
+  def head(n: Int): DataTable = withDf(df.limit(n))
+
+  /** Last n rows under an explicit ordering. The reference's `tail` uses
+    * physical row order, which doesn't exist distributed; callers supply
+    * the order and we take the top-k of its reverse. */
+  def tailBy(n: Int, order: Column*): DataTable =
+    withDf(df.orderBy(order.map(_.desc): _*).limit(n))
+
+  // ---------------------------------------------------------------- groups
+
+  /** Lazy grouping: records key names only, like the reference's `groupMap`
+    * metadata (`group_by`, `dataframe.nim:2007-2035`). `add=true` extends an
+    * existing grouping. */
+  def groupBy(keys: String*): DataTable = copy(groupKeys = keys)
+  def groupByAdd(keys: String*): DataTable = copy(groupKeys = groupKeys ++ keys)
+  def ungroup: DataTable = copy(groupKeys = Nil)
+
+  /** Reducing formulas → one row per group (ungrouped: one row total)
+    * (`summarize`, `dataframe.nim:2037-2101`). Result is ordered by the
+    * group keys ascending, matching the reference's sort-based `groups`
+    * iterator (`dataframe.nim:1178-1240`); Spark's hash aggregate plus a
+    * final sort is strictly cheaper than the reference's full sort. */
+  def summarize(aggs: (String, Column)*): DataTable = {
+    val aggCols = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (groupKeys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(groupKeys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .orderBy(groupKeys.map(col): _*)
+    DataTable(out)
+  }
+
+  /** Group sizes (`count`, `dataframe.nim:2103-2138`). */
+  def countRows(cols: Seq[String], name: String = "n"): DataTable =
+    DataTable(
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(name))
+        .orderBy(cols.map(col): _*))
+
+  // ---------------------------------------------------------------- joins
+
+  /** Single- or multi-key equi inner join (`innerJoin`,
+    * `dataframe.nim:1885-1992`). We adopt standard SQL M×N duplicate-key
+    * semantics (the reference's merge walk is a partial product — SURVEY.md
+    * §7.5 risk 4, documented divergence). Colliding non-key columns are
+    * handled per [[CommonColumnMerge]]. Catalyst picks broadcast vs
+    * sort-merge; pass `broadcastRight=true` to force broadcasting a small
+    * dimension side. */
+  def innerJoin(other: DataTable, by: Seq[String],
+                merge: CommonColumnMerge = CcRename,
+                broadcastRight: Boolean = false): DataTable =
+    join(other, by, "inner", merge, broadcastRight)
+
+  /** General join; `how` ∈ inner/left/right/full/left_semi/left_anti —
+    * beyond-reference (the reference only has inner). */
+  def join(other: DataTable, by: Seq[String], how: String = "inner",
+           merge: CommonColumnMerge = CcRename,
+           broadcastRight: Boolean = false): DataTable = {
+    val common = df.columns.toSet
+      .intersect(other.df.columns.toSet)
+      .diff(by.toSet).toSeq.sorted
+    val (l, r) = merge match {
+      case CcRename =>
+        (common.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_left")),
+         common.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, s"${c}_right")))
+      case CcLeft => (df, other.df.drop(common: _*))
+      case CcDrop => (df.drop(common: _*), other.df.drop(common: _*))
+    }
+    val rr = if (broadcastRight) broadcast(r) else r
+    DataTable(l.join(rr, by, how))
+  }
+
+  // ------------------------------------------------------------- set ops
+
+  /** Vertical concat by column name; missing columns null-filled; optional
+    * provenance id column (`bind_rows`, `dataframe.nim:926-1040`). */
+  def bindRows(others: Seq[(String, DataTable)], idCol: String): DataTable = {
+    val tagged = others.map { case (tag, t) =>
+      t.df.withColumn(idCol, lit(tag))
+    }
+    DataTable(tagged.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  def bindRows(others: DataTable*): DataTable =
+    DataTable(
+      (df +: others.map(_.df)).reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  /** Strict concat — schemas must match exactly (`add`,
+    * `dataframe.nim:1042-1082`). */
+  def concat(other: DataTable): DataTable = {
+    require(df.columns.toSeq == other.df.columns.toSeq,
+      s"concat: column mismatch ${df.columns.toSeq} vs ${other.df.columns.toSeq}")
+    DataTable(df.unionByName(other.df))
+  }
+
+  /** Row-wise set difference; `symmetric=true` gives the symmetric
+    * difference (`setDiff`, `dataframe.nim:2140-2195`). Exact SQL equality
+    * (the reference's float-epsilon equality is confined to the test
+    * comparator — SURVEY.md §7.5 risk 3). */
+  def setDiff(other: DataTable, symmetric: Boolean = false): DataTable =
+    if (!symmetric) DataTable(df.except(other.df))
+    else DataTable(df.except(other.df).union(other.df.except(df)))
+
+  def intersect(other: DataTable): DataTable = DataTable(df.intersect(other.df))
+
+  /** Distinct rows by a subset of columns, keeping all columns
+    * (`unique`, `dataframe.nim:2370-2422`). Which row survives per key is
+    * arbitrary (single shuffle, fastest); use [[uniqueFirstBy]] for the
+    * reference's deterministic keep-first semantics. */
+  def unique(cols: String*): DataTable =
+    withDf(if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols))
+
+  /** Distinct by `cols` keeping the first row per key under `order` —
+    * the reference's keep-first-occurrence, made explicit for distributed
+    * execution (one shuffle on `cols`, window row_number). */
+  def uniqueFirstBy(cols: Seq[String], order: Column*): DataTable = {
+    val w = Window.partitionBy(cols.map(col): _*).orderBy(order: _*)
+    withDf(df.withColumn(RowNumCol, row_number().over(w))
+      .filter(col(RowNumCol) === 1).drop(RowNumCol))
+  }
+
+  // ------------------------------------------------------------- reshape
+
+  /** Wide→long (`gather`, `dataframe.nim:2205-2259`). Gathered columns are
+    * cast to their promoted common type first (reference's
+    * `withCombinedType` lattice: int⊔float→float, else string). */
+  def gather(cols: Seq[String], key: String = "key", value: String = "value",
+             dropNulls: Boolean = false): DataTable = {
+    val ids = df.columns.filterNot(cols.contains)
+    val target = promotedType(cols.map(c => df.schema(c).dataType))
+    val cast = cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(target)))
+    val out = cast.unpivot(ids.map(col), cols.map(col).toArray, key, value)
+    withDf(if (dropNulls) out.filter(col(value).isNotNull) else out)
+  }
+
+  /** Long→wide (`spread`, `dataframe.nim:2261-2345`). `strict=true`
+    * replicates the reference's raise-on-unclean-mapping precheck
+    * (`dataframe.nim:2317-2322`) at the cost of one extra aggregation job;
+    * leave it off in production pipelines. */
+  def spread(namesFrom: String, valuesFrom: String,
+             strict: Boolean = false): DataTable = {
+    val rest = df.columns.filterNot(c => c == namesFrom || c == valuesFrom).toSeq
+    if (strict) {
+      val bad = df.groupBy((rest :+ namesFrom).map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
+      require(bad == 0, s"spread: mapping from ($rest, $namesFrom) to $valuesFrom is not unique")
+    }
+    withDf(df.groupBy(rest.map(col): _*).pivot(namesFrom).agg(first(col(valuesFrom)))
+      .orderBy(rest.map(col): _*))
+  }
+
+  // ------------------------------------------------------------- order ops
+
+  /** lag/lead need an explicit order distributed; the reference shifts
+    * physical rows (`column.nim:1177-1213`). `partitionBy` keys keep the
+    * window parallel — a global lag (empty keys) funnels through one
+    * partition and is flagged for small data only. */
+  def withLag(name: String, c: Column, n: Int, order: Seq[Column],
+              partitionBy: Seq[String] = Nil, default: Any = null): DataTable = {
+    val w = windowFor(partitionBy, order)
+    withDf(df.withColumn(name, lag(c, n, default).over(w)))
+  }
+
+  def withLead(name: String, c: Column, n: Int, order: Seq[Column],
+               partitionBy: Seq[String] = Nil, default: Any = null): DataTable = {
+    val w = windowFor(partitionBy, order)
+    withDf(df.withColumn(name, lead(c, n, default).over(w)))
+  }
+
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic shuffle (`shuffle`, `dataframe.nim:2497-2512`). */
+  def shuffleRows(seed: Long): DataTable = withDf(df.orderBy(rand(seed)))
+
+  /** Random sample of ~n rows (`randomHead`, `dataframe.nim:2514-2521`). */
+  def randomHead(n: Int, seed: Long): DataTable =
+    withDf(df.orderBy(rand(seed)).limit(n))
+
+  // ------------------------------------------------------------- utilities
+
+  /** Min/max of a column ignoring ±Inf (`colMax`/`colMin`,
+    * `dataframe.nim:886-924`). */
+  def colMin(c: String): DataTable = {
+    val v = col(c)
+    DataTable(df.agg(min(when(!isInfinite(v), v)).as(s"min_$c")))
+  }
+
+  def colMax(c: String): DataTable = {
+    val v = col(c)
+    DataTable(df.agg(max(when(!isInfinite(v), v)).as(s"max_$c")))
+  }
+
+  /** Value-wise equality with another table (test kit; `equal`,
+    * `dataframe.nim:385-405`). */
+  def sameAs(other: DataTable): Boolean =
+    df.columns.sorted.sameElements(other.df.columns.sorted) &&
+      df.exceptAll(other.df.select(df.columns.map(col): _*)).isEmpty &&
+      other.df.select(df.columns.map(col): _*).exceptAll(df).isEmpty
+
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+}
+
+object DataTable {
+
+  private val RowNumCol = "__graft_rn"
+
+  /** Aggregate function names recognized by the grouped-verb window rewrite. */
+  private val AggFunctionNames: Set[String] = Set(
+    "sum", "avg", "mean", "min", "max", "count", "count_distinct",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "first", "last", "collect_list", "collect_set", "skewness", "kurtosis",
+    "corr", "covar_samp", "covar_pop", "approx_count_distinct", "median",
+    "percentile_approx", "product", "bool_and", "bool_or", "any_value")
+
+  private def isInfinite(c: Column): Column =
+    c === Double.PositiveInfinity || c === Double.NegativeInfinity
+
+  private def windowFor(partitionBy: Seq[String], order: Seq[Column]) = {
+    val base =
+      if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(col): _*)
+    base.orderBy(order: _*)
+  }
+
+  /** The reference's type-promotion lattice (`combinedColKind`,
+    * `column.nim:507-522`): identical → itself; {int,float} → float;
+    * anything else → string (our stand-in for `colObject`; SURVEY.md §7.5
+    * risk 1). */
+  def promotedType(ts: Seq[DataType]): DataType = {
+    val distinct = ts.distinct
+    if (distinct.size == 1) distinct.head
+    else if (distinct.forall(t => t == LongType || t == IntegerType || t == DoubleType ||
+      t == FloatType || t == ShortType || t == ByteType))
+      DoubleType
+    else StringType
+  }
+
+  def apply(df: DataFrame): DataTable = new DataTable(df, Nil)
+}
