@@ -316,15 +316,21 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * (`dataframe.nim:2317-2322`) at the cost of one extra aggregation job;
     * leave it off in production pipelines. */
   def spread(namesFrom: String, valuesFrom: String,
-             strict: Boolean = false): DataTable = {
+             strict: Boolean = false,
+             values: Seq[String] = Nil): DataTable = {
     val rest = df.columns.filterNot(c => c == namesFrom || c == valuesFrom).toSeq
     if (strict) {
       val bad = df.groupBy((rest :+ namesFrom).map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
       require(bad == 0, s"spread: mapping from ($rest, $namesFrom) to $valuesFrom is not unique")
     }
-    withDf(df.groupBy(rest.map(col): _*).pivot(namesFrom).agg(first(col(valuesFrom)))
-      .orderBy(rest.map(col): _*))
+    // Passing the pivot values avoids the extra distinct-values job Spark
+    // otherwise runs — at cluster scale that's a full scan saved.
+    val grouped = df.groupBy(rest.map(col): _*)
+    val pivoted =
+      if (values.nonEmpty) grouped.pivot(namesFrom, values)
+      else grouped.pivot(namesFrom)
+    withDf(pivoted.agg(first(col(valuesFrom))).orderBy(rest.map(col): _*))
   }
 
   // ------------------------------------------------------------- order ops

@@ -70,12 +70,15 @@ def main():
             print(f"FAIL {name}: schema {got_cols} vs {exp_cols}")
             n_fail += 1
             continue
+        sort_key = lambda row: tuple((v is None, str(v)) for v in row)
         got_rows = sorted(
             [tuple(norm_cell(c) for c in r) for r in
-             zip(*[got_t.column(c).to_pylist() for c in got_cols])])
+             zip(*[got_t.column(c).to_pylist() for c in got_cols])],
+            key=sort_key)
         exp_rows = sorted(
             [tuple(norm_cell(c) for c in r) for r in
-             zip(*[exp.column(c).to_pylist() for c in exp_cols])])
+             zip(*[exp.column(c).to_pylist() for c in exp_cols])],
+            key=sort_key)
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rowcount {len(got_rows)} vs {len(exp_rows)}")
             n_fail += 1
