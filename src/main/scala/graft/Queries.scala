@@ -35,7 +35,7 @@ object Queries {
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(round(c * lit(100.0), 0).cast("long")) / lit(100.0)
 
-  lazy val all: Map[String, Q] = core ++ relational
+  lazy val all: Map[String, Q] = core ++ relational ++ pipeline
 
   private val core: Map[String, Q] = Map(
 
@@ -276,7 +276,233 @@ object Queries {
       orders(s, dir).randomHead(100, seed = 42).select("o_orderkey").df)
   )
 
-  lazy val oracles: Map[String, String] = coreOracles ++ relationalOracles
+  lazy val oracles: Map[String, String] = coreOracles ++ relationalOracles ++ pipelineOracles
+
+  /** Training-data pipeline operators over documents/embeddings/events
+    * (dedup, similarity search, text analysis, multimodal, streaming-batch
+    * parity). Engine-specific hash functions (xxhash64) make the LSH
+    * queries rows-only checks; everything else has an exact oracle. */
+  private val pipeline: Map[String, Q] = {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Multimodal, Similarity}
+    Map(
+
+      // token counting: whitespace + BPE-ish regex
+      "q_token_count" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+          .arrange("doc_id").df),
+
+      // quality scoring: length/stopword/punctuation stats
+      "q_quality" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            meanTokenLen(col("text")).as("mean_tok_len"),
+            stopwordRatio(col("text"), StopwordsEn).as("stop_ratio"),
+            punctRatio(col("text")).as("punct_ratio"),
+            qualityScore(col("text"), StopwordsEn).as("quality"))
+          .arrange("doc_id").df),
+
+      // language-ID heuristic by stopword hits, fixed tie order
+      "q_lang_id" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            stopwordCount(col("text"), StopwordsEn).cast("long").as("s_en"),
+            stopwordCount(col("text"), StopwordsDe).cast("long").as("s_de"),
+            stopwordCount(col("text"), StopwordsEs).cast("long").as("s_es"),
+            stopwordCount(col("text"), StopwordsFr).cast("long").as("s_fr"),
+            langGuess(col("text")).as("lang_guess"))
+          .arrange("doc_id").df),
+
+      // document fingerprinting (md5 of normalized text)
+      "q_fingerprint" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .arrange("doc_id").df),
+
+      // exact dedup: deterministic survivor per fingerprint + dup count
+      "q_dedup_exact" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.exact(Tables.df(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("fp"), col("n_dups")))
+          .arrange("doc_id").df),
+
+      // exact token-set Jaccard over a bounded window of docs
+      "q_token_jaccard" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.tokenJaccardPairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 40),
+            "text", "doc_id", minJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
+      // MinHash-LSH near-dup candidates (rows-only: engine-specific hash)
+      "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.minhashCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
+      // SimHash near-dup candidates (rows-only: engine-specific hash)
+      "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.simhashCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", maxHamming = 8))
+          .arrange("id_a", "id_b").df),
+
+      // embedding near-dup pairs via hyperplane LSH (rows-only: float sums
+      // inside cosine are order-stable but LSH planes are JVM-generated)
+      "q_embed_dedup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.embeddingCandidates(Tables.df(s, dir, "embeddings"),
+            // random synthetic embeddings cluster near cosine 0 — a low
+            // threshold keeps the candidate path exercised in the gate
+            "embedding", "vec_id", dim = 64, numPlanes = 4, minCosine = 0.2))
+          .arrange("id_a", "id_b").df),
+
+      // brute-force cosine top-k (the ANN baseline; exact oracle)
+      "q_ann_cosine" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.bruteForceTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") === 0),
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("rank").df
+      }),
+
+      // LSH-bucketed ANN (the scale path; rows-only)
+      "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.lshTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 4),
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+            k = 10, dim = 64, numPlanes = 8, probeBits = 1)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+      // multimodal blob plumbing (stub decode; features deterministic)
+      "q_multimodal" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Multimodal.documentBlobFeatures(s, Tables.df(s, dir, "documents"))
+            .select(col("doc_id"), col("n_bytes"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("mean_byte")))
+          .arrange("doc_id").df),
+
+      // hourly windowed aggregate over events (batch form of the
+      // streaming surface; exact oracle via cent-scaled sums)
+      "q_events_hourly" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.events(s, dir)
+            .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              (sum(round(col("value") * lit(100.0), 0).cast("long")) / lit(100.0)).as("sum_v"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+              col("event_type"), col("n"), col("sum_v")))
+          .arrange("hour", "event_type").df)
+    )
+  }
+
+  private val pipelineOracles: Map[String, String] = Map(
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  length(regexp_replace(text, '\s+', '', 'g'))
+        |    / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        |    / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+        |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |    / length(text) AS punct_ratio,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        |    / len(string_split_regex(trim(text), '\s+')) * 0.5
+        |  + CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+        |      / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
+        |      THEN 0.3 ELSE 0.0 END
+        |  + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |      / length(text) < 0.1 THEN 0.2 ELSE 0.0 END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','la','de','et','un','que','pour','dans','ce','une'], x))) AS s_fr,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS lang_guess
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "q_token_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT query_id, vec_id, cos, rank FROM (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_dot_product(c.cv, q.qv)
+        |      / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+        |    ROW_NUMBER() OVER (ORDER BY cos DESC, c.vec_id) AS rank
+        |  FROM c, q WHERE c.vec_id <> q.query_id)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + octet_length(encode(text)) % 512 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 512 AS height,
+        |  list_aggregate(list_transform(
+        |    range(1, least(octet_length(encode(text)), 64) + 1),
+        |    i -> ord(substring(text, i, 1))), 'avg') AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 
   private val coreOracles: Map[String, String] = Map(
 

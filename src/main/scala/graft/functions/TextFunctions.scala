@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines.
+  *
+  * Beyond-reference surface (the reference has no text catalog — any Nim
+  * proc is callable in a formula, SURVEY.md §2.9); here we provide the
+  * operations an LLM training-data pipeline needs, built exclusively from
+  * codegen-friendly `org.apache.spark.sql.functions` (no UDFs): they run
+  * inside whole-stage codegen / vectorized evaluation and scale linearly
+  * with executors.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. `trim` first so leading/trailing runs don't produce
+    * empty tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single punctuation
+    * marks — a cheap proxy for tokenizer cost accounting. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Canonical form for fingerprinting: lowercase, whitespace collapsed. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Deterministic document fingerprint (md5 of the normalized text) —
+    * cross-engine stable, the key for exact dedup. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  /** Word k-shingles: contiguous k-grams of whitespace tokens, the input
+    * unit for MinHash. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val w = tokens(c)
+    when(size(w) < k, array(concat_ws(" ", w)))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+  }
+
+  /** Character n-grams of the normalized text (near-dup shingling for
+    * short strings). */
+  def charNgrams(c: Column, n: Int): Column = {
+    val s = normalizeText(c)
+    when(length(s) <= n, array(s))
+      .otherwise(transform(
+        sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n))))
+  }
+
+  /** Number of tokens present in `words` (duplicates counted). */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => array_contains(array(words.map(lit): _*), t)))
+
+  def stopwordRatio(c: Column, words: Seq[String]): Column =
+    stopwordCount(c, words).cast("double") / tokenCount(c).cast("double")
+
+  /** Mean token length (chars-without-spaces / tokens). */
+  def meanTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      tokenCount(c).cast("double")
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      length(c).cast("double")
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. The exact weights
+    * are pipeline policy, not truth — keep them simple and documented. */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    stopwordRatio(c, stopwords) * lit(0.5) +
+      when(meanTokenLen(c).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(punctRatio(c) < 0.1, lit(0.2)).otherwise(lit(0.0))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public common-word lists, truncated. */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+  val StopwordsFr = Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "une")
+
+  /** Language guess by stopword-hit counts with a fixed priority order on
+    * ties (en > de > es > fr) — deterministic, cross-engine replicable. */
+  def langGuess(c: Column): Column = {
+    val en = stopwordCount(c, StopwordsEn)
+    val de = stopwordCount(c, StopwordsDe)
+    val es = stopwordCount(c, StopwordsEs)
+    val fr = stopwordCount(c, StopwordsFr)
+    when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+}

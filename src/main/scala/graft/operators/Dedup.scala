@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Corpus deduplication at training-data scale. Beyond-reference surface
+  * (the reference's closest verb is row-`unique`, `dataframe.nim:2370-2422`).
+  *
+  * Every method is a pure DataFrame transform: one shuffle per logical
+  * phase, no driver-side loops, no UDFs — the MinHash/SimHash math is
+  * expressed with higher-order array functions so it runs per-partition.
+  * Skew guards: LSH bucket sizes are capped (a degenerate bucket of 10⁶
+  * identical docs would otherwise produce 10¹² candidate pairs).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup on the md5 of normalized text: keeps the row with the
+    * smallest `idCol` per fingerprint (deterministic survivor), appends
+    * `n_dups`. One shuffle on the fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = fingerprint(col(textCol))
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.withColumn("fp", fp)
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** Large primes for the universal-hash family ((a·h + b) mod P). The
+    * base hash is folded into [0, P) first so the affine step cannot
+    * overflow Int64 even under ANSI arithmetic. */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+
+  private def perm(i: Int): (Long, Long) = {
+    // splitmix64-ish constants per permutation index, folded into [1, P)
+    val x = (i.toLong + 1) * 0x9E3779B97F4A7C15L
+    val a = math.abs(x % (P - 1)) + 1
+    val b = math.abs((x >> 17) % P)
+    (a, b)
+  }
+
+  /** k-permutation MinHash signature over word `shingleSize`-shingles.
+    * Adds `sig: array<long>` of length k. Pure array math per row. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           k: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val base = transform(wordShingles(col(textCol), shingleSize), s => pmod(xxhash64(s), lit(P)))
+    val sig = array((0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+    df.withColumn("sig", sig)
+  }
+
+  /** MinHash-LSH candidate duplicate pairs: signature → `bands` bands of
+    * `k/bands` rows, band-hash → bucket join (groupBy + in-bucket pair
+    * expansion), then exact signature-agreement estimate per pair.
+    *
+    * Scale shape: explode is k/bands-fold, the bucket groupBy is the one
+    * big shuffle, `bucketCap` bounds the quadratic in-bucket expansion.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        bucketCap: Int = 64,
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val withSig = withMinhashSignature(df, textCol, k).select(col(idCol).as("id"), col("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
+    val buckets = banded
+      .groupBy(col("band"), col("bhash"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+    // in-bucket pair expansion a<b, then de-dup pairs found in >1 band
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
+        |       m1.sig as sig_a, m2.sig as sig_b), null)), p -> p is not null)))"""
+        .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over a pre-computed `array<long>` token-hash column:
+    * bit b of the result is set iff more token hashes have bit b set than
+    * not. Near-dups have small Hamming distance. Expressed as nested
+    * higher-order functions via SQL (the Scala `shiftleft` API only takes
+    * a literal bit count; the SQL form accepts the lambda variable). */
+  def simhash64Sql(tokenHashCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), b ->
+       |    if(aggregate($tokenHashCol, 0L,
+       |         (acc, h) -> acc + if((h & shiftleft(1L, b)) != 0L, 1L, -1L)) > 0,
+       |       shiftleft(1L, b), 0L)),
+       |  0L, (acc, x) -> acc | x)""".stripMargin)
+
+  /** SimHash near-dup pairs by banding the 64-bit hash into 4 16-bit
+    * chunks (Hamming ≤ 3 guarantees at least one identical chunk —
+    * pigeonhole), bucket-join on chunks, verify Hamming on candidates. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val withSh = df
+      .withColumn("__th", transform(tokens(col(textCol)), t => xxhash64(t)))
+      .select(col(idCol).as("id"), simhash64Sql("__th").as("sh"))
+    val banded = withSh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "cval")))
+    val buckets = banded.groupBy(col("chunk"), col("cval"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+    buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
+        |       m1.sh as sh_a, m2.sh as sh_b), null)), p -> p is not null)))"""
+        .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------- jaccard
+
+  /** Exact token-set Jaccard for all pairs in scope. Quadratic — callers
+    * bound the input (candidate pairs from LSH, or a small window). */
+  def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        minJaccard: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val a = t.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- embedding
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket, in-bucket pairwise
+    * cosine, threshold. The bucket count (2^numPlanes) trades recall for
+    * the quadratic in-bucket cost. */
+  def embeddingCandidates(df: DataFrame, vecCol: String, idCol: String,
+                          dim: Int, numPlanes: Int = 8,
+                          minCosine: Double = 0.95,
+                          bucketCap: Int = 1024): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val buckets = bucketed.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+    buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
+        |       m1.v as v_a, m2.v as v_b), null)), p -> p is not null)))"""
+        .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        cosine(col("p.v_a"), col("p.v_b")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches. Beyond-reference surface.
+  *
+  * The decode step is a deliberate STUB (no media libraries in this
+  * environment): [[decodeStub]] derives deterministic fake features from
+  * the bytes. Everything around it — the schema contract, the typed
+  * Dataset batch shape, partition-local processing with no driver
+  * involvement — is the real production plumbing; swapping the stub for a
+  * JNI/FFmpeg decoder changes one function.
+  */
+object Multimodal {
+
+  /** One media blob. `blob` stays opaque binary end-to-end. */
+  case class MediaBlob(doc_id: Long, media_type: String, blob: Array[Byte])
+
+  /** Extracted features; deterministic given the blob. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           width: Int, height: Int, mean_byte: Double)
+
+  /** STUB decoder: a real implementation would parse the container header
+    * and decode frames. The fake is a pure function of the bytes so tests
+    * and oracles are stable: dimensions from the byte length, mean over
+    * the first 64 bytes. */
+  def decodeStub(b: MediaBlob): MediaFeatures = {
+    val n = b.blob.length.toLong
+    val head = b.blob.take(64)
+    val mean = if (head.isEmpty) 0.0
+               else head.map(x => (x & 0xFF).toDouble).sum / head.length
+    MediaFeatures(b.doc_id, b.media_type,
+      n, (64 + n % 512).toInt, (64 + (n * 31) % 512).toInt, mean)
+  }
+
+  /** Batch feature extraction: partition-local map over a typed Dataset.
+    * The `mapPartitions` boundary is where a real decoder would amortize
+    * per-batch setup (model load, codec init) — the Scala analog of a
+    * pandas-batched UDF. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition setup would go here (codec/model init)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame-sample stub: pretend every `stride` bytes starts a frame and
+    * keep every k-th — demonstrates the explode-to-frames shape
+    * (one input row → many frame rows) used by video pipelines. */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int, everyK: Int): DataFrame = {
+    val df = blobs.toDF()
+    df.select(col("doc_id"), col("media_type"),
+        posexplode(sequence(lit(0), (length(col("blob")) - 1) / stride)).as(Seq("frame_idx", "offset")))
+      .filter(col("frame_idx") % everyK === 0)
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        (col("offset") * stride).as("byte_offset"))
+  }
+
+  /** Demo pipeline over `documents`: synthesize a binary blob from the
+    * text (UTF-8 bytes) and run the real plumbing over it. */
+  def documentBlobFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val blobs = documents
+      .select(col("doc_id"), lit("text/utf-8").as("media_type"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaBlob]
+    extractFeatures(blobs).toDF()
+  }
+}
