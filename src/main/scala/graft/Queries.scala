@@ -103,7 +103,9 @@ object Queries {
         .mutate("dev" -> (col("l_quantity") - avg(col("l_quantity"))))
         .ungroup
         .select("l_orderkey", "l_linenumber", "l_returnflag", "dev")
-        .arrange("l_orderkey", "l_linenumber").df),
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // the order must be total for a deterministic hash compare.
+        .arrangeBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("dev")).df),
 
     // grouped filter: whole-group predicate (dataframe.nim:1373-1385)
     "q_grouped_filter" -> ((s: SparkSession, dir: String) =>
@@ -550,7 +552,7 @@ object Queries {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  l_quantity - (SUM(l_quantity) OVER (PARTITION BY l_returnflag))
         |               / (COUNT(*) OVER (PARTITION BY l_returnflag)) AS dev
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, dev""".stripMargin,
 
     "q_grouped_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
@@ -671,7 +673,9 @@ object Queries {
         |FROM lineitem""".stripMargin,
 
     "q_tail" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey DESC LIMIT 10""".stripMargin
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_orderkey DESC LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
