@@ -61,12 +61,14 @@ object Queries {
         .select("l_orderkey", "l_linenumber", "disc_price", "charge")
         .arrange("l_orderkey", "l_linenumber").df),
 
-    // transmute: keep only computed columns (dataframe.nim:1777-1819)
+    // transmute: keep only computed columns (dataframe.nim:1777-1819).
+    // floor() is LONG in Spark but DOUBLE in DuckDB — cast to double so the
+    // hash compare sees the same physical type on both sides.
     "q_transmute" -> ((s: SparkSession, dir: String) =>
       orders(s, dir)
         .transmute(
           "okey" -> col("o_orderkey"),
-          "price_bucket" -> floor(col("o_totalprice") / lit(10000.0)))
+          "price_bucket" -> floor(col("o_totalprice") / lit(10000.0)).cast("double"))
         .arrange("okey").df),
 
     // grouped summarize (dataframe.nim:2037-2101) — TPC-H Q1 shape
@@ -102,10 +104,12 @@ object Queries {
         .groupBy("l_returnflag")
         .mutate("dev" -> (col("l_quantity") - avg(col("l_quantity"))))
         .ungroup
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "dev")
         // (l_orderkey, l_linenumber) is not unique in the synthetic data:
-        // the order must be total for a deterministic hash compare.
-        .arrangeBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("dev")).df),
+        // the order must be total for a deterministic hash compare. The
+        // final tiebreaker is the raw l_quantity, not the derived float —
+        // cross-engine fp rounding must never decide row order.
+        .arrangeBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "dev").df),
 
     // grouped filter: whole-group predicate (dataframe.nim:1373-1385)
     "q_grouped_filter" -> ((s: SparkSession, dir: String) =>
@@ -552,7 +556,7 @@ object Queries {
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  l_quantity - (SUM(l_quantity) OVER (PARTITION BY l_returnflag))
         |               / (COUNT(*) OVER (PARTITION BY l_returnflag)) AS dev
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, dev""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
 
     "q_grouped_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
