@@ -364,8 +364,9 @@ object Queries {
         graft.api.DataTable(
           Dedup.embeddingCandidates(Tables.df(s, dir, "embeddings"),
             // random synthetic embeddings cluster near cosine 0 — a low
-            // threshold keeps the candidate path exercised in the gate
-            "embedding", "vec_id", dim = 64, numPlanes = 4, minCosine = 0.2))
+            // threshold keeps the candidate path exercised in the gate;
+            // 6 planes = 64 buckets bounds the in-bucket quadratic cost
+            "embedding", "vec_id", dim = 64, numPlanes = 6, minCosine = 0.2))
           .arrange("id_a", "id_b").df),
 
       // brute-force cosine top-k (the ANN baseline; exact oracle)

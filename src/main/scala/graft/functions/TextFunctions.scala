@@ -35,6 +35,14 @@ object TextFunctions {
     * cross-engine stable, the key for exact dedup. */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
+  /** Cross-engine 48-bit hash: the first 12 hex chars of md5, parsed
+    * base-16. Unlike xxhash64 this is reproducible in any engine with md5
+    * — DuckDB: `('0x' || substring(md5(x), 1, 12))::BIGINT` — which makes
+    * every LSH stage built on it exactly oracle-checkable. 48 bits keeps
+    * the value well inside both BIGINT and double-exact range. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
   /** Word k-shingles: contiguous k-grams of whitespace tokens, the input
     * unit for MinHash. */
   def wordShingles(c: Column, k: Int): Column = {

@@ -42,14 +42,22 @@ object VectorFunctions {
       when(dot(v, lp) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Deterministic pseudo-random unit hyperplanes (fixed seed — bucket
-    * assignment must be stable across runs and executors). */
-  def randomPlanes(k: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k) {
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
+  /** Deterministic pseudo-random hyperplanes derived from md5 of
+    * ("graft_plane_<seed>_<i>_<j>"): each component is uniform in [-1, 1),
+    * an exact double (48-bit mantissa payload), so the identical constants
+    * can be interpolated into oracle SQL for bit-exact replay. Bucket
+    * assignment is stable across runs, executors, and engines. (Uniform
+    * components instead of gaussian: for sign-bit LSH only the direction
+    * matters and the small non-uniformity over directions is irrelevant.) */
+  def hashPlanes(k: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { i =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"graft_plane_${seed}_${i}_${j}".getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xFF}%02x").mkString
+        val h = java.lang.Long.parseLong(hex, 16) // 48 bits
+        h.toDouble / (1L << 48).toDouble * 2.0 - 1.0
+      }
     }
   }
 }

@@ -14,6 +14,10 @@ import graft.functions.VectorFunctions._
   * expressed with higher-order array functions so it runs per-partition.
   * Skew guards: LSH bucket sizes are capped (a degenerate bucket of 10⁶
   * identical docs would otherwise produce 10¹² candidate pairs).
+  *
+  * All hashes are md5-derived ([[graft.functions.TextFunctions.hash48]]) so
+  * every stage is bit-reproducible in any engine with md5 — the DuckDB
+  * oracles replay the full MinHash/SimHash pipelines exactly.
   */
 object Dedup {
 
@@ -34,13 +38,15 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** Large primes for the universal-hash family ((a·h + b) mod P). The
-    * base hash is folded into [0, P) first so the affine step cannot
-    * overflow Int64 even under ANSI arithmetic. */
-  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+  /** Large prime for the universal-hash family ((a·h + b) mod P). The base
+    * hash is folded into [0, P) first, so with a,b < P the affine step
+    * stays below 2^62 — no Int64 overflow even under ANSI arithmetic. */
+  val P = 2147483647L // 2^31 - 1 (Mersenne)
 
-  private def perm(i: Int): (Long, Long) = {
-    // splitmix64-ish constants per permutation index, folded into [1, P)
+  /** Deterministic (a, b) constants per permutation index — splitmix64-ish
+    * mixing, folded into [1, P). Pure integer math: the same constants are
+    * interpolated into the DuckDB oracle SQL. */
+  def perm(i: Int): (Long, Long) = {
     val x = (i.toLong + 1) * 0x9E3779B97F4A7C15L
     val a = math.abs(x % (P - 1)) + 1
     val b = math.abs((x >> 17) % P)
@@ -48,22 +54,39 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature over word `shingleSize`-shingles.
-    * Adds `sig: array<long>` of length k. Pure array math per row. */
+    * Adds `sig: array<long>` of length k.
+    *
+    * Single pass per row: one `aggregate` over the shingle-hash array
+    * carrying a k-element running-min accumulator, updated via
+    * `zip_with(acc, perms, least)`. The shingle build + md5 run ONCE per
+    * shingle (not k times — interpreted higher-order functions get no
+    * common-subexpression elimination across lambdas, so the naive
+    * k-queries-over-the-array form costs k full re-evaluations). */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            k: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val base = transform(wordShingles(col(textCol), shingleSize), s => pmod(xxhash64(s), lit(P)))
-    val sig = array((0 until k).map { i =>
+    val hashes = transform(wordShingles(col(textCol), shingleSize),
+      s => pmod(hash48(s), lit(P)))
+    val perms = array((0 until k).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+      struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
+    val sig = aggregate(
+      hashes,
+      array_repeat(lit(P), k),
+      (acc, h) => zip_with(acc, perms,
+        (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P)))))
     df.withColumn("sig", sig)
   }
+
+  /** Cross-engine band hash: md5-48 of the '_'-joined signature slice. */
+  private def bandHash(sig: Column, start: Int, rows: Int): Column =
+    hash48(concat_ws("_", transform(slice(sig, start, rows), _.cast("string"))))
 
   /** MinHash-LSH candidate duplicate pairs: signature → `bands` bands of
     * `k/bands` rows, band-hash → bucket join (groupBy + in-bucket pair
     * expansion), then exact signature-agreement estimate per pair.
     *
-    * Scale shape: explode is k/bands-fold, the bucket groupBy is the one
+    * Scale shape: explode is `bands`-fold, the bucket groupBy is the one
     * big shuffle, `bucketCap` bounds the quadratic in-bucket expansion.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
@@ -75,7 +98,7 @@ object Dedup {
     val banded = withSig.select(
       col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
+        bandHash(col("sig"), b * rows + 1, rows)): _*)).as(Seq("band", "bhash")))
     val buckets = banded
       .groupBy(col("band"), col("bhash"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
@@ -99,30 +122,40 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over a pre-computed `array<long>` token-hash column:
+  /** 48-bit SimHash over a pre-computed `array<long>` token-hash column:
     * bit b of the result is set iff more token hashes have bit b set than
-    * not. Near-dups have small Hamming distance. Expressed as nested
-    * higher-order functions via SQL (the Scala `shiftleft` API only takes
-    * a literal bit count; the SQL form accepts the lambda variable). */
-  def simhash64Sql(tokenHashCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    if(aggregate($tokenHashCol, 0L,
-       |         (acc, h) -> acc + if((h & shiftleft(1L, b)) != 0L, 1L, -1L)) > 0,
-       |       shiftleft(1L, b), 0L)),
-       |  0L, (acc, x) -> acc | x)""".stripMargin)
+    * not. Near-dups have small Hamming distance.
+    *
+    * Single pass: one `aggregate` over the token hashes carrying a
+    * 48-element bit-counter array (`zip_with` update), finished by folding
+    * the counters into the bit pattern — the array is traversed once, not
+    * once per bit. Expressed in SQL because `shiftleft`/`shiftright` in
+    * the Scala API only accept literal shift counts, not lambda vars. */
+  val SimhashBits = 48
 
-  /** SimHash near-dup pairs by banding the 64-bit hash into 4 16-bit
+  def simhash48Sql(tokenHashCol: String): Column = expr(
+    s"""aggregate(
+       |  $tokenHashCol,
+       |  array_repeat(0L, $SimhashBits),
+       |  (acc, h) -> zip_with(acc, sequence(0, ${SimhashBits - 1}),
+       |    (c, b) -> c + if(((h >> b) & 1) = 1, 1L, -1L)),
+       |  acc -> aggregate(
+       |    zip_with(acc, sequence(0, ${SimhashBits - 1}),
+       |      (c, b) -> if(c > 0, shiftleft(1L, b), 0L)),
+       |    0L, (x, y) -> x | y))""".stripMargin)
+
+  /** SimHash near-dup pairs by banding the 48-bit hash into 4 12-bit
     * chunks (Hamming ≤ 3 guarantees at least one identical chunk —
-    * pigeonhole), bucket-join on chunks, verify Hamming on candidates. */
+    * pigeonhole; larger `maxHamming` keeps the same candidate rule with
+    * probabilistic recall), bucket-join on chunks, verify Hamming. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
     val withSh = df
-      .withColumn("__th", transform(tokens(col(textCol)), t => xxhash64(t)))
-      .select(col(idCol).as("id"), simhash64Sql("__th").as("sh"))
+      .withColumn("__th", transform(tokens(col(textCol)), t => hash48(t)))
+      .select(col(idCol).as("id"), simhash48Sql("__th").as("sh"))
     val banded = withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "cval")))
+        shiftright(col("sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("chunk", "cval")))
     val buckets = banded.groupBy(col("chunk"), col("cval"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
       .filter(size(col("members")).between(2, bucketCap))
@@ -160,12 +193,14 @@ object Dedup {
 
   /** Embedding near-dup pairs: hyperplane-LSH bucket, in-bucket pairwise
     * cosine, threshold. The bucket count (2^numPlanes) trades recall for
-    * the quadratic in-bucket cost. */
+    * the quadratic in-bucket cost. Planes are md5-derived
+    * ([[graft.functions.VectorFunctions.hashPlanes]]) so the oracle can
+    * embed the identical constants. */
   def embeddingCandidates(df: DataFrame, vecCol: String, idCol: String,
                           dim: Int, numPlanes: Int = 8,
                           minCosine: Double = 0.95,
                           bucketCap: Int = 1024): DataFrame = {
-    val planes = randomPlanes(numPlanes, dim)
+    val planes = hashPlanes(numPlanes, dim)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
     val buckets = bucketed.groupBy(col("bucket"))

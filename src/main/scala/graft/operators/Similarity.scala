@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -15,8 +16,62 @@ import graft.functions.VectorFunctions._
   *   - [[lshTopK]] — hyperplane-LSH bucketed search: only candidates in
   *     the query's bucket (and optional neighboring probes) are scored.
   *     At 100 TB the bucket join prunes the scan to ~corpus/2^k per probe.
+  *
+  * Top-k shape: a bounded per-partition heap prunes each partition to at
+  * most k rows per query BEFORE any shuffle, so the final exact window
+  * ranks ≤ k × numPartitions rows per query — no stage ever funnels the
+  * whole scored corpus through a single partition (the naive
+  * `row_number over partitionBy(query_id)` does exactly that and dies at
+  * 1000 executors).
   */
 object Similarity {
+
+  private val prunedSchema = StructType(Seq(
+    StructField("query_id", LongType), StructField("vec_id", LongType),
+    StructField("cos", DoubleType)))
+
+  /** Per-partition top-k prune: keeps, per query, the k best (cos desc,
+    * vec_id asc) rows of each partition, deduplicating (query, vec) within
+    * the partition. Exact-preserving: the global top-k distinct rows are a
+    * subset of the union of per-partition top-k distinct rows. Input
+    * columns must be (query_id: long, vec_id: long, cos: double). */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    implicit val enc = Encoders.row(prunedSchema)
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, cos) => (-cos, id) // best = smallest (-cos, id)
+    }
+    scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("cos").cast("double"))
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        it.foreach { r =>
+          val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          if (seen.add((q, v))) {
+            // max-heap on (-cos, id): the root is the WORST retained row
+            val h = heaps.getOrElseUpdate(q,
+              scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+            if (h.size < k) h.enqueue((v, c))
+            else if (ord.lt((v, c), h.head)) { h.dequeue(); h.enqueue((v, c)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (v, c) => Row(q, v, c) }
+        }
+      }
+  }
+
+  /** Exact final ranking over the (tiny) pruned set. */
+  private def rankTopK(pruned: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pruned
+      .dropDuplicates("query_id", "vec_id") // cross-partition dups (multi-probe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
 
   /** Exact top-k by cosine for each query row. `queries` is expected to be
     * small (it is broadcast); the corpus is streamed, never collected.
@@ -28,23 +83,21 @@ object Similarity {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
   }
 
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit
     * hyperplane hash; candidates share the bucket (multi-probe: flip up to
     * `probeBits` of the query's bits). Recall is tunable via plane count
-    * and probes; scoring cost drops from |corpus| to the bucket sizes. */
+    * and probes; scoring cost drops from |corpus| to the bucket sizes.
+    * Multi-probe duplicates are pruned per partition and finally on the
+    * pruned set — no extra full shuffle. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
               k: Int, dim: Int, numPlanes: Int = 8,
               probeBits: Int = 1): DataFrame = {
-    val planes = randomPlanes(numPlanes, dim)
+    val planes = hashPlanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
     // query buckets + single-bit-flip probes (multi-probe LSH)
@@ -59,12 +112,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
   }
 }

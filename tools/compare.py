@@ -1,107 +1,82 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare against the Verify parquet
+dump (columns sorted by name, exact value equality — floats must be
+bit-identical, mirroring the driver's hash compare).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
-
-For each <name>.parquet under verifyOutDir (written by graft.Verify), runs
-the matching SQL from oracle_sql.json in DuckDB over views of the sfDir
-parquet tables, sorts columns by name, sorts rows, and compares values
-exactly (with a tiny float report to show how close near-misses are).
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 """
-import json
-import math
-import sys
-from pathlib import Path
-
+import json, sys, glob, os
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def load_result_dir(d: Path):
-    files = sorted(d.glob("*.parquet"))
+def load_spark(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         return None
-    import pyarrow as pa
-    tbl = pa.concat_tables([pq.read_table(f) for f in files])
-    return tbl
+    return pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    out = Path(out_dir)
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracles = json.loads((out / "oracle_sql.json").read_text())
-    n_pass = n_fail = n_noracle = 0
-    for qdir in sorted(p for p in out.iterdir() if p.is_dir()):
-        name = qdir.name
-        got_t = load_result_dir(qdir)
-        if got_t is None:
-            print(f"FAIL {name}: no parquet output")
-            n_fail += 1
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(outdir)):
+        if not os.path.isdir(f"{outdir}/{name}"):
             continue
-        if name not in oracles:
-            print(f"ROWS {name}: rows={got_t.num_rows} (no oracle)")
-            n_noracle += 1
+        if only and name not in only:
+            continue
+        spark = load_spark(outdir, name)
+        if name not in oracle:
+            print(f"{name:24s} NO_ORACLE rows={len(spark) if spark is not None else '?'}")
+            n_skip += 1
             continue
         try:
-            exp = con.execute(oracles[name]).arrow()
+            duck = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"{name:24s} ORACLE_ERR {str(e)[:120]}")
             n_fail += 1
             continue
-        got_cols = sorted(got_t.column_names)
-        exp_cols = sorted(exp.column_names)
-        if got_cols != exp_cols:
-            print(f"FAIL {name}: schema {got_cols} vs {exp_cols}")
+        s = spark[sorted(spark.columns)]
+        d = duck[sorted(duck.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f"{name:24s} SCHEMA_MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1
             continue
-        sort_key = lambda row: tuple((v is None, str(v)) for v in row)
-        got_rows = sorted(
-            [tuple(norm_cell(c) for c in r) for r in
-             zip(*[got_t.column(c).to_pylist() for c in got_cols])],
-            key=sort_key)
-        exp_rows = sorted(
-            [tuple(norm_cell(c) for c in r) for r in
-             zip(*[exp.column(c).to_pylist() for c in exp_cols])],
-            key=sort_key)
-        if len(got_rows) != len(exp_rows):
-            print(f"FAIL {name}: rowcount {len(got_rows)} vs {len(exp_rows)}")
+        if len(s) != len(d):
+            print(f"{name:24s} ROWS_MISMATCH spark={len(s)} duck={len(d)}")
             n_fail += 1
             continue
         bad = None
-        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
-            if g != e:
-                # measure float distance for diagnostics
-                close = all(
-                    (a == b) or (isinstance(a, float) and isinstance(b, float)
-                                 and abs(a - b) < 1e-9 * max(1.0, abs(b)))
-                    for a, b in zip(g, e))
-                bad = (i, g, e, close)
+        for c in s.columns:
+            a, b = s[c].to_numpy(), d[c].to_numpy()
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                a, b = a.astype('float64'), b.astype('float64')
+                eq = (a == b) | (np.isnan(a) & np.isnan(b))
+            else:
+                eq = pd.Series(a).astype(str).to_numpy() == pd.Series(b).astype(str).to_numpy()
+            if not eq.all():
+                i = int(np.argmin(eq))
+                bad = (c, i, s[c].iloc[i], d[c].iloc[i])
                 break
         if bad:
-            i, g, e, close = bad
-            tag = "FAIL(close)" if close else "FAIL"
-            print(f"{tag} {name}: row {i}\n  got {g}\n  exp {e}")
+            print(f"{name:24s} VALUE_MISMATCH col={bad[0]} row={bad[1]} spark={bad[2]!r} duck={bad[3]!r}")
             n_fail += 1
         else:
-            print(f"PASS {name}: rows={len(got_rows)} cols={len(got_cols)}")
+            print(f"{name:24s} OK rows={len(s)}")
             n_pass += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    print(f"\npass={n_pass} fail={n_fail} no_oracle={n_skip}")
     sys.exit(1 if n_fail else 0)
 
 
