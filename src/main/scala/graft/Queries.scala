@@ -125,7 +125,20 @@ object Queries {
       orders(s, dir)
         .arrangeBy(col("o_totalprice").desc, col("o_orderkey"))
         .head(100)
-        .select("o_orderkey", "o_totalprice").df)
+        .select("o_orderkey", "o_totalprice").df),
+
+    // CSV write → read with reference inference (io.nim:465-605, 807-826):
+    // the round trip must reproduce the typed table exactly (ints → long,
+    // floats → double via exact Double.toString round-trip, strings kept)
+    "q_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val tmp = "/tmp/graft_csv_roundtrip"
+      graft.sources.Csv.writeCsvSingle(customer(s, dir).df, tmp)
+      val back = graft.sources.Csv.readCsv(s, tmp)
+      graft.api.DataTable(back)
+        .selectCols(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .arrange("c_custkey").df
+    })
   )
 
   /** Joins / set ops / reshape / windows (SURVEY.md §2.4, §2.7, §2.8). */
@@ -568,7 +581,12 @@ object Queries {
 
     "q_arrange_head" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 
   private val relationalOracles: Map[String, String] = Map(

@@ -1,0 +1,223 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV read/write with the reference's inference semantics
+  * (`io.nim:465-605` `readCsvTypedImpl`, `io.nim:217-307` `parseNumber`),
+  * re-expressed Spark-first.
+  *
+  * The reference guesses each column's type from the first <=20 rows
+  * (`io.nim:531-552`) and then PROMOTES mid-parse when a later value
+  * contradicts the guess (int->float on a float, anything->object on a
+  * parse error — `io.nim:332-397`). A sequential "promote as you go"
+  * doesn't exist distributed; instead we compute the same fixed point
+  * directly: one distributed aggregation votes every column's final type
+  * (the promotion lattice is order-independent, so the result is identical
+  * to the reference's sequential promotion), then a single typed
+  * projection casts. Two scans of the source, both fully parallel, no
+  * driver-side sampling — the shape that still works on a 100 TB
+  * directory of CSVs.
+  *
+  * Missing-value semantics match the reference: empty field in a numeric
+  * column -> NaN (`io.nim:224-226`), which also means an otherwise-integer
+  * column containing empties becomes double (int can't hold NaN). "inf" /
+  * "-inf" / "nan" spellings are accepted like `parseNumber`. Empty fields
+  * in string columns stay empty strings (the reference's colString has no
+  * null representation). Whitespace around separators is skipped like the
+  * reference's parser (`io.nim:413-459`).
+  */
+object Csv {
+
+  /** Decided physical type of a CSV column (subset of the reference's
+    * column kinds: `colInt | colFloat | colBool | colString`; `colObject`
+    * collapses to string per SURVEY.md §7.5 risk 1). */
+  sealed trait GuessedType
+  case object GLong extends GuessedType
+  case object GDouble extends GuessedType
+  case object GBool extends GuessedType
+  case object GString extends GuessedType
+
+  private val IntRe = "^[+-]?[0-9]+$"
+  private val InfRe = "^[+-]?(inf|infinity)$"
+  // word digits "one".."nine" parse as ints in the reference (io.nim:323-330)
+  private val WordDigits = Seq("one", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine")
+
+  // stand-in separator after collapsing runs of spaces (space-separated
+  // files with aligned columns, like the reference's parser handles)
+  private val SpaceSep = "\u0001"
+
+  /** Read a CSV file into a typed DataFrame with reference inference.
+    *
+    * `colNames` overrides the header entirely: the data is treated as
+    * headerless (combine with `skipLines` to discard a real header, like
+    * the reference's tests do). `sep = " "` means "runs of whitespace"
+    * (aligned fixed-width-ish files).
+    *
+    * @param wordDigits replicate the reference's `parseStringDigit` quirk
+    *   ("one".."nine" count and parse as ints, `io.nim:323-330`); off by
+    *   default — it is a surprise in production data.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              sep: String = ",", header: Boolean = true,
+              quote: String = "\"", comment: String = "#",
+              skipLines: Int = 0, colNames: Seq[String] = Nil,
+              wordDigits: Boolean = false): DataFrame = {
+    val raw =
+      if (skipLines == 0 && sep != " ") {
+        val base = spark.read
+          .option("sep", sep)
+          .option("header", header && colNames.isEmpty)
+          .option("quote", quote)
+          .option("ignoreLeadingWhiteSpace", "true")
+          .option("ignoreTrailingWhiteSpace", "true")
+          .option("inferSchema", "false")
+        (if (comment.nonEmpty) base.option("comment", comment) else base).csv(path)
+      } else {
+        // skipLines precedes the header (io.nim:694): drop the first N
+        // physical lines, then parse the remainder. zipWithIndex gives
+        // deterministic per-file line numbers (order-sensitive ingestion —
+        // one of the rare legitimate RDD uses).
+        import spark.implicits._
+        val lines = spark.sparkContext.textFile(path)
+          .zipWithIndex().filter(_._2 >= skipLines).map(_._1)
+        parseLines(spark, spark.createDataset(lines), sep,
+          header && colNames.isEmpty, quote, comment)
+      }
+    finish(raw, colNames, wordDigits)
+  }
+
+  /** CSV from an in-memory string (`parseCsvString`, `io.nim:623-668`). */
+  def parseCsvString(spark: SparkSession, content: String,
+                     sep: String = ",", header: Boolean = true,
+                     skipLines: Int = 0, colNames: Seq[String] = Nil,
+                     wordDigits: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
+    val raw = parseLines(spark, spark.createDataset(lines), sep,
+      header && colNames.isEmpty, quote = "\"", comment = "#")
+    finish(raw, colNames, wordDigits)
+  }
+
+  private def parseLines(spark: SparkSession, lines: Dataset[String],
+                         sep: String, header: Boolean,
+                         quote: String, comment: String): DataFrame = {
+    import spark.implicits._
+    val (data, effSep) =
+      if (sep == " ")
+        (lines.filter(_.trim.nonEmpty).map(_.trim.replaceAll("\\s+", SpaceSep)), SpaceSep)
+      else (lines.filter(_.nonEmpty), sep)
+    val base = spark.read
+      .option("sep", effSep)
+      .option("header", header)
+      .option("quote", quote)
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .option("inferSchema", "false")
+    (if (comment.nonEmpty) base.option("comment", comment) else base).csv(data)
+  }
+
+  private def finish(raw: DataFrame, colNames: Seq[String],
+                     wordDigits: Boolean): DataFrame = {
+    val named =
+      if (colNames.nonEmpty) {
+        require(colNames.length == raw.columns.length,
+          s"readCsv: ${colNames.length} colNames for ${raw.columns.length} columns")
+        raw.toDF(colNames: _*)
+      } else
+        raw.toDF(raw.columns.zipWithIndex.map { case (c, i) =>
+          sanitizeName(c, i)
+        }.toIndexedSeq: _*)
+    inferTypes(named, wordDigits)
+  }
+
+  /** Unnamed columns become `UnnamedN` like the reference (`io.nim:143-144`). */
+  private def sanitizeName(c: String, i: Int): String =
+    if (c == null || c.trim.isEmpty || c.startsWith("_c")) s"Unnamed$i" else c.trim
+
+  /** One distributed pass voting each column's type, one typed projection.
+    * All columns of `df` must be strings (the raw CSV parse). */
+  def inferTypes(df: DataFrame, wordDigits: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    val missing: String => org.apache.spark.sql.Column =
+      c => col(c).isNull || col(c) === ""
+    val isLongStr: String => org.apache.spark.sql.Column = { c =>
+      val plain = col(c).rlike(IntRe) && expr(s"try_cast(`$c` as bigint)").isNotNull
+      if (wordDigits) plain || lower(col(c)).isin(WordDigits: _*) else plain
+    }
+    val isDoubleStr: String => org.apache.spark.sql.Column =
+      c => expr(s"try_cast(`$c` as double)").isNotNull ||
+        lower(col(c)).rlike(InfRe) || lower(col(c)) === "nan"
+    val isBoolStr: String => org.apache.spark.sql.Column =
+      c => lower(col(c)).isin("true", "false")
+
+    // per column: [nonMissing, long-parsable, double-parsable, bool, missing]
+    val voteCols = cols.map { c =>
+      struct(
+        sum(when(!missing(c), 1L).otherwise(0L)).as("n"),
+        sum(when(!missing(c) && isLongStr(c), 1L).otherwise(0L)).as("nLong"),
+        sum(when(!missing(c) && isDoubleStr(c), 1L).otherwise(0L)).as("nDouble"),
+        sum(when(!missing(c) && isBoolStr(c), 1L).otherwise(0L)).as("nBool"),
+        sum(when(missing(c), 1L).otherwise(0L)).as("nMiss")).as(c)
+    }
+    val vote = df.agg(voteCols.head, voteCols.tail: _*).head()
+
+    val guessed: Seq[(String, GuessedType)] = cols.zipWithIndex.map { case (c, i) =>
+      val r = vote.getStruct(i)
+      val (n, nLong, nDouble, nBool, nMiss) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val t =
+        if (n == 0L) GString
+        else if (nBool == n) GBool
+        // int needs every cell integral AND no missing cells (missing in a
+        // numeric column is NaN, which int can't hold -> promote to double)
+        else if (nLong == n && nMiss == 0L) GLong
+        else if (nDouble == n) GDouble
+        else GString
+      c -> t
+    }
+
+    val wordDigitMap: org.apache.spark.sql.Column =
+      map(WordDigits.zipWithIndex.flatMap { case (w, i) =>
+        Seq(lit(w), lit((i + 1).toLong))
+      }: _*)
+
+    df.select(guessed.map { case (c, t) =>
+      val v = col(c)
+      (t match {
+        case GLong =>
+          if (wordDigits) coalesce(expr(s"try_cast(`$c` as bigint)"),
+            element_at(wordDigitMap, lower(v)))
+          else v.cast(LongType)
+        case GDouble =>
+          when(v.isNull || v === "", lit(Double.NaN))
+            .when(lower(v) === "nan", lit(Double.NaN))
+            .when(lower(v).rlike("^\\+?(inf|infinity)$"), lit(Double.PositiveInfinity))
+            .when(lower(v).rlike("^-(inf|infinity)$"), lit(Double.NegativeInfinity))
+            .otherwise(v.cast(DoubleType))
+        case GBool => lower(v) === "true"
+        case GString => coalesce(v, lit("")) // colString has no null (value.nim:4-25)
+      }).as(c)
+    }: _*)
+  }
+
+  /** Write as CSV (`writeCsv`, `io.nim:807-826`). Distributed: `path`
+    * becomes a directory of part files — the cluster-scale shape. */
+  def writeCsv(df: DataFrame, path: String, sep: String = ",",
+               header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("sep", sep).option("header", header)
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** Single-file CSV for the test kit / small exports (coalesce(1) — do
+    * not use on large data). */
+  def writeCsvSingle(df: DataFrame, path: String, sep: String = ",",
+                     header: Boolean = true): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", sep).option("header", header)
+      .option("emptyValue", "")
+      .csv(path)
+}

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.DataTable
+import graft.sources.Csv
+
+/** Port of the reference's CSV/parse tests (`tests/testDf.nim` CSV blocks,
+  * `tests/testParse.nim`) against the same fixture data and inline
+  * strings. Inference semantics per `io.nim:465-605`.
+  */
+class CsvSuite extends SparkSpec {
+
+  private val mpgPath = "/root/reference/data/mpg.csv"
+
+  test("mpg.csv: shape and inferred types (testDf.nim:364+ CSV end-to-end)") {
+    val df = Csv.readCsv(spark, mpgPath)
+    assert(df.count() == 234)
+    assert(df.columns.length == 11)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("displ") == DoubleType)
+    assert(types("cyl") == LongType)
+    assert(types("hwy") == LongType)
+    assert(types("cty") == LongType)
+    assert(types("manufacturer") == StringType)
+    assert(types("class") == StringType)
+  }
+
+  test("mpg golden means (testDf.nim:859-885 'Group by')") {
+    val mpg = DataTable(Csv.readCsv(spark, mpgPath))
+    val summary = mpg.summarize(
+      "mean_cyl" -> avg(col("cyl")), "mean_hwy" -> avg(col("hwy")))
+    assert(almostEqual(colDoubles(summary, "mean_cyl").head, 5.88889, 1e-5))
+    assert(almostEqual(colDoubles(summary, "mean_hwy").head, 23.4402, 1e-5))
+    val grouped = mpg.groupBy("cyl").summarize(
+      "mean_displ" -> avg(col("displ")), "mean_hwy" -> avg(col("hwy")))
+    assert(colLongs(grouped, "cyl") == Seq(4L, 5L, 6L, 8L))
+    assertAllClose(colDoubles(grouped, "mean_displ"),
+      Seq(2.14568, 2.5, 3.40886, 5.13286), 1e-5)
+    assertAllClose(colDoubles(grouped, "mean_hwy"),
+      Seq(28.8025, 28.75, 22.8228, 17.6286), 1e-5)
+  }
+
+  test("mpg filter golden counts (testDf.nim:908-913)") {
+    val mpg = DataTable(Csv.readCsv(spark, mpgPath))
+    val cyl4 = mpg.filter(col("cyl") === 4)
+    assert(cyl4.df.count() == 81)
+    assert(cyl4.filter(col("drv") === "4").df.count() == 23)
+  }
+
+  test("mpg unequal filter (testDf.nim:915-918 'Unequal')") {
+    val mpg = DataTable(Csv.readCsv(spark, mpgPath))
+    val noSuv = mpg.filter(col("class") =!= "suv")
+    assert(!colStrings(DataTable(noSuv.df.select("class").distinct()), "class").contains("suv"))
+  }
+
+  test("unique on duplicated rows from CSV string (testDf.nim:1324-1340)") {
+    val data =
+      """t_in_s,  C1_in_V,  C2_in_V,  type
+        |-3.0000E-06,  -2.441E-04,  -6.836E-04,  T1
+        |-2.9992E-06,  2.441E-04,  -6.836E-04 ,  T1
+        |-2.9984E-06,  1.025E-03,  -8.789E-04 ,  T1
+        |-2.9976E-06,  1.025E-03,  -2.930E-04 ,  T1
+        |-2.9992E-06,  2.441E-04,  -6.836E-04 ,  T1
+        |-2.9984E-06,  1.025E-03,  -8.789E-04 ,  T1
+        |-2.9976E-06,  1.025E-03,  -2.930E-04 ,  T1
+        |-2.9968E-06,  9.277E-04,  2.930E-04  ,  T2
+        |""".stripMargin
+    val df = DataTable(Csv.parseCsvString(spark, data))
+    assert(df.df.count() == 8)
+    assert(df.unique().df.count() == 5)
+    // scientific notation -> double
+    assert(df.df.schema("t_in_s").dataType == DoubleType)
+    assert(df.df.schema("type").dataType == StringType)
+  }
+
+  test("custom column names on headerless data (testDf.nim:1384-1407)") {
+    val data =
+      """-3.0000E-06,  -2.441E-04,  -6.836E-04,  T1
+        |-2.9992E-06,  2.441E-04,  -6.836E-04 ,  T1
+        |-2.9984E-06,  1.025E-03,  -8.789E-04 ,  T1
+        |""".stripMargin
+    val cols = Seq("V1", "V2", "V3", "Channel")
+    val df = Csv.parseCsvString(spark, data, header = false, colNames = cols)
+    assert(df.count() == 3)
+    assert(df.columns.toSeq.sorted == cols.sorted)
+  }
+
+  test("numeric column names stay plain (testDf.nim:1409-1432)") {
+    val data =
+      """-3.0000E-06,  -2.441E-04,  -6.836E-04,  T1
+        |-2.9992E-06,  2.441E-04,  -6.836E-04 ,  T1
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data, header = false,
+      colNames = Seq("0", "1", "2", "3"))
+    assert(df.columns.toSeq == Seq("0", "1", "2", "3"))
+  }
+
+  test("custom colNames replacing a real header via skipLines (testDf.nim:1434-1447)") {
+    val data =
+      """ ag, Z=47, (Energy (eV),f1,f2)
+        |   10.0000     -9999.00      1.18566
+        |   10.1617     -9999.00      1.22941
+        |   10.3261     -9999.00      1.27478
+        |   10.4931     -9999.00      1.32182
+        |   10.6628     -9999.00      1.38215
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data, sep = " ", skipLines = 1,
+      colNames = Seq("Energy", "f1", "f2"))
+    assert(df.count() == 5)
+    assert(df.columns.toSeq.sorted == Seq("Energy", "f1", "f2"))
+    assert(colDoubles(DataTable(df), "f1") == Seq.fill(5)(-9999.0))
+  }
+
+  test("space separated data with trailing spacing (testDf.nim:1449-1458)") {
+    val data =
+      """   Energy            f1           f2
+        |   10.0000     -9999.00      1.18566
+        |   10.1617     -9999.00      1.22941
+        |   10.3261     -9999.00      1.27478
+        |   10.4931     -9999.00      1.32182
+        |   10.6628     -9999.00      1.38215
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data, sep = " ")
+    assert(df.count() == 5)
+    assert(df.columns.toSeq.sorted == Seq("Energy", "f1", "f2"))
+    assert(colDoubles(DataTable(df), "f1") == Seq.fill(5)(-9999.0))
+  }
+
+  test("empty numeric fields become NaN and promote int columns to double (io.nim:224-226)") {
+    val data =
+      """a,b,c
+        |1,2.5,x
+        |,3.5,y
+        |3,,z
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data)
+    assert(df.schema("a").dataType == DoubleType) // int col + empty -> double w/ NaN
+    assert(df.schema("b").dataType == DoubleType)
+    assert(df.schema("c").dataType == StringType)
+    val a = colDoubles(DataTable(df.orderBy("c")), "a")
+    assert(a(0) == 1.0 && a(1).isNaN && a(2) == 3.0)
+    val b = colDoubles(DataTable(df.orderBy("c")), "b")
+    assert(b(0) == 2.5 && b(1) == 3.5 && b(2).isNaN)
+  }
+
+  test("inf/nan spellings parse like parseNumber (testParse.nim:22-228)") {
+    val data =
+      """v
+        |1.5
+        |inf
+        |-inf
+        |NaN
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data)
+    assert(df.schema("v").dataType == DoubleType)
+    val vs = colDoubles(DataTable(df), "v")
+    assert(vs(0) == 1.5 && vs(1).isPosInfinity && vs(2).isNegInfinity && vs(3).isNaN)
+  }
+
+  test("bool column inference (strTabToDf lattice, dataframe.nim:421-493)") {
+    val data =
+      """flag,n
+        |true,1
+        |false,2
+        |TRUE,3
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data)
+    assert(df.schema("flag").dataType == BooleanType)
+    assert(df.schema("n").dataType == LongType)
+    assert(colSeq(DataTable(df.orderBy("n")), "flag") == Seq(true, false, true))
+  }
+
+  test("word digits quirk behind flag (parseStringDigit, io.nim:323-330)") {
+    val data =
+      """x
+        |one
+        |2
+        |nine
+        |""".stripMargin
+    val off = Csv.parseCsvString(spark, data)
+    assert(off.schema("x").dataType == StringType)
+    val on = Csv.parseCsvString(spark, data, wordDigits = true)
+    assert(on.schema("x").dataType == LongType)
+    assert(colLongs(DataTable(on.orderBy("x")), "x").sorted == Seq(1L, 2L, 9L))
+  }
+
+  test("comment lines are skipped (io.nim readCsv '#' headers)") {
+    val data =
+      """# generated by instrument
+        |a,b
+        |1,x
+        |2,y
+        |""".stripMargin
+    val df = Csv.parseCsvString(spark, data)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("writeCsv roundtrip preserves types and values (io.nim:807-826)") {
+    val df = graft.api.toDf(spark)(
+      "i" -> Seq(1, 2, 3),
+      "f" -> Seq(1.5, -2.25, 1e-6),
+      "s" -> Seq("a", "b,c", "d\"e"),
+      "bl" -> Seq(true, false, true))
+    val path = "/tmp/graft_test_csv_roundtrip"
+    Csv.writeCsvSingle(df.df, path)
+    val back = DataTable(Csv.readCsv(spark, path)).arrange("i")
+    assert(back.df.schema.map(_.dataType) ==
+      Seq(LongType, DoubleType, StringType, BooleanType))
+    assert(colLongs(back, "i") == Seq(1L, 2L, 3L))
+    assert(colDoubles(back, "f") == Seq(1.5, -2.25, 1e-6))
+    assert(colStrings(back, "s") == Seq("a", "b,c", "d\"e"))
+    assert(colSeq(back, "bl") == Seq(true, false, true))
+  }
+
+  test("mpg end-to-end slice (SURVEY §7.3; testDf.nim:1981 dplyr comparison)") {
+    val mpg = DataTable(Csv.readCsv(spark, mpgPath))
+    val res = mpg
+      .mutate("ratio" -> (col("cty").cast("double") / col("hwy")))
+      .filter(col("cyl") > 4)
+      .groupBy("class")
+      .summarize("mHwy" -> avg(col("hwy")))
+      .arrange("class")
+    val classes = colStrings(res, "class")
+    assert(classes == classes.sorted)
+    assert(res.df.count() > 0)
+    // spot value: mean hwy of 2seater (all cyl 8) = 24.8
+    val twoSeater = colDoubles(res.filter(col("class") === "2seater"), "mHwy")
+    assertAllClose(twoSeater, Seq(24.8), 1e-6)
+  }
+}

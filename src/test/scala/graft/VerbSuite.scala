@@ -1,0 +1,399 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.{toDf, CcDrop, CcLeft, CcRename, DataTable}
+
+/** Golden-value port of the reference verb tests
+  * (`/root/reference/tests/testDf.nim`): same literal inputs, same
+  * expected outputs, re-expressed through the graft verb layer. Each test
+  * cites the reference case it mirrors.
+  */
+class VerbSuite extends SparkSpec {
+
+  // ------------------------------------------------------------ toDf
+
+  test("toDf: typed columns from seqs (testDf.nim:528-558 'toDf with explicit types')") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3), "y" -> Seq(1.0, 2.5, 3.5),
+      "s" -> Seq("a", "b", "c"), "b" -> Seq(true, false, true))
+    assert(df.df.schema.map(_.dataType) ==
+      Seq(LongType, DoubleType, StringType, BooleanType))
+    assert(colLongs(df, "x") == Seq(1L, 2L, 3L))
+    assert(colDoubles(df, "y") == Seq(1.0, 2.5, 3.5))
+    assert(colStrings(df, "s") == Seq("a", "b", "c"))
+    assert(colSeq(df, "b") == Seq(true, false, true))
+  }
+
+  test("toDf: scalar broadcasts to constant column (dataframe.nim:294-304; testDf.nim constant col cases)") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3), "c" -> 5)
+    assert(colLongs(df, "c") == Seq(5L, 5L, 5L))
+  }
+
+  test("toDf: ragged columns null-fill (extendShortColumns, dataframe.nim:409-419)") {
+    val df = toDf(spark)("x1" -> (0 to 4), "x2" -> (0 to 2))
+    assert(df.df.count() == 5)
+    assert(colSeq(df, "x2") == Seq(0L, 1L, 2L, null, null))
+  }
+
+  test("toDf: int+float promotes to double (combinedColKind, column.nim:507-522)") {
+    val df = toDf(spark)("m" -> Seq[Any](1, 2.5, 3))
+    assert(df.df.schema.head.dataType == DoubleType)
+    assert(colDoubles(df, "m") == Seq(1.0, 2.5, 3.0))
+  }
+
+  // ------------------------------------------------------------ select family
+
+  test("select keeps order and drops others (testDf.nim Transmute/select shape)") {
+    val df = toDf(spark)("a" -> Seq(1, 2), "b" -> Seq(3, 4), "c" -> Seq(5, 6))
+    val r = df.select("c", "a")
+    assert(r.columns == Seq("c", "a"))
+  }
+
+  test("drop removes columns (dataframe.nim:876-884)") {
+    val df = toDf(spark)("a" -> Seq(1, 2), "b" -> Seq(3, 4))
+    assert(df.drop("b").columns == Seq("a"))
+  }
+
+  test("rename moves name, keeps values (dataframe.nim:1821-1847)") {
+    val df = toDf(spark)("a" -> Seq(1, 2), "b" -> Seq(3, 4))
+    val r = df.rename("A" -> "a")
+    assert(r.columns.contains("A") && !r.columns.contains("a"))
+    assert(colLongs(r, "A") == Seq(1L, 2L))
+  }
+
+  test("relocate after/before (dataframe.nim:1476-1527)") {
+    val df = toDf(spark)("a" -> Seq(1), "b" -> Seq(2), "c" -> Seq(3))
+    assert(df.relocateAfter("a", "b").columns == Seq("b", "a", "c"))
+    assert(df.relocateBefore("c", "a").columns == Seq("c", "a", "b"))
+  }
+
+  // ------------------------------------------------------------ mutate family
+
+  test("mutate adds computed column (testDf.nim:1607+ Mutate shape)") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3), "y" -> Seq(10, 20, 30))
+    val r = df.mutate("z" -> (col("x") + col("y"))).arrange("x")
+    assert(colLongs(r, "z") == Seq(11L, 22L, 33L))
+  }
+
+  test("transmute keeps only computed columns (testDf.nim:960-987 'Transmute - float arithmetic')") {
+    val xs = 0 until 100
+    val ys = xs.map(i => math.sin(i.toDouble))
+    val df = toDf(spark)("x" -> xs, "y" -> ys)
+    val r = df.mutate("rowid" -> col("x"))
+      .transmute("x" -> col("x"), "y2" -> (col("y") * col("y")))
+    assert(r.columns == Seq("x", "y2"))
+    val got = r.arrange("x")
+    assertAllClose(colDoubles(got, "y2"), xs.map(i => math.pow(math.sin(i.toDouble), 2.0)))
+  }
+
+  test("masked update df[cond, k] = v (dataframe.nim:344-370)") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3, 4), "y" -> Seq("a", "b", "c", "d"))
+    val r = df.maskedUpdate(col("x") > 2, "y", lit("Z")).arrange("x")
+    assert(colStrings(r, "y") == Seq("a", "b", "Z", "Z"))
+  }
+
+  // ------------------------------------------------------------ filter
+
+  test("filter: two comparisons with and (testDf.nim:920-926)") {
+    val df = toDf(spark)("x" -> (0 to 100))
+    val r = df.filter(col("x") >= 50, col("x") <= 75).arrange("x")
+    assert(colLongs(r, "x") == (50L to 75L))
+  }
+
+  test("filter: aggregate inside predicate = whole-column reduce (testDf.nim:928-934)") {
+    // `x >= max(x) * 0.5` — the aggregate evaluates over the whole column.
+    // Window functions are not allowed in WHERE, so project-then-filter
+    // (the same rewrite DataTable.filter applies for grouped tables).
+    val df = toDf(spark)("x" -> (0 to 100))
+    val r = df.mutate("__m" -> (lit(0.5) * max(col("x")).over()))
+      .filter(col("x") >= col("__m")).drop("__m").arrange("x")
+    assert(colLongs(r, "x") == (50L to 100L))
+  }
+
+  test("grouped filter keeps whole-group semantics (dataframe.nim:1373-1385)") {
+    val df = toDf(spark)("g" -> Seq("a", "a", "b", "b"), "v" -> Seq(1, 2, 3, 4))
+    // keep rows equal to their group max
+    val r = df.groupBy("g").filter(col("v") === max(col("v"))).ungroup.arrange("g")
+    assert(colLongs(r, "v") == Seq(2L, 4L))
+  }
+
+  // ------------------------------------------------------------ arrange
+
+  test("arrange multi-key ascending (testDf.nim:831-857 'Arrange')") {
+    val df = toDf(spark)(
+      "a" -> Seq("b", "a", "b", "a"),
+      "b" -> Seq(2, 2, 1, 1),
+      "v" -> Seq(1, 2, 3, 4))
+    val r = df.arrange("a", "b")
+    assert(colLongs(r, "v") == Seq(4L, 2L, 3L, 1L))
+  }
+
+  test("arrangeBy with per-key direction (SURVEY §2.6 upgrade)") {
+    val df = toDf(spark)("a" -> Seq(1, 1, 2), "b" -> Seq(5, 9, 1))
+    val r = df.arrangeBy(col("a").asc, col("b").desc)
+    assert(colLongs(r, "b") == Seq(9L, 5L, 1L))
+  }
+
+  test("head/tail (dataframe.nim:2197-2203)") {
+    val df = toDf(spark)("x" -> (1 to 10))
+    assert(colLongs(df.arrange("x").head(3), "x") == Seq(1L, 2L, 3L))
+    assert(colLongs(df.tailBy(3, col("x")).arrange("x"), "x") == Seq(8L, 9L, 10L))
+  }
+
+  // ------------------------------------------------------------ group/summarize
+
+  test("summarize ungrouped gives one row (testDf.nim:1211+ Summarize)") {
+    val df = toDf(spark)("x" -> (0 to 100))
+    val r = df.summarize("s" -> sum(col("x")), "m" -> max(col("x")))
+    assert(colLongs(r, "s") == Seq(5050L))
+    assert(colLongs(r, "m") == Seq(100L))
+  }
+
+  test("grouped summarize, result ordered by keys (testDf.nim:859-885 'Group by' golden means)") {
+    // mirrors the mpg mean-by-cyl golden checks but with literal data
+    val df = toDf(spark)(
+      "cyl" -> Seq(4, 4, 6, 6, 8),
+      "hwy" -> Seq(30.0, 28.0, 25.0, 23.0, 17.0))
+    val r = df.groupBy("cyl").summarize("mean_hwy" -> avg(col("hwy")))
+    assert(colLongs(r, "cyl") == Seq(4L, 6L, 8L))
+    assertAllClose(colDoubles(r, "mean_hwy"), Seq(29.0, 24.0, 17.0))
+  }
+
+  test("count verb (testDf.nim:1280-1301 Count)") {
+    val df = toDf(spark)("cyl" -> Seq(4, 4, 4, 6, 8, 8))
+    val r = df.countRows(Seq("cyl"))
+    assert(colLongs(r, "cyl") == Seq(4L, 6L, 8L))
+    assert(colLongs(r, "n") == Seq(3L, 1L, 2L))
+  }
+
+  test("count multiple columns (testDf.nim:1303-1315)") {
+    val a = Seq.fill(30)(1) ++ Seq.fill(30)(2) ++ Seq.fill(40)(3)
+    val b = Seq.fill(20)(5) ++ Seq.fill(50)(6) ++ Seq.fill(30)(7)
+    val df = toDf(spark)("A" -> a, "B" -> b, "C" -> (0 until 100))
+    val r = df.countRows(Seq("A", "B")).arrange("A", "B")
+    assert(colLongs(r, "A") == Seq(1L, 1L, 2L, 3L, 3L))
+    assert(colLongs(r, "B") == Seq(5L, 6L, 6L, 6L, 7L))
+    assert(colLongs(r, "n") == Seq(20L, 10L, 30L, 10L, 30L))
+  }
+
+  test("grouped mutate: x - mean(x) per group (testDf.nim:1704+ mutate on grouped)") {
+    val df = toDf(spark)("g" -> Seq("a", "a", "b", "b"), "x" -> Seq(1.0, 3.0, 10.0, 20.0))
+    val r = df.groupBy("g").mutate("dev" -> (col("x") - avg(col("x")))).ungroup
+      .arrange("g", "x")
+    assertAllClose(colDoubles(r, "dev"), Seq(-1.0, 1.0, -5.0, 5.0))
+  }
+
+  test("summarize after double grouping (testDf.nim:887-906 subgroup count)") {
+    val df = toDf(spark)(
+      "g1" -> Seq("a", "a", "a", "b", "b"),
+      "g2" -> Seq(1, 1, 2, 1, 2),
+      "v" -> Seq(1, 2, 3, 4, 5))
+    val r = df.groupBy("g1").groupByAdd("g2").summarize("n" -> count(lit(1)))
+    assert(r.df.count() == 4)
+  }
+
+  // ------------------------------------------------------------ joins
+
+  test("innerJoin fully qualified (testDf.nim:1498-1516)") {
+    val idents = Seq("A", "B", "C", "D")
+    val df1 = toDf(spark)("Ident" -> idents, "Ids" -> Seq(1, 2, 3, 4))
+    val df2 = toDf(spark)("Ident" -> idents, "Words" -> Seq("suggest", "result", "from", "to"))
+    val r = df1.innerJoin(df2, by = Seq("Ident")).arrange("Ident")
+    assert(r.df.count() == 4)
+    assert(r.columns.toSet == Set("Ident", "Ids", "Words"))
+    assert(colStrings(r, "Words") == Seq("suggest", "result", "from", "to"))
+  }
+
+  test("innerJoin common non-key columns -> _left/_right (testDf.nim:1518-1543, ccRename)") {
+    val idents = Seq("A", "B", "C", "D")
+    val df1 = toDf(spark)("Ident" -> idents, "Ids" -> Seq(1, 2, 3, 4))
+    val df2 = toDf(spark)("Ident" -> idents, "Ids" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "Words" -> Seq("suggest", "result", "from", "to"))
+    val r = df1.innerJoin(df2, by = Seq("Ident"), merge = CcRename).arrange("Ident")
+    assert(r.columns.toSet == Set("Ident", "Ids_left", "Ids_right", "Words"))
+    assert(colLongs(r, "Ids_left") == Seq(1L, 2L, 3L, 4L))
+    assert(colDoubles(r, "Ids_right") == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("innerJoin ccLeft keeps left collided column (dataframe.nim:1857-1883)") {
+    val df1 = toDf(spark)("k" -> Seq("A", "B"), "v" -> Seq(1, 2))
+    val df2 = toDf(spark)("k" -> Seq("A", "B"), "v" -> Seq(10, 20))
+    val r = df1.innerJoin(df2, by = Seq("k"), merge = CcLeft).arrange("k")
+    assert(r.columns.toSet == Set("k", "v"))
+    assert(colLongs(r, "v") == Seq(1L, 2L))
+  }
+
+  test("innerJoin ccDrop drops collided column from both sides") {
+    val df1 = toDf(spark)("k" -> Seq("A", "B"), "v" -> Seq(1, 2))
+    val df2 = toDf(spark)("k" -> Seq("A", "B"), "v" -> Seq(10, 20), "w" -> Seq(5, 6))
+    val r = df1.innerJoin(df2, by = Seq("k"), merge = CcDrop).arrange("k")
+    assert(r.columns.toSet == Set("k", "w"))
+  }
+
+  test("innerJoin missing elements -> intersection (testDf.nim:1545-1570)") {
+    val df1 = toDf(spark)("Ident" -> Seq("A", "B", "C", "D", "E"), "Ids" -> Seq(1, 2, 3, 4, 5))
+    val df2 = toDf(spark)("Ident" -> Seq("A", "B", "C", "D"),
+      "Words" -> Seq("suggest", "result", "from", "to"))
+    val r = df1.innerJoin(df2, by = Seq("Ident")).arrange("Ident")
+    assert(r.df.count() == 4)
+    assert(colLongs(r, "Ids") == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("semi/anti joins (SURVEY §2.4 beyond-reference)") {
+    val df1 = toDf(spark)("k" -> Seq("A", "B", "C"), "v" -> Seq(1, 2, 3))
+    val df2 = toDf(spark)("k" -> Seq("B", "C"), "w" -> Seq(0, 0))
+    assert(colStrings(df1.join(df2, Seq("k"), "left_semi").arrange("k"), "k") == Seq("B", "C"))
+    assert(colStrings(df1.join(df2, Seq("k"), "left_anti"), "k") == Seq("A"))
+  }
+
+  // ------------------------------------------------------------ set ops
+
+  test("bind_rows same columns with id (testDf.nim:748-830 bind_rows)") {
+    val a = toDf(spark)("a" -> Seq(1, 2, 3), "b" -> Seq(10, 11, 12))
+    val b = toDf(spark)("a" -> Seq(4, 5), "b" -> Seq(13, 14))
+    val r = a.bindRows(Seq("one" -> a, "two" -> b), idCol = "combine").arrange("a")
+    assert(colLongs(r, "a") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(colStrings(r, "combine") == Seq("one", "one", "one", "two", "two"))
+  }
+
+  test("bind_rows ragged columns null-fill (dataframe.nim:978-996)") {
+    val a = toDf(spark)("x" -> Seq(1, 2))
+    val b = toDf(spark)("x" -> Seq(3), "y" -> Seq(9.5))
+    val r = a.bindRows(b).arrange("x")
+    assert(colSeq(r, "y") == Seq(null, null, 9.5))
+  }
+
+  test("concat strict requires matching schema (dataframe.nim:1042-1082)") {
+    val a = toDf(spark)("x" -> Seq(1))
+    val b = toDf(spark)("x" -> Seq(2))
+    val c = toDf(spark)("y" -> Seq(3))
+    assert(colLongs(a.concat(b).arrange("x"), "x") == Seq(1L, 2L))
+    intercept[IllegalArgumentException] { a.concat(c) }
+  }
+
+  test("setDiff and symmetric setDiff (testDf.nim:1356-1383)") {
+    val all = toDf(spark)("x" -> (0 to 29), "y" -> (0 to 29).map(i => s"s$i"))
+    val s1 = all.filter(col("x") <= 25)
+    val s2 = all.filter(col("x") >= 20 && col("x") <= 29)
+    assert(colLongs(s1.setDiff(s2).arrange("x"), "x") == (0L to 19L))
+    assert(colLongs(s2.setDiff(s1).arrange("x"), "x") == (26L to 29L))
+    assert(colLongs(s1.setDiff(s2, symmetric = true).arrange("x"), "x") ==
+      ((0L to 19L) ++ (26L to 29L)))
+  }
+
+  test("intersect (beyond-reference, SURVEY §2.7)") {
+    val a = toDf(spark)("x" -> Seq(1, 2, 3))
+    val b = toDf(spark)("x" -> Seq(2, 3, 4))
+    assert(colLongs(a.intersect(b).arrange("x"), "x") == Seq(2L, 3L))
+  }
+
+  test("unique all columns (testDf.nim:1324-1340)") {
+    val df = toDf(spark)(
+      "t" -> Seq(-3.0000e-6, -2.9992e-6, -2.9984e-6, -2.9976e-6, -2.9992e-6, -2.9984e-6, -2.9976e-6, -2.9968e-6),
+      "c1" -> Seq(-2.441e-4, 2.441e-4, 1.025e-3, 1.025e-3, 2.441e-4, 1.025e-3, 1.025e-3, 9.277e-4),
+      "tp" -> Seq("T1", "T1", "T1", "T1", "T1", "T1", "T1", "T2"))
+    assert(df.df.count() == 8)
+    assert(df.unique().df.count() == 5)
+  }
+
+  test("unique subset keep-first (testDf.nim:1342-1355)") {
+    val df = toDf(spark)(
+      "id" -> Seq(1, 2, 3, 4, 5),
+      "Start" -> Seq("A", "E", "A", "D", "E"),
+      "Stop" -> Seq("B", "G", "B", "G", "X"))
+    assert(df.unique().df.count() == 5)
+    val byCols = df.uniqueFirstBy(Seq("Start", "Stop"), col("id")).arrange("id")
+    assert(byCols.df.count() == 4)
+    assert(colLongs(byCols, "id") == Seq(1L, 2L, 4L, 5L))
+  }
+
+  // ------------------------------------------------------------ reshape
+
+  test("gather 2 columns (testDf.nim:988-1010 'Gather - 2 columns')") {
+    val xs = 0 until 100
+    val y1 = xs.map(i => math.sin(i.toDouble))
+    val y2 = xs.map(i => math.sin(i.toDouble - math.Pi / 2.0) - 0.5)
+    val df = toDf(spark)("x" -> xs, "y1" -> y1, "y2" -> y2)
+    val long = df.gather(Seq("y1", "y2"), key = "from", value = "y")
+    assert(long.df.count() == 200)
+    val fromY1 = long.filter(col("from") === "y1").arrange("x")
+    val fromY2 = long.filter(col("from") === "y2").arrange("x")
+    assertAllClose(colDoubles(fromY1, "y"), y1)
+    assertAllClose(colDoubles(fromY2, "y"), y2)
+  }
+
+  test("gather promotes int+float to double (withCombinedType, dataframe.nim:2205-2259)") {
+    val df = toDf(spark)("id" -> Seq(1, 2), "a" -> Seq(1, 2), "b" -> Seq(0.5, 1.5))
+    val long = df.gather(Seq("a", "b"), "k", "v")
+    assert(long.df.schema("v").dataType == DoubleType)
+    assert(long.df.count() == 4)
+  }
+
+  test("spread inverts gather (testDf.nim:1071+ Spread)") {
+    val df = toDf(spark)(
+      "id" -> Seq(1, 1, 2, 2),
+      "k" -> Seq("a", "b", "a", "b"),
+      "v" -> Seq(10, 20, 30, 40))
+    val wide = df.spread("k", "v").arrange("id")
+    assert(wide.columns == Seq("id", "a", "b"))
+    assert(colLongs(wide, "a") == Seq(10L, 30L))
+    assert(colLongs(wide, "b") == Seq(20L, 40L))
+  }
+
+  test("spread strict raises on unclean mapping (dataframe.nim:2317-2322)") {
+    val df = toDf(spark)(
+      "id" -> Seq(1, 1), "k" -> Seq("a", "a"), "v" -> Seq(1, 2))
+    intercept[IllegalArgumentException] { df.spread("k", "v", strict = true) }
+  }
+
+  // ------------------------------------------------------------ order ops / misc
+
+  test("lag/lead with explicit order (column.nim:1177-1213)") {
+    val df = toDf(spark)("t" -> Seq(1, 2, 3, 4), "v" -> Seq(10, 20, 30, 40))
+    val r = df.withLag("prev", col("v"), 1, order = Seq(col("t")))
+      .withLead("next", col("v"), 1, order = Seq(col("t")))
+      .arrange("t")
+    assert(colSeq(r, "prev") == Seq(null, 10L, 20L, 30L))
+    assert(colSeq(r, "next") == Seq(20L, 30L, 40L, null))
+  }
+
+  test("dropNull removes null rows per column (testDf.nim:1609+ 'Remove null values')") {
+    val df = toDf(spark)(
+      "Ident" -> Seq("A", "B", "C", "D", "E"),
+      "Age" -> Seq[Any](43, 27, 32, 43, null))
+    assert(df.dropNull("Age").df.count() == 4)
+  }
+
+  test("dropNaN removes NaN rows in float columns (dataframe.nim:2467-2493)") {
+    val df = toDf(spark)("x" -> Seq(1.0, Double.NaN, 3.0), "s" -> Seq("a", "b", "c"))
+    val r = df.dropNaN().arrange("x")
+    assert(colDoubles(r, "x") == Seq(1.0, 3.0))
+  }
+
+  test("colMin/colMax ignore infinities (dataframe.nim:886-924)") {
+    val df = toDf(spark)("x" -> Seq(Double.NegativeInfinity, 1.5, 7.25, Double.PositiveInfinity))
+    assert(colDoubles(df.colMin("x"), "min_x") == Seq(1.5))
+    assert(colDoubles(df.colMax("x"), "max_x") == Seq(7.25))
+  }
+
+  test("sameAs value equality (dataframe.nim:385-405 equal)") {
+    val a = toDf(spark)("x" -> Seq(1, 2), "y" -> Seq("a", "b"))
+    val b = toDf(spark)("y" -> Seq("a", "b"), "x" -> Seq(1, 2))
+    val c = toDf(spark)("x" -> Seq(1, 3), "y" -> Seq("a", "b"))
+    assert(a.sameAs(b))
+    assert(!a.sameAs(c))
+  }
+
+  test("shuffleRows is deterministic per seed (dataframe.nim:2497-2521)") {
+    val df = toDf(spark)("x" -> (1 to 50))
+    val r1 = colLongs(df.shuffleRows(7), "x")
+    val r2 = colLongs(df.shuffleRows(7), "x")
+    assert(r1 == r2)
+    assert(r1.sorted == (1L to 50L))
+  }
+
+  test("select refuses to drop group keys (dataframe.nim:1403-1443)") {
+    val df = toDf(spark)("g" -> Seq("a"), "v" -> Seq(1)).groupBy("g")
+    intercept[IllegalArgumentException] { df.select("v") }
+  }
+}
