@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.VectorFunctions
+
+/** DuckDB oracle SQL for the LSH pipelines, generated from the SAME
+  * constants the Spark plans embed (Dedup.perm, VectorFunctions
+  * .hashPlanes), so the oracle replays every hash, bucket, and cosine
+  * bit-exactly. This is what makes the MinHash/SimHash/embedding queries
+  * hash-checkable instead of rows-only: the engine-specific xxhash64 of
+  * the earlier design had no DuckDB counterpart; md5-derived hash48 does
+  * (`('0x' || substring(md5(x),1,12))::BIGINT`).
+  */
+object OracleSql {
+
+  private val P = Dedup.P
+
+  /** DuckDB spelling of TextFunctions.hash48. */
+  private def h48(e: String): String =
+    s"('0x' || substring(md5($e), 1, 12))::BIGINT"
+
+  /** Exact double literal that DuckDB parses back to the same IEEE value
+    * (Java shortest round-trip repr). */
+  private def dlit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains(".")) s else s + ".0"
+  }
+
+  private def dot(a: String, b: String): String = s"list_dot_product($a, $b)"
+
+  private def planeList(p: Array[Double]): String =
+    p.map(dlit).mkString("[", ", ", "]")
+
+  /** DuckDB expression for VectorFunctions.hyperplaneBucket over `v`. */
+  private def bucketExpr(v: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dot(v, planeList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def cosExpr(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** Replays Dedup.minhashCandidates (k=32, shingle 3, 8 bands of 4,
+    * bucketCap 64) + the query's minEstJaccard filter. */
+  def minhashPairs(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                   bucketCap: Int = 64, minEstJaccard: Double = 0.3): String = {
+    val rows = k / bands
+    val sigElems = (0 until k).map { j =>
+      val (a, b) = Dedup.perm(j)
+      s"list_min(list_transform(h, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $P))"
+    }.mkString(",\n      ")
+    val s = shingleSize
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) < $s THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(range(0, len(w) - ${s - 1}),
+       |                i -> array_to_string(w[i+1:i+$s], ' ')) END AS shingles
+       |  FROM docs),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, sg -> ${h48("sg")} % $P) AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, [
+       |      $sigElems
+       |    ] AS sig
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    ${h48(s"array_to_string(sig[b*$rows+1 : b*$rows+$rows], '_')")} AS bhash
+       |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(b)),
+       |ok AS (
+       |  SELECT band, bhash FROM banded GROUP BY band, bhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    len(list_filter(range(1, ${k + 1}), i -> x.sig[i] = y.sig[i])) / ${k}.0 AS est_jaccard
+       |  FROM banded x
+       |  JOIN banded y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.band = x.band AND ok.bhash = x.bhash)
+       |SELECT id_a, id_b, est_jaccard FROM pairs
+       |WHERE est_jaccard >= $minEstJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replays Dedup.simhashCandidates (48-bit simhash, 4 chunks of 12
+    * bits, bucketCap 256) + the query's maxHamming filter. */
+  def simhashPairs(maxHamming: Int = 8, bucketCap: Int = 256): String = {
+    val bits = Dedup.SimhashBits
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(trim(text), '\\s+'),
+       |      tk -> ${h48("tk")}) AS h
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, $bits), b ->
+       |      CASE WHEN len(list_filter(h, x -> ((x >> b) & 1) = 1)) * 2 > len(h)
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS sh
+       |  FROM th),
+       |banded AS (
+       |  SELECT doc_id, sh, c AS chunk, (sh >> (c * 12)) & 4095 AS cval
+       |  FROM sh, unnest([0,1,2,3]) AS t(c)),
+       |ok AS (
+       |  SELECT chunk, cval FROM banded GROUP BY chunk, cval
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       |  FROM banded x
+       |  JOIN banded y ON x.chunk = y.chunk AND x.cval = y.cval AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.chunk = x.chunk AND ok.cval = x.cval)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replays Dedup.embeddingCandidates (hyperplane buckets from the same
+    * md5-derived planes, in-bucket cosine). */
+  def embedDedup(dim: Int = 64, numPlanes: Int = 6, minCosine: Double = 0.2,
+                 bucketCap: Int = 1024): String = {
+    val planes = VectorFunctions.hashPlanes(numPlanes, dim)
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings),
+       |ok AS (
+       |  SELECT bucket FROM b GROUP BY bucket
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosExpr("x.v", "y.v")} AS cos
+       |  FROM b x
+       |  JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  JOIN ok ON ok.bucket = x.bucket)
+       |WHERE cos >= $minCosine
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replays Similarity.lshTopK (8 planes, single-bit multi-probe,
+    * top-10 per query over vec_id < 4). */
+  def annLsh(dim: Int = 64, numPlanes: Int = 8, k: Int = 10): String = {
+    val planes = VectorFunctions.hashPlanes(numPlanes, dim)
+    val probes = ("qbucket" +: (0 until numPlanes).map(i => s"xor(qbucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS cv,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS qbucket
+       |  FROM embeddings WHERE vec_id < 4),
+       |probes AS (
+       |  SELECT query_id, qv, p AS bucket
+       |  FROM q, unnest($probes) AS t(p)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id, ${cosExpr("c.cv", "p.qv")} AS cos
+       |  FROM c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -299,8 +299,9 @@ object Queries {
 
   /** Training-data pipeline operators over documents/embeddings/events
     * (dedup, similarity search, text analysis, multimodal, streaming-batch
-    * parity). Engine-specific hash functions (xxhash64) make the LSH
-    * queries rows-only checks; everything else has an exact oracle. */
+    * parity). All hashes are md5-derived (TextFunctions.hash48 /
+    * VectorFunctions.hashPlanes), so even the LSH pipelines replay
+    * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
     import graft.operators.{Dedup, Multimodal, Similarity}
@@ -357,22 +358,22 @@ object Queries {
             "text", "doc_id", minJaccard = 0.3))
           .arrange("id_a", "id_b").df),
 
-      // MinHash-LSH near-dup candidates (rows-only: engine-specific hash)
+      // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
       "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Dedup.minhashCandidates(Tables.df(s, dir, "documents"),
             "text", "doc_id", minEstJaccard = 0.3))
           .arrange("id_a", "id_b").df),
 
-      // SimHash near-dup candidates (rows-only: engine-specific hash)
+      // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Dedup.simhashCandidates(Tables.df(s, dir, "documents"),
             "text", "doc_id", maxHamming = 8))
           .arrange("id_a", "id_b").df),
 
-      // embedding near-dup pairs via hyperplane LSH (rows-only: float sums
-      // inside cosine are order-stable but LSH planes are JVM-generated)
+      // embedding near-dup pairs via hyperplane LSH (exact oracle:
+      // md5-derived planes replayed as literal constants in the SQL)
       "q_embed_dedup" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Dedup.embeddingCandidates(Tables.df(s, dir, "embeddings"),
@@ -393,7 +394,7 @@ object Queries {
           .arrange("rank").df
       }),
 
-      // LSH-bucketed ANN (the scale path; rows-only)
+      // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
       "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
         graft.api.DataTable(
@@ -432,6 +433,12 @@ object Queries {
   }
 
   private val pipelineOracles: Map[String, String] = Map(
+
+    // generated from the same constants the Spark plans embed — OracleSql
+    "q_minhash_pairs" -> OracleSql.minhashPairs(),
+    "q_simhash_pairs" -> OracleSql.simhashPairs(),
+    "q_embed_dedup" -> OracleSql.embedDedup(),
+    "q_ann_lsh" -> OracleSql.annLsh(),
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -166,7 +166,7 @@ object Dedup {
         |       m1.sh as sh_a, m2.sh as sh_b), null)), p -> p is not null)))"""
         .stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).as("hamming"))
+        bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
