@@ -416,18 +416,13 @@ object Queries {
               col("mean_byte")))
           .arrange("doc_id").df),
 
-      // hourly windowed aggregate over events (batch form of the
-      // streaming surface; exact oracle via cent-scaled sums)
+      // hourly windowed aggregate over events: the SAME transform the
+      // streaming surface runs (graft.streaming.Streaming.hourlyRollup —
+      // withWatermark is a no-op in batch, so batch/stream parity holds
+      // by construction; exact oracle via cent-scaled sums)
       "q_events_hourly" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
-          Tables.events(s, dir)
-            .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-            .agg(
-              count(lit(1)).as("n"),
-              (sum(round(col("value") * lit(100.0), 0).cast("long")) / lit(100.0)).as("sum_v"))
-            .select(
-              date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
-              col("event_type"), col("n"), col("sum_v")))
+          graft.streaming.Streaming.hourlyRollup(Tables.events(s, dir)))
           .arrange("hour", "event_type").df)
     )
   }

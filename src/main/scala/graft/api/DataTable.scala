@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions.{Expression, SpecifiedWindowFrame, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.expressions.Window
@@ -124,6 +124,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     withDf(df.select(keyCols ++ pairs.map { case (n, c) => windowize(c).as(n) }: _*))
   }
 
+  /** mutate with reference-style auto-generated lisp names
+    * (`formulaNameMacro.nim:92-95`): `mutateAuto(-lit(1.0) * col("hwy"))`
+    * adds a column named `"(* -1.0 hwy)"`. */
+  def mutateAuto(cs: Column*): DataTable =
+    mutate(cs.map(c => FormulaName.lispName(c) -> c): _*)
+
+  /** transmute with auto-generated lisp names. */
+  def transmuteAuto(cs: Column*): DataTable =
+    transmute(cs.map(c => FormulaName.lispName(c) -> c): _*)
+
   /** Masked update: `df[cond, key] = value` (`dataframe.nim:344-370`). */
   def maskedUpdate(cond: Column, key: String, value: Column): DataTable =
     withDf(df.withColumn(key, when(cond, value).otherwise(col(key))))
@@ -185,6 +195,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
   def tailBy(n: Int, order: Column*): DataTable =
     withDf(df.orderBy(order.map(_.desc): _*).limit(n))
 
+  /** Row slice `df[a..b]` (inclusive, 0-based) under an explicit order
+    * (`dataframe.nim:153-262`; physical row order doesn't exist
+    * distributed). Plans as global sort + offset + limit. Test-kit grade. */
+  def slice(start: Int, end: Int, order: Seq[Column]): DataTable =
+    withDf(df.orderBy(order: _*).offset(start).limit(end - start + 1))
+
+  /** Single row `df[i]` under an explicit order (test kit). */
+  def rowAt(i: Int, order: Seq[Column]): Row =
+    slice(i, i, order).df.head()
+
   // ---------------------------------------------------------------- groups
 
   /** Lazy grouping: records key names only, like the reference's `groupMap`
@@ -214,6 +234,39 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     DataTable(
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(name))
         .orderBy(cols.map(col): _*))
+
+  /** Distributed analogue of the reference's `groups` iterator
+    * (`dataframe.nim:1178-1240`): apply `f(keyRow, rowsOfGroup)` to every
+    * group, producing rows of `outSchema`. One shuffle on the group keys;
+    * each group's iterator is processed entirely on one executor — custom
+    * per-group logic without any driver involvement (the reference instead
+    * sorts the whole frame and walks runs single-threaded). */
+  def mapGroupsRows(outSchema: StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): DataTable = {
+    require(groupKeys.nonEmpty, "mapGroupsRows requires a grouped table")
+    val keys = groupKeys
+    val keySchema = StructType(keys.map(k => df.schema(k)))
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(outSchema)
+    DataTable(df.groupByKey(r => Row.fromSeq(keys.map(k => r.getAs[Any](k))))(keyEnc)
+      .flatMapGroups((k: Row, it: Iterator[Row]) => f(k, it))(outEnc).toDF())
+  }
+
+  /** Driver-side `groups` iterator for the test kit: (keyValues, subTable)
+    * per group, ascending key order like the reference (which sorts by
+    * keys and yields runs, `dataframe.nim:1208-1240`). Collects only the
+    * DISTINCT KEYS to the driver, not the data — but still one filter per
+    * group: small-cardinality use only. */
+  def groupsLocal: Seq[(Seq[(String, Any)], DataTable)] = {
+    require(groupKeys.nonEmpty, "groupsLocal requires a grouped table")
+    val keyRows = df.select(groupKeys.map(col): _*)
+      .distinct().orderBy(groupKeys.map(col): _*).collect()
+    keyRows.toSeq.map { kr =>
+      val kvs = groupKeys.zipWithIndex.map { case (k, i) => k -> kr.get(i) }
+      val cond = kvs.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
+      kvs -> DataTable(df.filter(cond))
+    }
+  }
 
   // ---------------------------------------------------------------- joins
 
@@ -382,6 +435,48 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
       other.df.select(df.columns.map(col): _*).exceptAll(df).isEmpty
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** Aligned console rendering with the reference's dtype row
+    * (`pretty`, `dataframe.nim:823-874`): shape header, column names,
+    * dtype line, first `n` rows. Driver-side collect of `n` rows only. */
+  def pretty(n: Int = 20, precision: Int = 4): String = {
+    val total = df.count()
+    val rows = df.limit(n).collect()
+    def fmt(v: Any): String = v match {
+      case null => "null"
+      case d: Double => s"%.${precision}g".format(d)
+      case f: Float => s"%.${precision}g".format(f.toDouble)
+      case x => x.toString
+    }
+    def dtypeName(t: DataType): String = t match {
+      case LongType | IntegerType | ShortType | ByteType => "int"
+      case DoubleType | FloatType => "float"
+      case StringType => "string"
+      case BooleanType => "bool"
+      case other => other.simpleString
+    }
+    val names = df.columns.toSeq
+    val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
+    val cells: Seq[Seq[String]] = rows.toSeq.map(r => names.indices.map(i => fmt(r.get(i))))
+    val widths = names.indices.map { i =>
+      (Seq(names(i).length, dtypes(i).length) ++ cells.map(_(i).length)).max + 2
+    }
+    val idxW = math.max(5, n.toString.length + 2)
+    val sb = new StringBuilder
+    sb ++= s"DataTable with ${names.length} columns and $total rows:\n"
+    sb ++= "Idx".reverse.padTo(idxW, ' ').reverse
+    names.indices.foreach(i => sb ++= names(i).reverse.padTo(widths(i), ' ').reverse)
+    sb += '\n'
+    sb ++= "dtype:".reverse.padTo(idxW, ' ').reverse
+    names.indices.foreach(i => sb ++= dtypes(i).reverse.padTo(widths(i), ' ').reverse)
+    sb += '\n'
+    cells.zipWithIndex.foreach { case (row, ri) =>
+      sb ++= ri.toString.reverse.padTo(idxW, ' ').reverse
+      names.indices.foreach(i => sb ++= row(i).reverse.padTo(widths(i), ' ').reverse)
+      sb += '\n'
+    }
+    sb.result()
+  }
 }
 
 object DataTable {

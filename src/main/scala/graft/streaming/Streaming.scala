@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the `events` table — beyond-reference
+  * (the reference has no streaming at all, SURVEY.md §2.10).
+  *
+  * The transforms are written once and used by BOTH the batch queries
+  * (`q_events_hourly`) and streaming jobs: `withWatermark` is a no-op in
+  * batch execution, so batch/stream parity holds by construction. On a
+  * stream the watermark bounds state: hourly windows older than the
+  * watermark are finalized and evicted — the shape that runs indefinitely
+  * on an unbounded 100 TB/day event feed.
+  */
+object Streaming {
+
+  /** Hourly tumbling-window rollup per event type: count + exact money sum
+    * (cent-scaled, order-insensitive — the oracle-parity trick from
+    * Queries). Input needs `ts_utc: timestamp`, `event_type`, `value`. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * lit(100.0), 0).cast("long")) / lit(100.0)).as("sum_v"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding-window event rate (5-minute hops over 1-hour windows) —
+    * the monitoring-style companion to [[hourlyRollup]]. */
+  def slidingRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), "1 hour", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+
+  /** Per-user session state via flatMapGroupsWithState is the next step on
+    * this surface; the windowed aggregations above cover the reference
+    * gate (`events` table) and the batch-parity tests. */
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+/** Structured Streaming smoke test: the hourly rollup must produce the
+  * same result through the streaming engine (file source -> watermark ->
+  * windowed agg -> memory sink) as through batch execution of the SAME
+  * transform (SURVEY §2.10).
+  */
+class StreamingSuite extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withTsUtc(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+
+  test("streaming hourly rollup matches batch (watermark + window + memory sink)") {
+    // stage the events file into a stream-source directory
+    val inDir = Paths.get("/tmp/graft_stream_events")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = withTsUtc(
+      spark.readStream.schema(schema).parquet(inDir.toString))
+    val query = Streaming.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("graft_hourly")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("graft_hourly")
+      .orderBy("hour", "event_type").collect().toSeq
+    val want = Streaming.hourlyRollup(
+      withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("sliding-window rate runs on a stream and matches batch") {
+    val inDir = "/tmp/graft_stream_events"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = withTsUtc(spark.readStream.schema(schema).parquet(inDir))
+    val query = Streaming.slidingRate(stream)
+      .writeStream.format("memory").queryName("graft_sliding")
+      .outputMode("complete").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_sliding")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val want = Streaming.slidingRate(
+      withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
+      .orderBy("win_start", "event_type").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+}
