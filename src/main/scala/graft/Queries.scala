@@ -292,7 +292,18 @@ object Queries {
     // deterministic shuffle + sample (dataframe.nim:2497-2521) — rows-only
     // check: RNG differs across engines by design.
     "q_sample" -> ((s: SparkSession, dir: String) =>
-      orders(s, dir).randomHead(100, seed = 42).select("o_orderkey").df)
+      orders(s, dir).randomHead(100, seed = 42).select("o_orderkey").df),
+
+    // custom Aggregator/udaf reduction (the reference's formula: block
+    // with `var res; res *= x`, testsFormula.nim:466-476): integer product
+    // per group — exact in any partition order
+    "q_custom_agg" -> ((s: SparkSession, dir: String) =>
+      lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .summarize("prod_ln" ->
+          graft.functions.Accumulators.productLong(col("l_linenumber").cast("long"))
+            .cast("double"))
+        .df)
   )
 
   lazy val oracles: Map[String, String] = coreOracles ++ relationalOracles ++ pipelineOracles
@@ -315,26 +326,36 @@ object Queries {
             bpeTokenCount(col("text")).cast("long").as("n_bpe"))
           .arrange("doc_id").df),
 
-      // quality scoring: length/stopword/punctuation stats
+      // quality scoring: length/stopword/punctuation stats; ratios are
+      // computed once and the composite score reads the aliased columns
       "q_quality" -> ((s: SparkSession, dir: String) =>
         Tables(s, dir, "documents")
           .selectCols(col("doc_id"),
             length(col("text")).cast("long").as("n_chars_m"),
             meanTokenLen(col("text")).as("mean_tok_len"),
             stopwordRatio(col("text"), StopwordsEn).as("stop_ratio"),
-            punctRatio(col("text")).as("punct_ratio"),
-            qualityScore(col("text"), StopwordsEn).as("quality"))
+            punctRatio(col("text")).as("punct_ratio"))
+          .selectCols(col("doc_id"), col("n_chars_m"), col("mean_tok_len"),
+            col("stop_ratio"), col("punct_ratio"),
+            qualityFromParts(col("stop_ratio"), col("mean_tok_len"), col("punct_ratio"))
+              .as("quality"))
           .arrange("doc_id").df),
 
-      // language-ID heuristic by stopword hits, fixed tie order
+      // language-ID heuristic by stopword hits, fixed tie order. Counts
+      // are computed ONCE in their own projection, and the guess reads
+      // the aliased columns — CollapseProject keeps non-cheap expressions
+      // referenced multiple times in a separate stage, so the token array
+      // is scanned 4x per row, not ~16x.
       "q_lang_id" -> ((s: SparkSession, dir: String) =>
         Tables(s, dir, "documents")
           .selectCols(col("doc_id"),
             stopwordCount(col("text"), StopwordsEn).cast("long").as("s_en"),
             stopwordCount(col("text"), StopwordsDe).cast("long").as("s_de"),
             stopwordCount(col("text"), StopwordsEs).cast("long").as("s_es"),
-            stopwordCount(col("text"), StopwordsFr).cast("long").as("s_fr"),
-            langGuess(col("text")).as("lang_guess"))
+            stopwordCount(col("text"), StopwordsFr).cast("long").as("s_fr"))
+          .selectCols(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+            langGuessFromCounts(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+              .as("lang_guess"))
           .arrange("doc_id").df),
 
       // document fingerprinting (md5 of normalized text)
@@ -701,6 +722,10 @@ object Queries {
       """SELECT * FROM (
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  ORDER BY o_orderkey DESC LIMIT 10)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_custom_agg" ->
+      """SELECT l_orderkey, product(l_linenumber) AS prod_ln
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

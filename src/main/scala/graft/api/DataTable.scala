@@ -154,6 +154,15 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     }
   }
 
+  /** Filter to explicit row indices under an explicit order
+    * (`filterToIdx`, `dataframe.nim:1299-1319`; test-kit grade — the
+    * global ordering window funnels through one partition). */
+  def filterToIdx(idxs: Seq[Int], order: Seq[Column]): DataTable = {
+    val w = Window.orderBy(order: _*)
+    withDf(df.withColumn(RowNumCol, row_number().over(w) - 1)
+      .filter(col(RowNumCol).isin(idxs: _*)).drop(RowNumCol))
+  }
+
   /** Drop rows with SQL nulls in `cols` (all columns if empty)
     * (`drop_null`, `dataframe.nim:2424-2465`). */
   def dropNull(cols: String*): DataTable =
@@ -324,6 +333,29 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     DataTable(df.unionByName(other.df))
   }
 
+  /** Append a single row (`add`, `dataframe.nim:762-821` — documented as
+    * O(n) there and equally discouraged here: each call unions a one-row
+    * relation; batch construction belongs in toDf / a source). Values are
+    * coerced to the existing column types, positionally. */
+  def addRow(values: Any*): DataTable = {
+    require(values.length == df.columns.length,
+      s"addRow: ${values.length} values for ${df.columns.length} columns")
+    val coerced = values.zip(df.schema.fields).map { case (v, f) =>
+      (v, f.dataType) match {
+        case (null, _) => null
+        case (x: Int, LongType) => x.toLong
+        case (x: Int, DoubleType) => x.toDouble
+        case (x: Long, DoubleType) => x.toDouble
+        case (x: Float, DoubleType) => x.toDouble
+        case (x, StringType) if x != null => x.toString
+        case (x, _) => x
+      }
+    }
+    val one = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(coerced)), df.schema)
+    DataTable(df.unionByName(one))
+  }
+
   /** Row-wise set difference; `symmetric=true` gives the symmetric
     * difference (`setDiff`, `dataframe.nim:2140-2195`). Exact SQL equality
     * (the reference's float-epsilon equality is confined to the test
@@ -435,6 +467,33 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
       other.df.select(df.columns.map(col): _*).exceptAll(df).isEmpty
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** HTML table rendering (`toHtml`, `io.nim:866-939`): driver-side over
+    * the first `n` rows. */
+  def toHtml(n: Int = 100): String = {
+    val names = df.columns.toSeq
+    val rows = df.limit(n).collect()
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def cell(v: Any): String = if (v == null) "" else esc(v.toString)
+    val head = names.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map(r =>
+      names.indices.map(i => s"<td>${cell(r.get(i))}</td>")
+        .mkString("<tr>", "", "</tr>")).mkString("\n")
+    s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody>\n</table>"
+  }
+
+  /** Org-mode table rendering (`toOrgTable`, `io.nim:920-939`). */
+  def toOrgTable(n: Int = 100): String = {
+    val names = df.columns.toSeq
+    val rows = df.limit(n).collect()
+    def cell(v: Any): String = if (v == null) "" else v.toString
+    val header = names.mkString("| ", " | ", " |")
+    val sep = names.map(_ => "---").mkString("|", "+", "|")
+    val body = rows.map(r =>
+      names.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |")).mkString("\n")
+    s"$header\n$sep\n$body"
+  }
 
   /** Aligned console rendering with the reference's dtype row
     * (`pretty`, `dataframe.nim:823-874`): shape header, column names,

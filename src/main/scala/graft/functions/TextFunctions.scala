@@ -80,13 +80,20 @@ object TextFunctions {
     (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") /
       length(c).cast("double")
 
-  /** Composite quality score in [0,1]-ish: rewards stopword presence and
-    * moderate token length, penalizes punctuation soup. The exact weights
-    * are pipeline policy, not truth — keep them simple and documented. */
+  /** Composite quality score in [0,1]-ish from PRE-COMPUTED ratio columns
+    * (same no-recompute rule as [[langGuessFromCounts]]): rewards stopword
+    * presence and moderate token length, penalizes punctuation soup. The
+    * exact weights are pipeline policy, not truth — keep them simple and
+    * documented. */
+  def qualityFromParts(stopRatio: Column, meanTokLen: Column, pRatio: Column): Column =
+    stopRatio * lit(0.5) +
+      when(meanTokLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(pRatio < 0.1, lit(0.2)).otherwise(lit(0.0))
+
+  /** Convenience form over raw text — prefer [[qualityFromParts]] with
+    * aliased ratio columns in hot paths (see q_quality). */
   def qualityScore(c: Column, stopwords: Seq[String]): Column =
-    stopwordRatio(c, stopwords) * lit(0.5) +
-      when(meanTokenLen(c).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
-      when(punctRatio(c) < 0.1, lit(0.2)).otherwise(lit(0.0))
+    qualityFromParts(stopwordRatio(c, stopwords), meanTokenLen(c), punctRatio(c))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Public common-word lists, truncated. */
@@ -95,16 +102,21 @@ object TextFunctions {
   val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
   val StopwordsFr = Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "une")
 
-  /** Language guess by stopword-hit counts with a fixed priority order on
-    * ties (en > de > es > fr) — deterministic, cross-engine replicable. */
-  def langGuess(c: Column): Column = {
-    val en = stopwordCount(c, StopwordsEn)
-    val de = stopwordCount(c, StopwordsDe)
-    val es = stopwordCount(c, StopwordsEs)
-    val fr = stopwordCount(c, StopwordsFr)
+  /** Language guess from PRE-COMPUTED stopword-hit counts, fixed priority
+    * order on ties (en > de > es > fr) — deterministic, cross-engine
+    * replicable. Take count COLUMNS, not text: the when-chain references
+    * each count several times, and interpreted expressions get no CSE —
+    * inlining the counts would re-scan the token array ~16x per row. */
+  def langGuessFromCounts(en: Column, de: Column, es: Column, fr: Column): Column =
     when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))
       .when(es >= fr, lit("es"))
       .otherwise(lit("fr"))
-  }
+
+  /** Convenience form over raw text — prefer [[langGuessFromCounts]] with
+    * aliased count columns in hot paths (see q_lang_id). */
+  def langGuess(c: Column): Column =
+    langGuessFromCounts(
+      stopwordCount(c, StopwordsEn), stopwordCount(c, StopwordsDe),
+      stopwordCount(c, StopwordsEs), stopwordCount(c, StopwordsFr))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.toDf
+import graft.functions.Accumulators
+
+/** Custom Aggregator/udaf surface mirroring the reference's accumulator
+  * formula tests (`testsFormula.nim:451-496`), plus the new small verbs
+  * (addRow, filterToIdx, toHtml/toOrgTable).
+  */
+class AccumulatorSuite extends SparkSpec {
+
+  test("custom reduction += (testsFormula.nim:452-464 'Bsum')") {
+    val df = toDf(spark)("B" -> Seq(1, 2))
+    val r = df.summarize("Bsum" -> Accumulators.foldLong(0L)(_ + _)(col("B")))
+    assert(colLongs(r, "Bsum") == Seq(3L))
+  }
+
+  test("custom reduction *= (testsFormula.nim:466-476 'Bprod')") {
+    val df = toDf(spark)("B" -> Seq(1, 2))
+    val r = df.summarize("Bprod" -> Accumulators.productLong(col("B")))
+    assert(colLongs(r, "Bprod") == Seq(2L))
+  }
+
+  test("custom reduction distributes over groups (formula: block per subgroup)") {
+    val df = toDf(spark)("g" -> Seq("a", "a", "b", "b", "b"), "x" -> Seq(2, 3, 1, 2, 4))
+    val r = df.groupBy("g").summarize("prod" -> Accumulators.productLong(col("x")))
+    assert(colStrings(r, "g") == Seq("a", "b"))
+    assert(colLongs(r, "prod") == Seq(6L, 8L))
+  }
+
+  test("weighted mean with 2-field buffer (Aggregator[IN,BUF,OUT])") {
+    val df = toDf(spark)("v" -> Seq(1.0, 3.0), "w" -> Seq(1.0, 3.0))
+    val r = df.summarize("wm" -> Accumulators.weightedMean(col("v"), col("w")))
+    assertAllClose(colDoubles(r, "wm"), Seq(2.5))
+  }
+
+  test("addRow appends coerced row (dataframe.nim:762-821)") {
+    val df = toDf(spark)("x" -> Seq(1, 2), "s" -> Seq("a", "b"))
+    val r = df.addRow(3, "c").arrange("x")
+    assert(colLongs(r, "x") == Seq(1L, 2L, 3L))
+    assert(colStrings(r, "s") == Seq("a", "b", "c"))
+  }
+
+  test("filterToIdx selects rows by position under order (dataframe.nim:1299-1319)") {
+    val df = toDf(spark)("x" -> Seq(30, 10, 50, 20, 40))
+    val r = df.filterToIdx(Seq(0, 2, 4), Seq(col("x")))
+    assert(colLongs(r.arrange("x"), "x") == Seq(10L, 30L, 50L))
+  }
+
+  test("toHtml/toOrgTable render header and rows (io.nim:866-939)") {
+    val df = toDf(spark)("x" -> Seq(1), "s" -> Seq("a<b"))
+    val html = df.toHtml()
+    assert(html.contains("<th>x</th>") && html.contains("<td>a&lt;b</td>"))
+    val org = df.toOrgTable()
+    assert(org.linesIterator.next() == "| x | s |")
+    assert(org.contains("| 1 | a<b |"))
+  }
+}
