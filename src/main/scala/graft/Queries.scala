@@ -294,6 +294,90 @@ object Queries {
     "q_sample" -> ((s: SparkSession, dir: String) =>
       orders(s, dir).randomHead(100, seed = 42).select("o_orderkey").df),
 
+    // lead over explicit order (column.nim:1177-1213; the lag twin)
+    "q_lead" -> ((s: SparkSession, dir: String) =>
+      Tables(s, dir, "events")
+        .withLead("next_value", col("value"), 1,
+          order = Seq(col("ts"), col("event_id")), partitionBy = Seq("user_id"))
+        .select("event_id", "user_id", "value", "next_value")
+        .arrange("event_id").df),
+
+    // dropNaN on a derived NaN column (dataframe.nim:2467-2493)
+    "q_dropnan" -> ((s: SparkSession, dir: String) =>
+      lineitem(s, dir)
+        .mutate("maybe_nan" ->
+          when(col("l_discount") === 0.0, lit(Double.NaN)).otherwise(col("l_discount")))
+        .dropNaN("maybe_nan")
+        .select("l_orderkey", "l_linenumber", "maybe_nan")
+        .arrange("l_orderkey", "l_linenumber", "maybe_nan").df),
+
+    // relocate: column reordering (dataframe.nim:1476-1527)
+    "q_relocate" -> ((s: SparkSession, dir: String) =>
+      part(s, dir)
+        .select("p_partkey", "p_name", "p_retailprice", "p_brand")
+        .relocateAfter("p_retailprice", "p_partkey")
+        .relocateBefore("p_brand", "p_name")
+        .arrange("p_partkey").df),
+
+    // symmetric set difference (dataframe.nim:2140-2195)
+    "q_setdiff_sym" -> ((s: SparkSession, dir: String) => {
+      val base = orders(s, dir).select("o_orderkey", "o_totalprice")
+      val a = base.filter(col("o_totalprice") > 50000)
+      val b = base.filter(col("o_orderstatus") === "F")
+      a.setDiff(b, symmetric = true).arrange("o_orderkey").df
+    }),
+
+    // ccLeft join merge mode: keep left's collided columns (dataframe.nim:1857-1883)
+    "q_join_ccleft" -> ((s: SparkSession, dir: String) => {
+      val l = orders(s, dir).select("o_orderkey", "o_totalprice")
+      val r = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+      l.innerJoin(r, by = Seq("o_orderkey"), merge = CcLeft)
+        .arrange("o_orderkey").df
+    }),
+
+    // row slice df[a..b] under explicit order (dataframe.nim:153-262)
+    "q_slice" -> ((s: SparkSession, dir: String) =>
+      orders(s, dir)
+        .slice(100, 199, Seq(col("o_orderkey")))
+        .select("o_orderkey", "o_totalprice")
+        .arrange("o_orderkey").df),
+
+    // distributed per-group custom logic (groups iterator analogue,
+    // dataframe.nim:1178-1240): quantity span per order via mapGroupsRows
+    "q_group_span" -> ((s: SparkSession, dir: String) =>
+      lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .mapGroupsRows(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qty_span",
+            org.apache.spark.sql.types.DoubleType)))) { (key, rows) =>
+          var mn = Double.MaxValue
+          var mx = Double.MinValue
+          rows.foreach { r =>
+            val q = r.getAs[Double]("l_quantity")
+            if (q < mn) mn = q
+            if (q > mx) mx = q
+          }
+          Iterator(org.apache.spark.sql.Row(key.getLong(0), mx - mn))
+        }
+        .arrange("l_orderkey").df),
+
+    // dimension chain join: region -> nation -> supplier, broadcast both
+    // small sides (TPC-H Q5 shape over the unused dimension tables)
+    "q_region_suppliers" -> ((s: SparkSession, dir: String) =>
+      supplier(s, dir)
+        .rename("n_nationkey" -> "s_nationkey")
+        .innerJoin(nation(s, dir), by = Seq("n_nationkey"), broadcastRight = true)
+        .rename("r_regionkey" -> "n_regionkey")
+        .innerJoin(region(s, dir), by = Seq("r_regionkey"), broadcastRight = true)
+        .groupBy("r_name")
+        .summarize(
+          "n_suppliers" -> count(lit(1)),
+          "acct_total" -> moneySum(col("s_acctbal")))
+        .df),
+
     // custom Aggregator/udaf reduction (the reference's formula: block
     // with `var res; res *= x`, testsFormula.nim:466-476): integer product
     // per group — exact in any partition order
@@ -726,6 +810,53 @@ object Queries {
 
     "q_custom_agg" ->
       """SELECT l_orderkey, product(l_linenumber) AS prod_ln
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_lead" ->
+      """SELECT event_id, user_id, value,
+        |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dropnan" ->
+      """SELECT l_orderkey, l_linenumber, l_discount AS maybe_nan
+        |FROM lineitem WHERE l_discount <> 0.0
+        |ORDER BY l_orderkey, l_linenumber, maybe_nan""".stripMargin,
+
+    "q_relocate" ->
+      """SELECT p_partkey, p_retailprice, p_brand, p_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_setdiff_sym" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 50000),
+        |b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F')
+        |SELECT * FROM (
+        |  (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |  UNION ALL
+        |  (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_ccleft" ->
+      """SELECT a.o_orderkey, a.o_totalprice
+        |FROM orders a
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') b
+        |  USING (o_orderkey)
+        |ORDER BY a.o_orderkey""".stripMargin,
+
+    "q_slice" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin,
+
+    "q_group_span" ->
+      """SELECT l_orderkey, MAX(l_quantity) - MIN(l_quantity) AS qty_span
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_region_suppliers" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_suppliers,
+        |  SUM(CAST(ROUND(s_acctbal * 100.0, 0) AS BIGINT)) / 100.0 AS acct_total
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
   )
 }
