@@ -364,6 +364,38 @@ object Queries {
         }
         .arrange("l_orderkey").df),
 
+    // gap-based sessionization (30-minute gap) — the batch twin of the
+    // streaming session_window; integer arithmetic in MICROS (DuckDB's
+    // native timestamp resolution — nanos would truncate on the oracle
+    // side), exact oracle
+    "q_sessionize" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.operators.Sessionize.sessionStats(
+          Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us",
+          gapTicks = 30L * 60 * 1000000L, tieBreak = col("event_id"),
+          ticksPerSecond = 1e6))
+        .arrange("user_id", "session_id").df),
+
+    // skew-safe salted join: result must be IDENTICAL to the plain join
+    // (the salt only reshapes the shuffle), so it shares q_inner_join's
+    // oracle shape
+    "q_join_salted" -> ((s: SparkSession, dir: String) =>
+      orders(s, dir)
+        .innerJoinSalted(
+          customer(s, dir).rename("o_custkey" -> "c_custkey"),
+          by = Seq("o_custkey"), saltBuckets = 8)
+        .selectCols(col("o_orderkey"), col("o_totalprice"),
+          col("c_name"), col("c_mktsegment"))
+        .arrange("o_orderkey").df),
+
+    // JSON property extraction from the events props column
+    "q_props_extract" -> ((s: SparkSession, dir: String) =>
+      Tables(s, dir, "events")
+        .selectCols(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .arrange("event_id").df),
+
     // dimension chain join: region -> nation -> supplier, broadcast both
     // small sides (TPC-H Q5 shape over the unused dimension tables)
     "q_region_suppliers" -> ((s: SparkSession, dir: String) =>
@@ -857,6 +889,33 @@ object Queries {
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, tus, event_id,
+        |    (SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT - 1 AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  (MAX(tus) - MIN(tus)) / 1e6 AS span_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_props_extract" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

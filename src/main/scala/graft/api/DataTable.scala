@@ -310,6 +310,24 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     DataTable(l.join(rr, by, how))
   }
 
+  /** Skew-safe inner join: the left side is salted into `saltBuckets`
+    * sub-keys (deterministic hash of the whole left row), the right side
+    * is replicated across all salt values, and the join runs on
+    * (keys, salt) — a hot key's rows spread over `saltBuckets` reducers
+    * instead of one. Result is identical to [[innerJoin]] (ccLeft merge);
+    * use when one join key carries a disproportionate share of rows and
+    * AQE's skew handling isn't available/enough. Costs a `saltBuckets`-x
+    * replication of the right side — keep the right side the small one. */
+  def innerJoinSalted(other: DataTable, by: Seq[String],
+                      saltBuckets: Int = 16): DataTable = {
+    val common = df.columns.toSet.intersect(other.df.columns.toSet).diff(by.toSet).toSeq
+    val salt = "__graft_salt"
+    val l = df.withColumn(salt, pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val r = other.df.drop(common: _*)
+      .withColumn(salt, explode(array((0 until saltBuckets).map(lit): _*)))
+    DataTable(l.join(r, by :+ salt, "inner").drop(salt))
+  }
+
   // ------------------------------------------------------------- set ops
 
   /** Vertical concat by column name; missing columns null-filled; optional
