@@ -214,6 +214,27 @@ class CsvSuite extends SparkSpec {
     assert(colSeq(back, "bl") == Seq(true, false, true))
   }
 
+  test("join regression fixtures: common-column modes (testDf.nim:2258-2290)") {
+    val dfChip = DataTable(Csv.readCsv(spark, "/root/reference/data/df_chip_join_regression.csv"))
+    val dfAll = DataTable(Csv.readCsv(spark, "/root/reference/data/df_all_join_regression.csv"))
+    val expEvNum = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 10L, 11L)
+    // ccRename: both Idx columns kept with suffixes
+    val ren = dfChip.innerJoin(dfAll, by = Seq("eventNumber"), merge = graft.api.CcRename)
+      .arrange("eventNumber")
+    assert(!ren.columns.contains("Idx"))
+    assert(ren.columns.contains("Idx_left") && ren.columns.contains("Idx_right"))
+    assert(colLongs(ren, "eventNumber").take(11) == expEvNum)
+    // ccLeft: left's Idx survives unsuffixed
+    val left = dfChip.innerJoin(dfAll, by = Seq("eventNumber"), merge = graft.api.CcLeft)
+      .arrange("eventNumber")
+    assert(left.columns.contains("Idx"))
+    assert(!left.columns.exists(_.startsWith("Idx_")))
+    assert(colLongs(left, "eventNumber").take(11) == expEvNum)
+    // ccDrop: no Idx at all
+    val drop = dfChip.innerJoin(dfAll, by = Seq("eventNumber"), merge = graft.api.CcDrop)
+    assert(!drop.columns.exists(_.contains("Idx")))
+  }
+
   test("mpg end-to-end slice (SURVEY §7.3; testDf.nim:1981 dplyr comparison)") {
     val mpg = DataTable(Csv.readCsv(spark, mpgPath))
     val res = mpg
