@@ -495,6 +495,14 @@ object Queries {
             "text", "doc_id", minJaccard = 0.3))
           .arrange("id_a", "id_b").df),
 
+      // exact char-5-gram Jaccard over a bounded window of docs
+      "q_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.ngramJaccardPairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 40),
+            "text", "doc_id", n = 5, minJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
       // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
       "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -622,6 +630,22 @@ object Queries {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  COUNT(*) AS n_dups
         |FROM documents GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN length(nrm) <= 5 THEN [nrm]
+        |           ELSE list_transform(range(0, length(nrm) - 4),
+        |                  i -> substring(nrm, CAST(i + 1 AS INT), 5)) END) AS gs
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+        |        FROM documents WHERE doc_id < 40))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.gs, b.gs))
+        |      / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_token_jaccard" ->
       """WITH t AS (

@@ -189,6 +189,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact character-n-gram Jaccard for all pairs in scope — the
+    * short-string companion of [[tokenJaccardPairs]] (n-grams of the
+    * normalized text instead of word tokens). Quadratic; callers bound
+    * the input. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      array_distinct(charNgrams(col(textCol), n)).as("gs"))
+    val a = t.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val b = t.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
+          size(array_union(col("gs_a"), col("gs_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------- embedding
 
   /** Embedding near-dup pairs: hyperplane-LSH bucket, in-bucket pairwise

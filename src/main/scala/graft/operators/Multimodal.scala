@@ -54,10 +54,13 @@ object Multimodal {
   def sampleFrames(blobs: Dataset[MediaBlob], stride: Int, everyK: Int): DataFrame = {
     val df = blobs.toDF()
     df.select(col("doc_id"), col("media_type"),
-        posexplode(sequence(lit(0), (length(col("blob")) - 1) / stride)).as(Seq("frame_idx", "offset")))
+        posexplode(sequence(lit(0),
+          // int division: `/` on Columns is fp division, which sequence()
+          // rejects — floor back to int
+          floor((length(col("blob")) - 1) / stride).cast("int"))).as(Seq("frame_idx", "offset")))
       .filter(col("frame_idx") % everyK === 0)
       .select(col("doc_id"), col("media_type"), col("frame_idx"),
-        (col("offset") * stride).as("byte_offset"))
+        (col("offset") * stride).cast("long").as("byte_offset"))
   }
 
   /** Demo pipeline over `documents`: synthesize a binary blob from the

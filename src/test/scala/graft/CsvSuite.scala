@@ -214,6 +214,40 @@ class CsvSuite extends SparkSpec {
     assert(colSeq(back, "bl") == Seq(true, false, true))
   }
 
+  test("semicolon-separated unicode CSV (Studentenstatistik; testDf.nim:831-857 Arrange fixture)") {
+    val df = Csv.readCsv(spark, "/root/reference/data/Studentenstatistik_BB_Datensatz.csv",
+      sep = ";")
+    assert(df.count() > 0)
+    val cats = Seq("Subject_group", "Type_of_university", "Gender")
+    assert(cats.forall(df.columns.contains))
+    // arrange by the three categoricals must equal driver-side tuple sort
+    val sorted = DataTable(df).arrange(cats: _*).df
+      .select(cats.map(col): _*).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(sorted == sorted.sorted)
+  }
+
+  test("unnamed first column + scientific notation (03-sample_hugo.csv; io.nim:143-144)") {
+    val df = Csv.readCsv(spark, "/root/reference/data/03-sample_hugo.csv")
+    assert(df.count() > 0)
+    assert(df.columns.head.startsWith("Unnamed"))
+    // at least one double column parsed from scientific notation
+    assert(df.schema.fields.exists(_.dataType == org.apache.spark.sql.types.DoubleType))
+  }
+
+  test("sparse long-format CSV (fishdata_sparse; gather/spread fixture)") {
+    val df = DataTable(Csv.readCsv(spark, "/root/reference/data/fishdata_sparse.csv"))
+    val nCells = df.df.count()
+    assert(nCells > 0)
+    assert(df.df.schema("fish").dataType == LongType)
+    // spread stations to wide then gather back: non-null cells preserved
+    val wideCols = colStrings(DataTable(df.df.select("station").distinct()), "station")
+    val wide = df.spread("station", "seen", values = wideCols)
+    val long = wide.gather(wideCols, key = "station", value = "seen",
+      dropNulls = true)
+    assert(long.df.count() == nCells)
+  }
+
   test("join regression fixtures: common-column modes (testDf.nim:2258-2290)") {
     val dfChip = DataTable(Csv.readCsv(spark, "/root/reference/data/df_chip_join_regression.csv"))
     val dfAll = DataTable(Csv.readCsv(spark, "/root/reference/data/df_all_join_regression.csv"))

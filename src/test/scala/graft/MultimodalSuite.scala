@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaBlob
+
+/** Multimodal blob plumbing tests: typed Dataset batch boundary, stub
+  * decoder determinism, frame-sampling explode shape. */
+class MultimodalSuite extends SparkSpec {
+
+  private def blobs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      MediaBlob(1L, "image/fake", Array.tabulate(100)(_.toByte)),
+      MediaBlob(2L, "image/fake", Array.tabulate(700)(i => (i % 251).toByte)),
+      MediaBlob(3L, "audio/fake", Array.emptyByteArray)).toDS()
+  }
+
+  test("extractFeatures is deterministic and partition-local") {
+    val f = Multimodal.extractFeatures(blobs).collect().sortBy(_.doc_id)
+    assert(f.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(f(0).n_bytes == 100L)
+    assert(f(0).width == (64 + 100 % 512) && f(0).height == (64 + (100L * 31) % 512).toInt)
+    // mean over first 64 bytes of 0..99 = mean(0..63)
+    assert(almostEqual(f(0).mean_byte, (0 until 64).sum / 64.0))
+    assert(f(2).n_bytes == 0L && f(2).mean_byte == 0.0)
+    // rerun gives identical features (pure function of bytes)
+    val g = Multimodal.extractFeatures(blobs).collect().sortBy(_.doc_id)
+    assert(f.toSeq == g.toSeq)
+  }
+
+  test("sampleFrames explodes one row per kept frame") {
+    val frames = Multimodal.sampleFrames(blobs, stride = 100, everyK = 2)
+    val forDoc2 = frames.filter(col("doc_id") === 2).orderBy("frame_idx").collect()
+    // 700 bytes / stride 100 -> frames 0..6, keep every 2nd -> 0,2,4,6
+    assert(forDoc2.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4, 6))
+    assert(forDoc2.map(_.getAs[Long]("byte_offset")).toSeq == Seq(0L, 200L, 400L, 600L))
+  }
+}

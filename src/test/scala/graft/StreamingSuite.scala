@@ -42,6 +42,40 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("session_window streaming matches batch Sessionize semantics") {
+    import graft.operators.Sessionize
+    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    // built-in session_window (batch mode) vs our lag+sum sessionizer:
+    // same gap, same per-session event counts
+    val viaWindow = Streaming.sessionRollup(events, gap = "30 minutes")
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_total"))
+      .orderBy("user_id").collect().toSeq
+    val viaLag = Sessionize.sessionStats(events, "user_id", "ts_us",
+      gapTicks = 30L * 60 * 1000000L, tieBreak = col("event_id"), ticksPerSecond = 1e6)
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n_events").as("n_total"))
+      .orderBy("user_id").collect().toSeq
+    assert(viaWindow.nonEmpty)
+    assert(viaWindow == viaLag)
+  }
+
+  test("session_window runs through the streaming engine") {
+    val inDir = "/tmp/graft_stream_events"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = withTsUtc(spark.readStream.schema(schema).parquet(inDir))
+    val query = Streaming.sessionRollup(stream)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("complete").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_sessions")
+    assert(got.count() > 0)
+  }
+
   test("sliding-window rate runs on a stream and matches batch") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
