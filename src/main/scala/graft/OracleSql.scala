@@ -138,6 +138,38 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays Similarity.ivfTopK with centroids = embeddings of
+    * vec_id < nCent: relational argmax assignment (ROW_NUMBER over
+    * cosine desc, centroid asc — same tie-break as array_position-of-max),
+    * nprobe=2, top-k per query over vec_id < 4. */
+  def annIvf(nCent: Int = 8, k: Int = 10): String = {
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id < $nCent),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cassign AS (
+       |  SELECT vec_id, v, cid + 1 AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosExpr("v", "cv")} DESC, cid) AS rn
+       |  FROM base CROSS JOIN cent),
+       |c AS (SELECT vec_id, v, cell FROM cassign WHERE rn = 1),
+       |qassign AS (
+       |  SELECT vec_id AS query_id, v AS qv, cid + 1 AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosExpr("v", "cv")} DESC, cid) AS rn
+       |  FROM base CROSS JOIN cent WHERE vec_id < 4),
+       |q AS (SELECT query_id, qv, cell FROM qassign WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id, ${cosExpr("c.v", "q.qv")} AS cos
+       |  FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Replays Similarity.lshTopK (8 planes, single-bit multi-probe,
     * top-10 per query over vec_id < 4). */
   def annLsh(dim: Int = 64, numPlanes: Int = 8, k: Int = 10): String = {

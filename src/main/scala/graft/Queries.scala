@@ -539,6 +539,24 @@ object Queries {
           .arrange("rank").df
       }),
 
+      // IVF-style ANN: centroid cells assigned by pure projection (no
+      // shuffle), nprobe=2. Centroids = first 8 corpus vectors (a
+      // deterministic stand-in for k-means, so the oracle replays the
+      // assignment relationally); exact oracle.
+      "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+        graft.api.DataTable(
+          Similarity.ivfTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 4),
+            centroids = cents,
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
       // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
       "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -579,6 +597,7 @@ object Queries {
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
     "q_embed_dedup" -> OracleSql.embedDedup(),
     "q_ann_lsh" -> OracleSql.annLsh(),
+    "q_ann_ivf" -> OracleSql.annIvf(),
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -87,6 +87,47 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** IVF-style ANN: the corpus is partitioned into cells by nearest
+    * centroid; a query scores only candidates in its 2 closest cells
+    * (nprobe=2). Cell assignment is a PURE PROJECTION — the centroids are
+    * literal arrays, so each row computes its cosines and argmax inline
+    * with no join and no shuffle; at 100 TB the scored set per query
+    * drops to ~corpus × nprobe / nlist.
+    *
+    * `centroids` is a small deterministic vector list — production
+    * builds it with k-means over a sample; tests/oracles use a fixed
+    * slice of the corpus so the assignment replays exactly in SQL. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroids: Seq[Array[Double]],
+              vecCol: String, idCol: String, queryIdCol: String,
+              k: Int): DataFrame = {
+    val n = centroids.length
+    def litVec(a: Array[Double]): Column = array(a.map(lit).toIndexedSeq: _*)
+    def cosArr(v: Column): Column =
+      array(centroids.map(p => cosine(v, litVec(p))): _*)
+    // nearest cell = 1-based argmax of the cosine array (first index wins
+    // ties — both engines' position functions agree)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("__cc", cosArr(col("cv")))
+      .withColumn("cell", array_position(col("__cc"), array_max(col("__cc"))))
+      .drop("__cc")
+    // queries probe their top-2 cells: argmax, then argmax with the first
+    // masked out
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__cc", cosArr(col("qv")))
+      .withColumn("__c1", array_position(col("__cc"), array_max(col("__cc"))))
+      .withColumn("__cc2", expr(
+        s"transform(sequence(1, $n), i -> if(i = __c1, cast(-1e9 as double), __cc[i-1]))"))
+      .withColumn("__c2", array_position(col("__cc2"), array_max(col("__cc2"))))
+      .withColumn("cell", explode(array(col("__c1"), col("__c2"))))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit
     * hyperplane hash; candidates share the bucket (multi-probe: flip up to
     * `probeBits` of the query's bits). Recall is tunable via plane count
