@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface over the `events` table — beyond-reference
   * (the reference has no streaming at all, SURVEY.md §2.10).
@@ -39,6 +40,37 @@ object Streaming {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("n"))
+
+  /** Running per-user state for [[runningUserCounts]]. */
+  case class UserState(user_id: Long, n_events: Long, last_ts_us: Long)
+
+  /** Custom keyed state via `mapGroupsWithState`: a running per-user
+    * event count + last-seen timestamp, updated incrementally per
+    * micro-batch. The state store holds one `UserState` per user across
+    * batches — the primitive that windowed aggregations can't express
+    * (cross-batch custom accumulators, CEP-ish logic). On a BATCH
+    * Dataset the same code runs with empty initial state, i.e. it
+    * degrades to a per-group aggregate — used by the parity test.
+    * Input needs `user_id: long` and `ts_us: long`. */
+  def runningUserCounts(events: DataFrame): Dataset[UserState] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "ts_us").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, Long.MinValue))
+          var n = prev.n_events
+          var last = prev.last_ts_us
+          rows.foreach { case (_, t) =>
+            n += 1
+            if (t > last) last = t
+          }
+          val next = UserState(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
 
   /** Gap-based per-user sessions via the built-in `session_window` —
     * state-store backed on a stream, same gap semantics as the batch

@@ -76,6 +76,32 @@ class StreamingSuite extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("mapGroupsWithState running counts match batch groupBy (custom keyed state)") {
+    val inDir = "/tmp/graft_stream_events"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val withUs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts_us", expr("ts div 1000"))
+    val stream = withUs(spark.readStream.schema(schema).parquet(inDir))
+    val query = Streaming.runningUserCounts(stream).toDF()
+      .writeStream.format("memory").queryName("graft_state")
+      .outputMode("update").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    // latest state per user (single micro-batch here: the rows ARE final)
+    val got = spark.table("graft_state")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("last_ts_us").as("last_ts_us"))
+      .orderBy("user_id").collect().toSeq
+    val want = withUs(spark.read.parquet(s"$sfDir/events.parquet"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.max("ts_us").as("last_ts_us"))
+      .orderBy("user_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("sliding-window rate runs on a stream and matches batch") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
