@@ -203,6 +203,23 @@ object Csv {
     }: _*)
   }
 
+  /** Table-of-string-seqs → typed DataFrame (`strTabToDf`,
+    * `dataframe.nim:421-493`): builds the raw string frame driver-side
+    * (it is a literal constructor, like toDf) and runs the same
+    * inference/promotion vote as [[readCsv]]. */
+  def strTabToDf(spark: SparkSession, tab: Seq[(String, Seq[String])],
+                 wordDigits: Boolean = false): DataFrame = {
+    require(tab.nonEmpty, "strTabToDf: at least one column required")
+    val n = tab.head._2.length
+    require(tab.forall(_._2.length == n), "strTabToDf: ragged columns")
+    val schema = StructType(tab.map { case (name, _) =>
+      StructField(name, StringType, nullable = true)
+    })
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row.fromSeq(tab.map(_._2(i))))
+    import scala.jdk.CollectionConverters._
+    inferTypes(spark.createDataFrame(rows.asJava, schema), wordDigits)
+  }
+
   /** Write as CSV (`writeCsv`, `io.nim:807-826`). Distributed: `path`
     * becomes a directory of part files — the cluster-scale shape. */
   def writeCsv(df: DataFrame, path: String, sep: String = ",",

@@ -197,6 +197,16 @@ class CsvSuite extends SparkSpec {
     assert(df.columns.toSeq == Seq("a", "b"))
   }
 
+  test("strTabToDf infers per-column types (dataframe.nim:421-493)") {
+    val df = Csv.strTabToDf(spark, Seq(
+      "i" -> Seq("1", "2", "3"),
+      "f" -> Seq("1.5", "2", "-3e2"),
+      "b" -> Seq("true", "false", "TRUE"),
+      "s" -> Seq("a", "1", "true")))
+    assert(df.schema.map(_.dataType) == Seq(LongType, DoubleType, BooleanType, StringType))
+    assert(colDoubles(DataTable(df.orderBy("i")), "f") == Seq(1.5, 2.0, -300.0))
+  }
+
   test("writeCsv roundtrip preserves types and values (io.nim:807-826)") {
     val df = graft.api.toDf(spark)(
       "i" -> Seq(1, 2, 3),
