@@ -50,18 +50,21 @@ object OracleSql {
       s"list_min(list_transform(h, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $P))"
     }.mkString(",\n      ")
     val s = shingleSize
+    val c = Dedup.ShingleC
+    // shingle hash = left fold (acc*C + h) % P over the token-hash
+    // window; DuckDB list_reduce seeds with the first element, which
+    // equals the fold-with-zero since (0*C + h) % P = h
+    val polyRed = s"(acc, x) -> (acc * $c + x) % $P"
     s"""WITH docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(w) < $s THEN [array_to_string(w, ' ')]
-       |         ELSE list_transform(range(0, len(w) - ${s - 1}),
-       |                i -> array_to_string(w[i+1:i+$s], ' ')) END AS shingles
-       |  FROM docs),
+       |th AS (
+       |  SELECT doc_id, list_transform(w, tk -> ${h48("tk")} % $P) AS t FROM docs),
        |hs AS (
        |  SELECT doc_id,
-       |    list_transform(shingles, sg -> ${h48("sg")} % $P) AS h
-       |  FROM sh),
+       |    CASE WHEN len(t) < $s THEN [list_reduce(t, $polyRed)]
+       |         ELSE list_transform(range(0, len(t) - ${s - 1}),
+       |                i -> list_reduce(t[i+1:i+$s], $polyRed)) END AS h
+       |  FROM th),
        |sig AS (
        |  SELECT doc_id, [
        |      $sigElems

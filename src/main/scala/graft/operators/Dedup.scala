@@ -53,29 +53,47 @@ object Dedup {
     (a, b)
   }
 
+  /** Rolling-hash multiplier for combining token hashes into shingle
+    * hashes (prime, small enough that acc*C + h stays < 2^52). */
+  val ShingleC = 1000003L
+
   /** k-permutation MinHash signature over word `shingleSize`-shingles.
     * Adds `sig: array<long>` of length k.
     *
-    * Single pass per row: one `aggregate` over the shingle-hash array
-    * carrying a k-element running-min accumulator, updated via
-    * `zip_with(acc, perms, least)`. The shingle build + md5 run ONCE per
-    * shingle (not k times — interpreted higher-order functions get no
-    * common-subexpression elimination across lambdas, so the naive
-    * k-queries-over-the-array form costs k full re-evaluations). */
+    * Two costs dominate naive formulations, both avoided here:
+    *  - building shingle STRINGS (concat_ws of 3 tokens per position) is
+    *    ~10x the cost of hashing the tokens — so each token is md5'd
+    *    once and shingle hashes are a polynomial combination of the
+    *    token hashes (`aggregate(slice(th,...), 0, acc*C + h mod P)` —
+    *    fold-with-zero equals DuckDB's list_reduce since f(0,h)=h);
+    *  - the signature is ONE `aggregate` fold carrying a k-element
+    *    running-min accumulator (interpreted higher-order functions get
+    *    no CSE, so k independent array_min passes would re-evaluate the
+    *    hash pipeline k times — the original 132s-per-5k-docs bug).
+    * Short docs (< shingleSize tokens) hash all their tokens as one
+    * shingle, mirroring wordShingles' short-input rule. */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            k: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val hashes = transform(wordShingles(col(textCol), shingleSize),
-      s => pmod(hash48(s), lit(P)))
+    val tokenHashes = transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P)))
+    def poly(ts: Column): Column =
+      aggregate(ts, lit(0L), (acc, h) => pmod(acc * lit(ShingleC) + h, lit(P)))
     val perms = array((0 until k).map { i =>
       val (a, b) = perm(i)
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     val sig = aggregate(
-      hashes,
+      col("__sh"),
       array_repeat(lit(P), k),
       (acc, h) => zip_with(acc, perms,
         (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(P)))))
-    df.withColumn("sig", sig)
+    df.withColumn("__th", tokenHashes)
+      .withColumn("__sh",
+        when(size(col("__th")) < shingleSize, array(poly(col("__th"))))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__th")) - shingleSize),
+            i => poly(slice(col("__th"), i + 1, lit(shingleSize))))))
+      .withColumn("sig", sig)
+      .drop("__th", "__sh")
   }
 
   /** Cross-engine band hash: md5-48 of the '_'-joined signature slice. */
