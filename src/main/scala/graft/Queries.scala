@@ -132,7 +132,9 @@ object Queries {
     // floats → double via exact Double.toString round-trip, strings kept)
     "q_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
       val tmp = "/tmp/graft_csv_roundtrip"
-      graft.sources.Csv.writeCsvSingle(customer(s, dir).df, tmp)
+      // parallel writer (directory of parts) — the cluster-scale shape;
+      // readCsv globs the directory back
+      graft.sources.Csv.writeCsv(customer(s, dir).df, tmp)
       val back = graft.sources.Csv.readCsv(s, tmp)
       graft.api.DataTable(back)
         .selectCols(col("c_custkey"), col("c_name"),
@@ -347,6 +349,9 @@ object Queries {
     // dataframe.nim:1178-1240): quantity span per order via mapGroupsRows
     "q_group_span" -> ((s: SparkSession, dir: String) =>
       lineitem(s, dir)
+        // project BEFORE grouping: mapGroups serializes whole rows into
+        // the per-group iterator — two columns, not sixteen
+        .select("l_orderkey", "l_quantity")
         .groupBy("l_orderkey")
         .mapGroupsRows(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("l_orderkey",
