@@ -42,6 +42,17 @@ object OracleSql {
 
   /** Replays Dedup.minhashCandidates (k=32, shingle 3, 8 bands of 4,
     * bucketCap 64) + the query's minEstJaccard filter. */
+  /** Survivor side of Dedup.dedupByMinhash: documents that never appear
+    * as the larger id of a candidate pair. */
+  def minhashSurvivors(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                       bucketCap: Int = 64, minEstJaccard: Double = 0.5): String = {
+    val pairs = minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard)
+      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
+    s"""SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($pairs))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def minhashPairs(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
                    bucketCap: Int = 64, minEstJaccard: Double = 0.3): String = {
     val rows = k / bands

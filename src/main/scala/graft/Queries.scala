@@ -515,6 +515,15 @@ object Queries {
             "text", "doc_id", minEstJaccard = 0.3))
           .arrange("id_a", "id_b").df),
 
+      // end-to-end near-dup removal: corpus in, cleaned corpus out
+      // (greedy larger-id-loses policy over MinHash candidates)
+      "q_dedup_near" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.dedupByMinhash(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df),
+
       // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -599,6 +608,7 @@ object Queries {
 
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
+    "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
     "q_embed_dedup" -> OracleSql.embedDedup(),
     "q_ann_lsh" -> OracleSql.annLsh(),

@@ -138,6 +138,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** End-to-end near-dup removal: drop every document that is the LARGER
+    * id of a MinHash candidate pair. Greedy single-pass policy (not
+    * transitive-closure clustering — that needs iterative connected
+    * components; for training-data dedup the greedy rule is the standard
+    * cheap choice and keeps exactly one survivor per pairwise-linked
+    * chain when ids correlate with insertion order). One left_anti join
+    * against the candidate pairs. */
+  def dedupByMinhash(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
+                     minEstJaccard: Double = 0.5): DataFrame = {
+    val losers = minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over a pre-computed `array<long>` token-hash column:
