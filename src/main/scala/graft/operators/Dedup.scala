@@ -74,6 +74,20 @@ object Dedup {
     * shingle, mirroring wordShingles' short-input rule. */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            k: Int = 32, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val tokenHashes = transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P)))
+    val (as, bs) = (0 until k).map(perm).unzip
+    val sig = Shim.toColumn(org.apache.spark.sql.graftshim.MinHashSig(
+      Shim.toExpression(tokenHashes), k, shingleSize,
+      as.toArray, bs.toArray, P, ShingleC))
+    df.withColumn("sig", sig)
+  }
+
+  /** Interpreted reference formulation of [[withMinhashSignature]] (the
+    * HOF fold the custom expression replaced) — kept for the A/B test
+    * pinning that both produce identical signatures. */
+  private[graft] def withMinhashSignatureHof(df: DataFrame, textCol: String,
+                                             k: Int = 32, shingleSize: Int = 3): DataFrame = {
     val tokenHashes = transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P)))
     def poly(ts: Column): Column =
       aggregate(ts, lit(0L), (acc, h) => pmod(acc * lit(ShingleC) + h, lit(P)))
