@@ -16,8 +16,19 @@ object VectorFunctions {
 
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Dot product; inputs are cast to double element-wise first. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product as a codegen'd single left-fold loop
+    * (graftshim.VecDot) — same summation order as the interpreted
+    * `aggregate(zip_with(...))` it replaced and as DuckDB's
+    * list_dot_product, so results stay bit-comparable cross-engine.
+    * Accepts float or double arrays (floats widen per element). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.{Shim, VecDot}
+    Shim.toColumn(VecDot(Shim.toExpression(a), Shim.toExpression(b)))
+  }
+
+  /** Interpreted HOF dot (the formulation [[dot]] replaced) — kept for
+    * the bit-identity pin test. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

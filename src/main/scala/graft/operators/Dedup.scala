@@ -197,9 +197,14 @@ object Dedup {
     * probabilistic recall), bucket-join on chunks, verify Hamming. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    // codegen'd single-loop simhash (graftshim.SimHash48); the SQL HOF
+    // form is kept above for the bit-identity pin test
+    val th = transform(tokens(col(textCol)), t => hash48(t))
     val withSh = df
-      .withColumn("__th", transform(tokens(col(textCol)), t => hash48(t)))
-      .select(col(idCol).as("id"), simhash48Sql("__th").as("sh"))
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.SimHash48(
+            org.apache.spark.sql.graftshim.Shim.toExpression(th))).as("sh"))
     val banded = withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("chunk", "cval")))
