@@ -173,11 +173,10 @@ object Dedup {
     * bit b of the result is set iff more token hashes have bit b set than
     * not. Near-dups have small Hamming distance.
     *
-    * Single pass: one `aggregate` over the token hashes carrying a
-    * 48-element bit-counter array (`zip_with` update), finished by folding
-    * the counters into the bit pattern — the array is traversed once, not
-    * once per bit. Expressed in SQL because `shiftleft`/`shiftright` in
-    * the Scala API only accept literal shift counts, not lambda vars. */
+    * This SQL-HOF formulation (one `aggregate` carrying a 48-element
+    * bit-counter array) is the reference semantics; the hot path uses
+    * the codegen'd `graftshim.SimHash48` expression, pinned bit-identical
+    * to this form in VecExprSuite. */
   val SimhashBits = 48
 
   def simhash48Sql(tokenHashCol: String): Column = expr(
