@@ -415,6 +415,23 @@ object Queries {
           "acct_total" -> moneySum(col("s_acctbal")))
         .df),
 
+    // tagged-variant Value column (value.nim:4-25): a genuinely
+    // mixed-type column (int cents on even keys, priority string on odd)
+    // carried as struct<tag,...>, projected back out via tag + stringify
+    "q_value_mixed" -> ((s: SparkSession, dir: String) => {
+      import graft.api.{ValueColumn => V}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      orders(s, dir)
+        .selectCols(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0,
+            V.toValue(round(col("o_totalprice") * 100.0, 0).cast("long"), LongType))
+            .otherwise(V.toValue(col("o_orderpriority"), StringType)).as("v"))
+        .selectCols(col("o_orderkey"),
+          col("v.tag").cast("long").as("vtag"),
+          V.asString(col("v")).as("vstr"))
+        .arrange("o_orderkey").df
+    }),
+
     // custom Aggregator/udaf reduction (the reference's formula: block
     // with `var res; res *= x`, testsFormula.nim:466-476): integer product
     // per group — exact in any partition order
@@ -897,6 +914,14 @@ object Queries {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  ORDER BY o_orderkey DESC LIMIT 10)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_value_mixed" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 3 END AS vtag,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |       THEN CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)
+        |       ELSE o_orderpriority END AS vstr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_custom_agg" ->
       """SELECT l_orderkey, product(l_linenumber) AS prod_ln
