@@ -16,6 +16,17 @@ class BucketingSuite extends SparkSpec {
     val orders = Tables.df(spark, sfDir, "orders")
     val lineitem = Tables.df(spark, sfDir, "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
+    // a fresh JVM has an empty in-memory catalog but the warehouse dir
+    // persists on disk — drop both the table and any orphaned location
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Bucketing.writeBucketed(orders, "graft_orders_b", "o_orderkey", buckets = 4)
     Bucketing.writeBucketed(lineitem, "graft_lineitem_b", "o_orderkey", buckets = 4)
 
