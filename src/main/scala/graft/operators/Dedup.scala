@@ -74,11 +74,10 @@ object Dedup {
     * shingle, mirroring wordShingles' short-input rule. */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            k: Int = 32, shingleSize: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftshim.Shim
-    val tokenHashes = transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P)))
+    import org.apache.spark.sql.graftshim.{MinHashSig, Shim}
     val (as, bs) = (0 until k).map(perm).unzip
-    val sig = Shim.toColumn(org.apache.spark.sql.graftshim.MinHashSig(
-      Shim.toExpression(tokenHashes), k, shingleSize,
+    val sig = Shim.toColumn(MinHashSig(
+      Shim.toExpression(col(textCol)), k, shingleSize,
       as.toArray, bs.toArray, P, ShingleC))
     df.withColumn("sig", sig)
   }
@@ -196,14 +195,14 @@ object Dedup {
     * probabilistic recall), bucket-join on chunks, verify Hamming. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
-    // codegen'd single-loop simhash (graftshim.SimHash48); the SQL HOF
-    // form is kept above for the bit-identity pin test
-    val th = transform(tokens(col(textCol)), t => hash48(t))
+    // codegen'd single-kernel simhash over the raw text
+    // (graftshim.SimHashText); the SQL HOF form is kept above for the
+    // bit-identity pin test
     val withSh = df
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graftshim.Shim.toColumn(
-          org.apache.spark.sql.graftshim.SimHash48(
-            org.apache.spark.sql.graftshim.Shim.toExpression(th))).as("sh"))
+          org.apache.spark.sql.graftshim.SimHashText(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col(textCol)))).as("sh"))
     val banded = withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("chunk", "cval")))

@@ -3,46 +3,63 @@
 // AbstractDataType. Logically this is graft's plans/ extension layer.
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression computing a k-permutation MinHash signature
-  * from an `array<long>` of token hashes, in one compiled loop.
+/** Compiled kernels shared by the expressions' interpreted eval and their
+  * generated code (the codegen emits one static call, so the projection
+  * stays inside whole-stage codegen while the loops run as JIT'd Scala).
   *
-  * Semantics (bit-identical to the interpreted HOF formulation in
-  * `graft.operators.Dedup` and to the DuckDB oracle):
-  *   - shingle hash at position i = left fold `(acc*c + h) mod p` over
-  *     the `shingleSize`-window of token hashes; inputs shorter than the
-  *     window hash all their tokens as one shingle;
-  *   - signature j = min over shingles of `(h*a_j + b_j) mod p`.
-  *
-  * Why a custom expression: higher-order `aggregate`/`zip_with` run
-  * interpreted — one lambda dispatch plus a fresh accumulator array per
-  * element. The generated code below is two nested primitive loops over
-  * a `long[]`, inside whole-stage codegen; ~10x on the signature stage.
-  * This is the preferred extension order (compose builtins -> custom
-  * Expression -> custom physical plan) at step two: scalar-level
-  * semantics need no new plan nodes.
-  */
-case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
-                      permA: Array[Long], permB: Array[Long],
-                      p: Long, c: Long)
-    extends UnaryExpression with ExpectsInputTypes {
+  * Tokenization and hashing replicate the Column-API pipeline they
+  * replace EXACTLY (pinned by the bit-identity suites and the DuckDB
+  * oracles): `split(trim(text), "\\s+")` — UTF8String.trim trims the
+  * space character only, like Spark's StringTrim; Java's Pattern split
+  * with limit -1 is what StringSplit runs — then md5 of the token's
+  * UTF-8 bytes, first 12 hex chars as a long (= first 6 digest bytes,
+  * big-endian). */
+object GraftHash {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Shared by eval and the generated code (kept in sync by the oracle
-    * gate: any divergence fails q_minhash_pairs' hash compare). */
-  private def signatureOf(th: ArrayData): GenericArrayData = {
-    val n = th.numElements()
+  def hash48(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xFFL) << 40) | ((dig(1) & 0xFFL) << 32) |
+      ((dig(2) & 0xFFL) << 24) | ((dig(3) & 0xFFL) << 16) |
+      ((dig(4) & 0xFFL) << 8) | (dig(5) & 0xFFL)
+  }
+
+  def tokens(text: UTF8String): Array[String] =
+    Ws.split(text.trim.toString, -1)
+
+  /** Token hashes folded mod p (the MinHash base). */
+  private def tokenHashesMod(text: UTF8String, p: Long): Array[Long] = {
+    val ts = tokens(text)
+    val out = new Array[Long](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      out(i) = hash48(ts(i).getBytes("UTF-8")) % p
+      i += 1
+    }
+    out
+  }
+
+  /** Full MinHash signature from raw text: token hashes -> rolling
+    * polynomial shingles -> k running mins. */
+  def minhashSig(text: UTF8String, k: Int, shingleSize: Int,
+                 permA: Array[Long], permB: Array[Long],
+                 p: Long, c: Long): GenericArrayData = {
+    val th = tokenHashesMod(text, p)
+    val n = th.length
     val acc = Array.fill(k)(p)
     def update(h: Long): Unit = {
       var j = 0
@@ -55,14 +72,14 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
     if (n < shingleSize) {
       var poly = 0L
       var i = 0
-      while (i < n) { poly = (poly * c + th.getLong(i)) % p; i += 1 }
+      while (i < n) { poly = (poly * c + th(i)) % p; i += 1 }
       update(poly)
     } else {
       var pos = 0
       while (pos <= n - shingleSize) {
         var poly = 0L
         var i = 0
-        while (i < shingleSize) { poly = (poly * c + th.getLong(pos + i)) % p; i += 1 }
+        while (i < shingleSize) { poly = (poly * c + th(pos + i)) % p; i += 1 }
         update(poly)
         pos += 1
       }
@@ -70,47 +87,83 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
     new GenericArrayData(acc)
   }
 
+  /** 48-bit SimHash from raw text (token hashes NOT folded mod p —
+    * matching the Column-API formulation it replaces). */
+  def simhash48(text: UTF8String): Long = {
+    val ts = tokens(text)
+    val cnt = new Array[Int](48)
+    var i = 0
+    while (i < ts.length) {
+      val h = hash48(ts(i).getBytes("UTF-8"))
+      var b = 0
+      while (b < 48) {
+        if (((h >> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (cnt(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Native Catalyst expression computing a k-permutation MinHash signature
+  * from the RAW TEXT column in one compiled kernel call.
+  *
+  * Why text input rather than a pre-tokenized array: higher-order
+  * functions (`transform` etc.) don't participate in codegen, and ANY
+  * non-codegen expression in a projection drops the whole projection out
+  * of whole-stage codegen — so an expression downstream of a HOF runs
+  * interpreted no matter how good its own doGenCode is. Taking the
+  * string column keeps the entire pipeline (tokenize -> md5 -> shingle
+  * poly -> k mins) in one compiled call inside the codegen span
+  * (asserted by CodegenSuite). Semantics pinned bit-identical to the
+  * HOF formulation and the DuckDB oracle. */
+case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
+                      permA: Array[Long], permB: Array[Long],
+                      p: Long, c: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
   override protected def nullSafeEval(input: Any): Any =
-    signatureOf(input.asInstanceOf[ArrayData])
+    GraftHash.minhashSig(input.asInstanceOf[UTF8String], k, shingleSize,
+      permA, permB, p, c)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("permA", permA, "long[]")
     val bRef = ctx.addReferenceObj("permB", permB, "long[]")
-    nullSafeCodeGen(ctx, ev, th => {
-      val acc = ctx.freshName("acc")
-      val n = ctx.freshName("n")
-      val poly = ctx.freshName("poly")
-      val pos = ctx.freshName("pos")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val v = ctx.freshName("v")
-      s"""
-         |final int $n = $th.numElements();
-         |final long[] $acc = new long[$k];
-         |java.util.Arrays.fill($acc, ${p}L);
-         |if ($n < $shingleSize) {
-         |  long $poly = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $poly = ($poly * ${c}L + $th.getLong($i)) % ${p}L;
-         |  }
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    final long $v = ($poly * $aRef[$j] + $bRef[$j]) % ${p}L;
-         |    if ($v < $acc[$j]) $acc[$j] = $v;
-         |  }
-         |} else {
-         |  for (int $pos = 0; $pos <= $n - $shingleSize; $pos++) {
-         |    long $poly = 0L;
-         |    for (int $i = 0; $i < $shingleSize; $i++) {
-         |      $poly = ($poly * ${c}L + $th.getLong($pos + $i)) % ${p}L;
-         |    }
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      final long $v = ($poly * $aRef[$j] + $bRef[$j]) % ${p}L;
-         |      if ($v < $acc[$j]) $acc[$j] = $v;
-         |    }
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
-       """.stripMargin
-    })
+    val gh = GraftHash.getClass.getName.stripSuffix("$") + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.minhashSig($text, $k, $shingleSize, $aRef, $bRef, ${p}L, ${c}L);")
+  }
+}
+
+/** Codegen'd 48-bit SimHash from the raw text column — same design as
+  * [[MinHashSig]]: one compiled kernel call, projection stays inside
+  * whole-stage codegen. */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.simhash48(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.simhash48($text);")
   }
 }

@@ -8,67 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Codegen'd 48-bit SimHash over an `array<long>` of token hashes: one
-  * compiled loop maintaining 48 bit counters, versus the interpreted
-  * nested-HOF fold (lambda dispatch + fresh 48-element array per token).
-  * Bit b of the result is set iff more token hashes have bit b set than
-  * not — identical to `Dedup.simhash48Sql` (pinned by a suite) and to
-  * the DuckDB oracle. */
-case class SimHash48(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash48"
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
-    copy(child = newChild)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val th = input.asInstanceOf[ArrayData]
-    val n = th.numElements()
-    val cnt = new Array[Int](48)
-    var i = 0
-    while (i < n) {
-      val h = th.getLong(i)
-      var b = 0
-      while (b < 48) {
-        if (((h >> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 48) { if (cnt(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, th => {
-      val cnt = ctx.freshName("cnt")
-      val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
-      val i = ctx.freshName("i")
-      val b = ctx.freshName("b")
-      val out = ctx.freshName("out")
-      s"""
-         |final int $n = $th.numElements();
-         |final int[] $cnt = new int[48];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $th.getLong($i);
-         |  for (int $b = 0; $b < 48; $b++) {
-         |    if ((($h >> $b) & 1L) == 1L) $cnt[$b]++; else $cnt[$b]--;
-         |  }
-         |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 48; $b++) {
-         |  if ($cnt[$b] > 0) $out |= (1L << $b);
-         |}
-         |${ev.value} = $out;
-       """.stripMargin
-    })
-}
-
 /** Codegen'd dot product over two `array<double|float>` columns as ONE
   * compiled left-to-right fold — the exact summation order of the
   * interpreted `aggregate(zip_with(...))` it replaces and of DuckDB's

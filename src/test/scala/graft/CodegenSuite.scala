@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The custom Catalyst expressions must run INSIDE whole-stage codegen —
+  * an expression that silently falls back to interpreted eval (codegen
+  * exception -> CodegenFallback path) would pass correctness tests while
+  * losing the entire point. Inputs come from parquet scans: literal or
+  * LocalRelation inputs are constant-folded / evaluated at optimization
+  * time (which itself exercises the interpreted eval path, covered in
+  * MinHashExprSuite/VecExprSuite). */
+class CodegenSuite extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def wholeStageSpans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }
+
+  test("MinHashSig projection compiles into a WholeStageCodegen span") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val sig = Dedup.withMinhashSignature(docs, "text").select("doc_id", "sig")
+    assert(wholeStageSpans(sig).exists(_.toString.contains("minhash_sig")),
+      s"minhash_sig not inside WholeStageCodegen:\n${sig.queryExecution.executedPlan}")
+    assert(sig.limit(3).collect().length == 3)
+  }
+
+  test("VecDot compiles into a WholeStageCodegen span") {
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val out = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    assert(wholeStageSpans(out).exists(_.toString.contains("vec_dot")),
+      s"vec_dot not inside WholeStageCodegen:\n${out.queryExecution.executedPlan}")
+    assert(out.limit(1).head().getDouble(0) > 0.0)
+  }
+
+  test("SimHashText compiles into a WholeStageCodegen span") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val sigOnly = docs.select(
+      org.apache.spark.sql.graftshim.Shim.toColumn(
+        org.apache.spark.sql.graftshim.SimHashText(
+          org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
+    assert(wholeStageSpans(sigOnly).exists(_.toString.contains("simhash48")),
+      s"simhash48 not inside WholeStageCodegen:\n${sigOnly.queryExecution.executedPlan}")
+    assert(sigOnly.limit(3).collect().length == 3)
+  }
+}

@@ -18,10 +18,27 @@ class MinHashExprSuite extends SparkSpec {
       "short",           // fewer tokens than the shingle size
       "two words")).df   // exactly below the default shingle size
 
+  private def trickyDocs = toDf(spark)(
+    "doc_id" -> Seq(1, 2, 3),
+    "text" -> Seq(
+      "  leading and trailing   spaces  ",
+      "tabs\tnewlines\nand\r\nCRLF mixed in",
+      "")).df
+
   test("custom expression equals interpreted HOF signature") {
     val a = Dedup.withMinhashSignature(docs, "text")
       .select(col("doc_id"), col("sig")).orderBy("doc_id").collect().toSeq
     val b = Dedup.withMinhashSignatureHof(docs, "text")
+      .select(col("doc_id"), col("sig")).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("kernel tokenization matches Spark split(trim, \\s+) on tricky whitespace") {
+    // the expression tokenizes in Scala (UTF8String.trim + Pattern split);
+    // any divergence from the Column pipeline shows up as a different sig
+    val a = Dedup.withMinhashSignature(trickyDocs, "text")
+      .select(col("doc_id"), col("sig")).orderBy("doc_id").collect().toSeq
+    val b = Dedup.withMinhashSignatureHof(trickyDocs, "text")
       .select(col("doc_id"), col("sig")).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }

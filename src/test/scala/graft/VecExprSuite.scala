@@ -10,26 +10,25 @@ import graft.operators.Dedup
   * against the DuckDB oracles, which the gate checks end-to-end). */
 class VecExprSuite extends SparkSpec {
 
-  test("SimHash48 expression equals the SQL HOF fold") {
+  test("SimHashText expression equals the SQL HOF fold (incl. tricky whitespace)") {
     val docs = toDf(spark)(
-      "doc_id" -> Seq(1, 2, 3),
+      "doc_id" -> Seq(1, 2, 3, 4, 5),
       "text" -> Seq(
         "the quick brown fox jumps over the lazy dog",
         "an entirely different document with other words",
-        "x")).df
+        "x",
+        "  tabs\tand\nnewlines   inside \r\n and around  ",
+        "")).df
     import graft.functions.TextFunctions._
     val viaSql = docs
       .withColumn("__th", transform(tokens(col("text")), t => hash48(t)))
       .select(col("doc_id"), Dedup.simhash48Sql("__th").as("sh"))
       .orderBy("doc_id").collect().toSeq
-    val viaExpr = {
-      val th = transform(tokens(col("text")), t => hash48(t))
-      docs.select(col("doc_id"),
-        org.apache.spark.sql.graftshim.Shim.toColumn(
-          org.apache.spark.sql.graftshim.SimHash48(
-            org.apache.spark.sql.graftshim.Shim.toExpression(th))).as("sh"))
-        .orderBy("doc_id").collect().toSeq
-    }
+    val viaExpr = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.Shim.toColumn(
+        org.apache.spark.sql.graftshim.SimHashText(
+          org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
+      .orderBy("doc_id").collect().toSeq
     assert(viaExpr == viaSql)
   }
 
