@@ -396,4 +396,62 @@ class VerbSuite extends SparkSpec {
     val df = toDf(spark)("g" -> Seq("a"), "v" -> Seq(1)).groupBy("g")
     intercept[IllegalArgumentException] { df.select("v") }
   }
+
+  test("isNull filter keeps non-null rows (testDf.nim:1317-1322 'isNull')") {
+    val df = toDf(spark)("x1" -> (0 to 100), "x2" -> (0 to 10))
+    val r = df.filter(col("x2").isNotNull).arrange("x1")
+    assert(colLongs(r, "x2") == (0L to 10L))
+  }
+
+  test("count via summarize(len) equals count verb (testDf.nim:1280-1301)") {
+    val cyls = Seq.fill(81)(4) ++ Seq.fill(4)(5) ++ Seq.fill(79)(6) ++ Seq.fill(70)(8)
+    val df = toDf(spark)("cyl" -> cyls)
+    val viaSummarize = df.groupBy("cyl").summarize("num" -> count(lit(1)))
+    val viaCount = df.countRows(Seq("cyl"))
+    assert(colLongs(viaSummarize, "num") == Seq(81L, 4L, 79L, 70L))
+    assert(colLongs(viaCount, "n") == Seq(81L, 4L, 79L, 70L))
+  }
+
+  test("gather with dropNulls skips sparse cells (dataframe.nim:2205-2259)") {
+    val df = toDf(spark)(
+      "id" -> Seq(1, 2, 3),
+      "a" -> Seq[Any](1.0, null, 3.0),
+      "b" -> Seq[Any](null, 2.0, null))
+    val long = df.gather(Seq("a", "b"), "k", "v", dropNulls = true)
+    assert(long.df.count() == 3)
+    assert(colDoubles(long.arrange("id", "k"), "v") == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("grouped transmute keeps keys plus computed columns (dataframe.nim:1777-1819)") {
+    val df = toDf(spark)("g" -> Seq("a", "a", "b"), "x" -> Seq(1.0, 3.0, 8.0))
+    val r = df.groupBy("g").transmute("dev" -> (col("x") - avg(col("x"))))
+    assert(r.columns == Seq("g", "dev"))
+    assertAllClose(colDoubles(r.ungroup.arrangeBy(col("g"), col("dev")), "dev"),
+      Seq(-1.0, 1.0, 0.0))
+  }
+
+  test("arrange places NaN last like the reference sorts them greatest (column sort semantics)") {
+    val df = toDf(spark)("x" -> Seq(2.0, Double.NaN, 1.0))
+    val r = df.arrange("x")
+    val got = colDoubles(r, "x")
+    assert(got(0) == 1.0 && got(1) == 2.0 && got(2).isNaN)
+  }
+
+  test("uniqueFirstBy ties broken deterministically under full order (dataframe.nim:2370-2422)") {
+    val df = toDf(spark)(
+      "k" -> Seq("a", "a", "a", "b"),
+      "o" -> Seq(3, 1, 2, 9),
+      "v" -> Seq("x", "y", "z", "w"))
+    val r = df.uniqueFirstBy(Seq("k"), col("o")).arrange("k")
+    assert(colStrings(r, "v") == Seq("y", "w"))
+  }
+
+  test("bindRows then dropNull round-trip (testDf.nim:1609+ combined shape)") {
+    val a = toDf(spark)("id" -> Seq(1, 2), "age" -> Seq(43, 27))
+    val b = toDf(spark)("id" -> Seq(3, 4))
+    val merged = a.bindRows(b)
+    assert(merged.df.count() == 4)
+    val clean = merged.dropNull("age")
+    assert(colLongs(clean.arrange("id"), "id") == Seq(1L, 2L))
+  }
 }
