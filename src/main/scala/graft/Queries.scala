@@ -518,11 +518,13 @@ object Queries {
           .arrange("id_a", "id_b").df),
 
       // exact char-5-gram Jaccard over a bounded window of docs
+      // (0.25: char-5-gram similarity tops out near 0.28 on this corpus, so
+      // the former 0.3 cut returned an empty — vacuously green — result)
       "q_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Dedup.ngramJaccardPairs(
             Tables.df(s, dir, "documents").filter(col("doc_id") < 40),
-            "text", "doc_id", n = 5, minJaccard = 0.3))
+            "text", "doc_id", n = 5, minJaccard = 0.25))
           .arrange("id_a", "id_b").df),
 
       // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
@@ -696,7 +698,7 @@ object Queries {
         |    len(list_intersect(a.gs, b.gs))
         |      / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
     "q_token_jaccard" ->
       """WITH t AS (

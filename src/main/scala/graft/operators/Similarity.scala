@@ -34,7 +34,16 @@ object Similarity {
     * vec_id asc) rows of each partition, deduplicating (query, vec) within
     * the partition. Exact-preserving: the global top-k distinct rows are a
     * subset of the union of per-partition top-k distinct rows. Input
-    * columns must be (query_id: long, vec_id: long, cos: double). */
+    * columns must be (query_id: long, vec_id: long, cos: double).
+    *
+    * Memory is bounded at O(queries-in-partition × k): the dedup set per
+    * query tracks only the vec_ids CURRENTLY in that query's heap (a
+    * multi-probe duplicate carries an identical cos, so rejecting it
+    * against an in-heap copy loses nothing, and a duplicate of an
+    * already-evicted row is simply re-adjudicated by the heap order — it
+    * loses again). An unbounded all-pairs `seen` set would grow linearly
+    * with scored rows, the exact per-partition blow-up this prune exists
+    * to prevent. */
   private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
     implicit val enc = Encoders.row(prunedSchema)
     val ord = Ordering.by[(Long, Double), (Double, Long)] {
@@ -42,21 +51,27 @@ object Similarity {
     }
     scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
         col("cos").cast("double"))
+      .filter(col("cos").isNotNull) // malformed vectors score NULL, never top-k
       .mapPartitions { it =>
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
-        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        // per query: max-heap on (-cos, id) (root = WORST retained row)
+        // plus the set of vec_ids currently in that heap
+        val heaps = scala.collection.mutable.HashMap.empty[Long,
+          (scala.collection.mutable.PriorityQueue[(Long, Double)],
+           scala.collection.mutable.HashSet[Long])]
         it.foreach { r =>
           val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-          if (seen.add((q, v))) {
-            // max-heap on (-cos, id): the root is the WORST retained row
-            val h = heaps.getOrElseUpdate(q,
-              scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
-            if (h.size < k) h.enqueue((v, c))
-            else if (ord.lt((v, c), h.head)) { h.dequeue(); h.enqueue((v, c)) }
+          val (h, ids) = heaps.getOrElseUpdate(q,
+            (scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord),
+             scala.collection.mutable.HashSet.empty[Long]))
+          if (!ids.contains(v)) {
+            if (h.size < k) { h.enqueue((v, c)); ids += v }
+            else if (ord.lt((v, c), h.head)) {
+              ids -= h.dequeue()._1
+              h.enqueue((v, c)); ids += v
+            }
           }
         }
-        heaps.iterator.flatMap { case (q, h) =>
+        heaps.iterator.flatMap { case (q, (h, _)) =>
           h.iterator.map { case (v, c) => Row(q, v, c) }
         }
       }

@@ -140,7 +140,11 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("permA", permA, "long[]")
     val bRef = ctx.addReferenceObj("permB", permB, "long[]")
-    val gh = GraftHash.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // static-forwarder call: Janino cannot resolve the Scala object's
+    // MODULE$ field through the facade class (that reference compiled
+    // fine in Scala but failed at runtime, silently dropping every
+    // projection containing this expression to the interpreter)
+    val gh = GraftHash.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, text =>
       s"${ev.value} = $gh.minhashSig($text, $k, $shingleSize, $aRef, $bRef, ${p}L, ${c}L);")
   }
@@ -163,7 +167,7 @@ case class SimHashText(child: Expression)
     GraftHash.simhash48(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gh = GraftHash.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.simhash48($text);")
   }
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   * interpreted `aggregate(zip_with(...))` it replaces and of DuckDB's
   * `list_dot_product`, so cosine results stay bit-comparable across
   * engines. Float elements widen to double per element, like the
-  * element-wise cast the HOF form applied. */
+  * element-wise cast the HOF form applied.
+  *
+  * Null semantics match the HOF form exactly: `zip_with` null-pads the
+  * shorter array and a null element nulls the whole sum, so length
+  * mismatch or any null slot yields NULL (not a silent truncated sum). */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -21,6 +25,7 @@ case class VecDot(left: Expression, right: Expression)
     TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
     TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def withNewChildrenInternal(
@@ -33,11 +38,13 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val (fx, fy) = (isFloat(left), isFloat(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -54,10 +61,15 @@ case class VecDot(left: Expression, right: Expression)
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |final int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getX * $getY;
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getX * $getY;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

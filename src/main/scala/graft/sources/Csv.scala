@@ -133,9 +133,11 @@ object Csv {
     inferTypes(named, wordDigits)
   }
 
-  /** Unnamed columns become `UnnamedN` like the reference (`io.nim:143-144`). */
+  /** Unnamed columns become `UnnamedN` like the reference (`io.nim:143-144`).
+    * Only Spark's synthetic `_c<digits>` names count as unnamed — a user
+    * header like `_cost` passes through untouched. */
   private def sanitizeName(c: String, i: Int): String =
-    if (c == null || c.trim.isEmpty || c.startsWith("_c")) s"Unnamed$i" else c.trim
+    if (c == null || c.trim.isEmpty || c.matches("_c\\d+")) s"Unnamed$i" else c.trim
 
   /** One distributed pass voting each column's type, one typed projection.
     * All columns of `df` must be strings (the raw CSV parse). */

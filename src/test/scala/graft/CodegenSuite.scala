@@ -36,6 +36,33 @@ class CodegenSuite extends SparkSpec {
     assert(out.limit(1).head().getDouble(0) > 0.0)
   }
 
+  test("generated code COMPILES at runtime (no silent interpreter fallback)") {
+    // A plan-level WholeStageCodegen span proves nothing about the
+    // generated Java actually compiling: Janino failures are caught and
+    // silently fall back to interpreted eval (this caught a real bug —
+    // `GraftHash.MODULE$` isn't resolvable through the facade class, so
+    // every projection with a graft kernel ran interpreted). CODEGEN_ONLY
+    // turns that fallback into a hard error.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Tables.df(spark, sfDir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, "text").select("doc_id", "sig")
+      assert(sig.limit(3).collect().length == 3)
+      val sh = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.SimHashText(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
+      assert(sh.limit(3).collect().length == 3)
+      val emb = Tables.df(spark, sfDir, "embeddings")
+      val d = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      assert(d.limit(1).head().getDouble(0) > 0.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SimHashText compiles into a WholeStageCodegen span") {
     val docs = Tables.df(spark, sfDir, "documents")
     val sigOnly = docs.select(

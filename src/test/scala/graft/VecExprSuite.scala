@@ -52,6 +52,23 @@ class VecExprSuite extends SparkSpec {
     assert(fExpr == fHof)
   }
 
+  test("VecDot matches the HOF form on ragged and null-element inputs (NULL)") {
+    // zip_with null-pads the shorter array and a null element nulls the
+    // whole sum — VecDot must agree, not silently truncate to min length.
+    val weird = spark.sql(
+      """SELECT 1 AS id, array(1.0D, 2.0D) AS a, array(3.0D) AS b
+        |UNION ALL
+        |SELECT 2, array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)
+        |UNION ALL
+        |SELECT 3, CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)""".stripMargin)
+    val viaExpr = weird.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().toSeq
+    val viaHof = weird.select(col("id"), VectorFunctions.dotHof(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().toSeq
+    assert(viaExpr == viaHof)
+    assert(viaExpr.forall(_.isNullAt(1)))
+  }
+
   test("cosine built on VecDot stays in [-1, 1] and is 1 for self") {
     val arr = spark.sql("SELECT array(3.0D, 4.0D) AS v")
     val self = arr.select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)

@@ -48,8 +48,14 @@ def main():
             print(f"{name:24s} ORACLE_ERR {str(e)[:120]}")
             n_fail += 1
             continue
+        # Sort rows by all columns before the positional compare: queries
+        # without a total output order (no trailing arrange, multi-part
+        # parquet reads) would otherwise spuriously VALUE_MISMATCH. Mirrors
+        # the driver's sorted-hash compare.
         s = spark[sorted(spark.columns)]
         d = duck[sorted(duck.columns)]
+        s = s.sort_values(list(s.columns), kind="mergesort").reset_index(drop=True)
+        d = d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
         if list(s.columns) != list(d.columns):
             print(f"{name:24s} SCHEMA_MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
             n_fail += 1
