@@ -53,6 +53,31 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Transitive closure of Dedup.clusterByMinhash: DuckDB's recursive CTE
+    * computes, for every node of the candidate-pair graph, the set of
+    * reachable nodes; min(reachable) is exactly the component label the
+    * Spark min-label propagation converges to. Docs with no candidate
+    * pair keep their own id. */
+  def minhashClusters(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                      bucketCap: Int = 64, minEstJaccard: Double = 0.5): String = {
+    val pairs = minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard)
+      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS ($pairs),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM edges
+       |  UNION
+       |  SELECT e.u AS id, t.r FROM edges e JOIN reach t ON e.v = t.id)
+       |SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d
+       |LEFT JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) m
+       |  ON d.doc_id = m.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def minhashPairs(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
                    bucketCap: Int = 64, minEstJaccard: Double = 0.3): String = {
     val rows = k / bands

@@ -543,6 +543,16 @@ object Queries {
             .select(col("doc_id")))
           .arrange("doc_id").df),
 
+      // transitive near-dup clustering: connected components over the
+      // MinHash candidate graph; every doc labeled with the min id of its
+      // component (iterative min-label propagation; recursive-CTE oracle)
+      "q_dedup_cluster" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.clusterByMinhash(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.5)
+            .select(col("doc_id"), col("cluster_id")))
+          .arrange("doc_id").df),
+
       // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -628,6 +638,7 @@ object Queries {
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
+    "q_dedup_cluster" -> OracleSql.minhashClusters(),
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
     "q_embed_dedup" -> OracleSql.embedDedup(),
     "q_ann_lsh" -> OracleSql.annLsh(),

@@ -284,4 +284,71 @@ object Dedup {
         cosine(col("p.v_a"), col("p.v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components over an undirected edge list (e.g. near-dup
+    * candidate pairs): returns `(id, component)` where `component` is the
+    * smallest id reachable from `id`. The transitive-closure companion to
+    * [[dedupByMinhash]]'s greedy pairwise rule — cluster-then-pick-one is
+    * the policy large corpus dedups (e.g. chain A~B~C where A≁C) need.
+    *
+    * Iterative min-label propagation: each round joins the cached edge
+    * list with the current labels (both hash-partitioned on the join key,
+    * so rounds reuse the same co-partitioning) and takes the min label
+    * over each node's neighborhood. Converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (diameter ≲ bucket chain
+    * length), so this beats the O(log²n) star-contraction algorithms that
+    * exist for adversarially deep graphs. Convergence is detected by an
+    * exact changed-label count (a co-partitioned self-join, not a float
+    * heuristic); lineage is truncated by per-round persist/unpersist so
+    * plans stay O(1) deep regardless of round count. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .filter(col("component") =!= col("__old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full-corpus cluster assignment over MinHash candidates: every row of
+    * `df` gets `cluster_id` = smallest doc id of its near-dup component
+    * (its own id if it has no near-dups). */
+  def clusterByMinhash(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val comp = connectedComponents(
+      minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard),
+      "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+  }
 }
