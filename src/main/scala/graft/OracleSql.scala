@@ -53,6 +53,38 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays Similarity.kmeansAssign: `iters` Lloyd rounds from the
+    * deterministic seeds (vec_id < k), centroid means via quantized long
+    * sums, cosine assignment with smallest-cell tie-break. The CTE chain
+    * mirrors the Spark loop round for round. */
+  def kmeansAssign(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+    val S = "1000000.0"
+    def sN(i: Int) =
+      s"""s$i AS (SELECT e.vec_id, c.cell, ${cosExpr("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c$i c)""".stripMargin
+    def aN(i: Int) =
+      s"""a$i AS (SELECT vec_id, MIN(cell) AS cell FROM (
+         |    SELECT vec_id, cell, cos, MAX(cos) OVER (PARTITION BY vec_id) AS mx
+         |    FROM s$i) x
+         |  WHERE cos = mx GROUP BY vec_id)""".stripMargin
+    def gN(i: Int) =
+      s"""g$i AS (SELECT a${i - 1}.cell, t.pos,
+         |    (SUM(CAST(floor(e.v[t.pos] * $S + 0.5) AS BIGINT)))::BIGINT AS sm,
+         |    COUNT(*) AS cnt
+         |  FROM a${i - 1} JOIN e USING (vec_id)
+         |  CROSS JOIN unnest(range(1, ${dim + 1})) AS t(pos)
+         |  GROUP BY a${i - 1}.cell, t.pos)""".stripMargin
+    def cN(i: Int) =
+      s"""c$i AS (SELECT cell, list(sm / (cnt * $S) ORDER BY pos) AS cv
+         |  FROM g$i GROUP BY cell)""".stripMargin
+    val rounds = (0 until iters).flatMap(i =>
+      Seq(sN(i), aN(i), gN(i + 1), cN(i + 1))) ++ Seq(sN(iters), aN(iters))
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k),
+       |${rounds.mkString(",\n")}
+       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** Transitive closure of Dedup.clusterByMinhash: DuckDB's recursive CTE
     * computes, for every node of the candidate-pair graph, the set of
     * reachable nodes; min(reachable) is exactly the component label the

@@ -571,6 +571,14 @@ object Queries {
             "embedding", "vec_id", dim = 64, numPlanes = 6, minCosine = 0.2))
           .arrange("id_a", "id_b").df),
 
+      // k-means centroid builder (2 Lloyd rounds, quantized-sum means,
+      // cosine cells) — the production path for IVF cell assignment
+      "q_kmeans_assign" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Similarity.kmeansAssign(Tables.df(s, dir, "embeddings"),
+            "embedding", "vec_id", k = 8, iters = 2))
+          .arrange("vec_id").df),
+
       // brute-force cosine top-k (the ANN baseline; exact oracle)
       "q_ann_cosine" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -643,6 +651,7 @@ object Queries {
     "q_embed_dedup" -> OracleSql.embedDedup(),
     "q_ann_lsh" -> OracleSql.annLsh(),
     "q_ann_ivf" -> OracleSql.annIvf(),
+    "q_kmeans_assign" -> OracleSql.kmeansAssign(),
 
     "q_token_count" ->
       """SELECT doc_id,

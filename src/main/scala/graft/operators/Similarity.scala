@@ -143,6 +143,61 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** Lloyd's k-means over the embedding column (spherical: cosine
+    * assignment), the production centroid builder for [[ivfTopK]].
+    * Returns the final cell assignment `(vec_id, cell)` after `iters`
+    * centroid updates; cells are labeled by seed id (the k smallest
+    * corpus ids — deterministic, no RNG).
+    *
+    * Scale shape per iteration:
+    *  - assignment is a PURE PROJECTION: the k centroids are literal
+    *    arrays, each row computes its cosines and argmax inline — no
+    *    join, no shuffle, no window over the corpus;
+    *  - the centroid update is ONE shuffle of (cell, pos) partial sums
+    *    (map-side combine does the heavy lifting), then a k×dim-row
+    *    collect of the new centroids — an aggregate result, not data.
+    *
+    * Cross-engine exactness: element means go through quantized integer
+    * sums — `floor(val·S + 0.5)` summed as longs, divided once — because
+    * a plain double sum is partition-order-dependent and would never
+    * hash-match another engine. The division `sm / (cnt · S)` is two IEEE
+    * ops on identical inputs, so the DuckDB oracle replays the centroids,
+    * cosines, and argmax bit-exactly. Ties pick the smallest cell (first
+    * max position, cells in ascending order). */
+  def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                   k: Int = 8, iters: Int = 2,
+                   quantScale: Double = 1e6): DataFrame = {
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      toDoubleArray(col(vecCol)).as("v"))
+    var cents: Seq[(Long, Array[Double])] =
+      e.filter(col("vec_id") < k).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def assigned(): DataFrame = {
+      val cosArr = array(cents.map { case (_, c) =>
+        cosine(col("v"), array(c.toIndexedSeq.map(lit): _*)) }: _*)
+      val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
+      e.withColumn("__cc", cosArr)
+        .withColumn("cell", element_at(cellIds,
+          array_position(col("__cc"), array_max(col("__cc"))).cast("int")))
+        .drop("__cc")
+    }
+    for (_ <- 0 until iters) {
+      val elems = assigned()
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("val") * quantScale + lit(0.5)).cast("long")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"),
+          (col("sm").cast("double") / (col("cnt") * lit(quantScale))).as("cval"))
+      cents = elems.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x.getField("cval")).as("cv"))
+        .orderBy("cell")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    }
+    assigned().select(col("vec_id"), col("cell"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit
     * hyperplane hash; candidates share the bucket (multi-probe: flip up to
     * `probeBits` of the query's bits). Recall is tunable via plane count
