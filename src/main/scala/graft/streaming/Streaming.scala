@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface over the `events` table — beyond-reference
   * (the reference has no streaming at all, SURVEY.md §2.10).
@@ -69,6 +69,88 @@ object Streaming {
           val next = UserState(uid, n, last)
           state.update(next)
           next
+      }
+  }
+
+  /** Open-session state for [[statefulSessions]]. */
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** One closed session emitted by [[statefulSessions]]. */
+  case class SessionEmit(user_id: Long, session_start_us: Long,
+                         n_events: Long, dur_us: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` with
+    * EVENT-TIME TIMEOUTS — the fully-custom state machine that
+    * `session_window` can't express (emit-on-close with arbitrary
+    * per-session payload, CEP-style logic between events).
+    *
+    * Streaming behavior: each micro-batch folds a user's new events into
+    * the open session, EMITS every session closed by the gap rule, and
+    * arms an event-time timeout at `last + gap`; when the watermark
+    * passes that point with no new events, the timeout invocation closes
+    * and emits the open session and clears its state — so state size is
+    * one `OpenSession` per active user, bounded by the watermark, the
+    * shape that runs indefinitely on an unbounded feed.
+    *
+    * Batch behavior (`events.isStreaming == false`): timeouts don't
+    * exist, so the open session is flushed at end of group — the result
+    * is exactly the batch sessionizer's output (parity-tested against
+    * `operators.Sessionize`). Events are sorted in-memory per user per
+    * micro-batch (bounded by batch volume, not corpus size).
+    *
+    * Input needs `user_id: long`, `ts_us: long`, and `ts_utc: timestamp`;
+    * on a stream the caller must have applied `withWatermark` to
+    * `ts_utc`, which must flow INTO the stateful operator (Spark's
+    * checker rejects event-time timeouts if the watermarked column was
+    * projected away upstream). */
+  def statefulSessions(events: DataFrame, gapUs: Long): Dataset[SessionEmit] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    val streaming = events.isStreaming
+    val gapMs = gapUs / 1000L
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.selectExpr("user_id", "ts_us", "ts_utc")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionEmit](
+        OutputMode.Append, timeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          def close(o: OpenSession) =
+            SessionEmit(uid, o.start_us, o.n, o.last_us - o.start_us)
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator(close(o))
+          } else {
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            var open = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionEmit]
+            ts.foreach { t =>
+              open match {
+                case Some(o) if t - o.last_us <= gapUs =>
+                  open = Some(o.copy(last_us = math.max(o.last_us, t), n = o.n + 1))
+                case Some(o) =>
+                  out += close(o)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              if (streaming) {
+                state.update(o)
+                // must be beyond the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                  math.max(o.last_us / 1000L + gapMs,
+                    state.getCurrentWatermarkMs() + 1))
+              } else out += close(o) // batch: no more data will ever come
+            }
+            out.iterator
+          }
       }
   }
 

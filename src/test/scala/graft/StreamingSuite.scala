@@ -102,6 +102,53 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState sessions: batch path equals the lag-based sessionizer") {
+    import graft.operators.Sessionize
+    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    val gapUs = 30L * 60 * 1000000L
+    val got = Streaming.statefulSessions(events, gapUs)
+      .collect().map(e => (e.user_id, e.session_start_us, e.n_events, e.dur_us)).toSet
+    val want = Sessionize.withSessionId(events, "user_id", "ts_us",
+        gapTicks = gapUs, tieBreak = col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start"),
+        count(lit(1)).as("n"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessions run on a stream with event-time timeouts") {
+    val inDir = "/tmp/graft_stream_events"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val gapUs = 30L * 60 * 1000000L
+    val stream = withTsUtc(spark.readStream.schema(schema).parquet(inDir))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withWatermark("ts_utc", "2 hours")
+    val query = Streaming.statefulSessions(stream, gapUs).toDF()
+      .writeStream.format("memory").queryName("graft_fmgs")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_fmgs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: the full session set, and the per-user LAST session
+    // (which only a watermark timeout can close on the stream)
+    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    val all = Streaming.statefulSessions(events, gapUs)
+      .collect().map(e => (e.user_id, e.session_start_us, e.n_events, e.dur_us)).toSet
+    val lastPerUser = all.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    // every gap-closed session MUST be emitted in the data batch; the last
+    // session per user is emitted iff its timeout cleared the final
+    // watermark (engine timing), so only subset bounds hold for those
+    assert((all -- lastPerUser).subsetOf(got))
+    assert(got.subsetOf(all))
+    assert(got.nonEmpty)
+  }
+
   test("sliding-window rate runs on a stream and matches batch") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
