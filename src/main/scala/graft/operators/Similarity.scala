@@ -167,22 +167,41 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
                    k: Int = 8, iters: Int = 2,
                    quantScale: Double = 1e6): DataFrame = {
-    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+    val e = normalized(corpus, vecCol, idCol)
+    val cents = lloyd(e, k, iters, quantScale)
+    assignCells(e, cents).select(col("vec_id"), col("cell"))
+  }
+
+  /** The trained centroid vectors themselves, for feeding [[ivfTopK]]
+    * (cells relabel to 0-based list order there). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                      k: Int = 8, iters: Int = 2,
+                      quantScale: Double = 1e6): Seq[Array[Double]] =
+    lloyd(normalized(corpus, vecCol, idCol), k, iters, quantScale).map(_._2)
+
+  private def normalized(corpus: DataFrame, vecCol: String, idCol: String) =
+    corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))
+
+  /** Cell assignment as a pure projection against literal centroids. */
+  private def assignCells(e: DataFrame,
+                          cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val cosArr = array(cents.map { case (_, c) =>
+      cosine(col("v"), array(c.toIndexedSeq.map(lit): _*)) }: _*)
+    val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
+    e.withColumn("__cc", cosArr)
+      .withColumn("cell", element_at(cellIds,
+        array_position(col("__cc"), array_max(col("__cc"))).cast("int")))
+      .drop("__cc")
+  }
+
+  private def lloyd(e: DataFrame, k: Int, iters: Int,
+                    quantScale: Double): Seq[(Long, Array[Double])] = {
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    def assigned(): DataFrame = {
-      val cosArr = array(cents.map { case (_, c) =>
-        cosine(col("v"), array(c.toIndexedSeq.map(lit): _*)) }: _*)
-      val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
-      e.withColumn("__cc", cosArr)
-        .withColumn("cell", element_at(cellIds,
-          array_position(col("__cc"), array_max(col("__cc"))).cast("int")))
-        .drop("__cc")
-    }
     for (_ <- 0 until iters) {
-      val elems = assigned()
+      val elems = assignCells(e, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy("cell", "pos")
         .agg(sum(floor(col("val") * quantScale + lit(0.5)).cast("long")).as("sm"),
@@ -195,7 +214,7 @@ object Similarity {
         .orderBy("cell")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     }
-    assigned().select(col("vec_id"), col("cell"))
+    cents
   }
 
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit

@@ -24,6 +24,20 @@ class KMeansSuite extends SparkSpec {
       b.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
 
+  test("kmeansCentroids feed ivfTopK (the production IVF path)") {
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+      k = 4, iters = 2)
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    val out = Similarity.ivfTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") === 0),
+      centroids = cents, vecCol = "embedding", idCol = "vec_id",
+      queryIdCol = "vec_id", k = 5)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
   test("iters=0 reduces to nearest-seed assignment") {
     val emb = Tables.df(spark, sfDir, "embeddings")
     val a0 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 4, iters = 0)
