@@ -54,6 +54,20 @@ class CsvSuite extends SparkSpec {
     assert(!colStrings(DataTable(noSuv.df.select("class").distinct()), "class").contains("suv"))
   }
 
+  test("mpg grouped mutate cty + mean(hwy) golden (testDf.nim:2036-2071)") {
+    // the reference relies on a stable arrange('class') keeping file order
+    // within ties; reproduce that total order with an explicit row index
+    // (single partition -> monotonically_increasing_id is the file order)
+    val mpg = DataTable(Csv.readCsv(spark, mpgPath).coalesce(1)
+      .withColumn("__ord", monotonically_increasing_id()))
+    val r = mpg.groupBy("class")
+      .mutate("subMeanHwy" -> (col("cty") + avg(col("hwy")))).ungroup
+      .arrange("class", "__ord")
+    assert(r.df.count() == 234)
+    assertAllClose(colDoubles(r, "subMeanHwy").take(5),
+      Seq(40.8, 39.8, 40.8, 39.8, 39.8))
+  }
+
   test("unique on duplicated rows from CSV string (testDf.nim:1324-1340)") {
     val data =
       """t_in_s,  C1_in_V,  C2_in_V,  type

@@ -322,6 +322,34 @@ class VerbSuite extends SparkSpec {
     assertAllClose(colDoubles(fromY2, "y"), y2)
   }
 
+  test("transmute parses floats from a string column (testDf.nim:972-986)") {
+    val xs = 0 until 100
+    val yStr = xs.map(i => math.sin(i.toDouble).toString)
+    val yFloat = xs.map(i => math.sin(i.toDouble))
+    val df = toDf(spark)("x" -> xs, "y" -> yStr)
+    val r = df.transmute("x" -> col("x"), "yFloat" -> col("y").cast("double"))
+      .arrange("x")
+    assert(r.columns == Seq("x", "yFloat"))
+    assert(!r.columns.contains("y"))
+    assertAllClose(colDoubles(r, "yFloat"), yFloat)
+  }
+
+  test("gather 3 columns (testDf.nim:1006-1029 'Gather - 3 columns')") {
+    val xs = 0 until 100
+    val y1 = xs.map(i => math.sin(i.toDouble))
+    val y2 = xs.map(i => math.sin(i.toDouble - math.Pi / 2.0) - 0.5)
+    val y3 = xs.map(i => math.cos(i.toDouble - math.Pi / 2.0) - 0.5)
+    val df = toDf(spark)("x" -> xs, "y1" -> y1, "y2" -> y2, "y3" -> y3)
+    val long = df.gather(Seq("y1", "y2", "y3"), key = "from", value = "y")
+    assert(long.df.count() == 300)
+    assert(colStrings(long.selectCols(col("from")).unique().arrange("from"), "from")
+      == Seq("y1", "y2", "y3"))
+    assertAllClose(
+      colDoubles(long.filter(col("from") === "y2").arrange("x"), "y"), y2)
+    assertAllClose(
+      colDoubles(long.filter(col("from") === "y3").arrange("x"), "y"), y3)
+  }
+
   test("gather promotes int+float to double (withCombinedType, dataframe.nim:2205-2259)") {
     val df = toDf(spark)("id" -> Seq(1, 2), "a" -> Seq(1, 2), "b" -> Seq(0.5, 1.5))
     val long = df.gather(Seq("a", "b"), "k", "v")
