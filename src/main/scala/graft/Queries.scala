@@ -453,8 +453,43 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Dedup, Multimodal, Similarity}
+    import graft.operators.{Dedup, Multimodal, Pack, Sampling, Similarity}
     Map(
+
+      // deterministic hash sampling: reproducible 10% of the corpus,
+      // scan-local predicate (no RNG, no shuffle) — exact oracle
+      "q_sample_hash" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.hashSample(Tables.df(s, dir, "documents"), "doc_id", 0.1)
+            .select(col("doc_id")))
+          .arrange("doc_id").df),
+
+      // deterministic train/val/test split assignment (80/10/10)
+      "q_split" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.splitAssign(Tables.df(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .select(col("doc_id"), col("split")))
+          .arrange("doc_id").df),
+
+      // stratified rebalancing: per-language keep rates (corpus mixing)
+      "q_mixture" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.stratifiedHashSample(Tables.df(s, dir, "documents"),
+            "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.8))
+            .select(col("doc_id"), col("lang")))
+          .arrange("doc_id").df),
+
+      // sequence packing: shard-parallel greedy fill of 256-token
+      // training examples (window cumsum per shard)
+      "q_pack" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Pack.packGreedy(
+            Tables.df(s, dir, "documents")
+              .withColumn("n_tok", tokenCount(col("text"))),
+            "doc_id", "n_tok", budget = 256, shards = 8)
+            .select(col("doc_id"), col("shard"), col("example_id")))
+          .arrange("doc_id").df),
 
       // token counting: whitespace + BPE-ish regex
       "q_token_count" -> ((s: SparkSession, dir: String) =>
@@ -647,6 +682,49 @@ object Queries {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substring(md5('graft_sample_42_' || doc_id), 1, 12))::BIGINT
+        |        % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substring(md5('graft_split_42_' || doc_id), 1, 12))::BIGINT
+        |          % 1000000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5('graft_strat_42_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 AS b,
+        |    CASE WHEN lang = 'en' THEN 500000
+        |         WHEN lang = 'zh' THEN 800000
+        |         ELSE 1000000 END AS cut
+        |  FROM documents)
+        |WHERE b < cut ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('graft_pack_42_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, ((cum - n_tok) // 256)::BIGINT AS example_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
     "q_embed_dedup" -> OracleSql.embedDedup(),
     "q_ann_lsh" -> OracleSql.annLsh(),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash48
+
+/** Deterministic, reproducible corpus sampling — the selection layer of a
+  * training-data pipeline. Beyond-reference (the reference's `shuffle`/
+  * `randomHead` use process-local RNG, `dataframe.nim:2497-2541`).
+  *
+  * Everything here keys on a 48-bit md5 hash of (tag, seed, id) instead
+  * of an RNG: membership is a pure per-row projection, so samples are
+  *  - reproducible across runs, executors, and engines (the DuckDB
+  *    oracle replays them exactly — RNG-based sampling can only ever be
+  *    rows-only checked);
+  *  - stable under repartitioning and retries (a Spark `sample()` after
+  *    a shuffle can differ between task attempts);
+  *  - consistent across tables: any table sharing the id space selects
+  *    the SAME entities, giving free referentially-intact joins between
+  *    sampled fact tables.
+  * At 100 TB each sample/split/rate filter is a scan-local predicate —
+  * no shuffle, no state, prunes straight down onto the parquet scan.
+  */
+object Sampling {
+
+  private val Mod = 1000000L // hash buckets: rate resolution 1e-6
+
+  /** Uniform bucket in [0, Mod) from (tag, seed, id) — the sampling key. */
+  def hashBucket(idCol: Column, tag: String, seed: Long): Column =
+    pmod(hash48(concat(lit(s"graft_${tag}_${seed}_"), idCol.cast("string"))),
+      lit(Mod))
+
+  /** Keep a deterministic `fraction` of rows, keyed on `idCol`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: Long = 42L): DataFrame =
+    df.filter(hashBucket(col(idCol), "sample", seed) <
+      lit(math.floor(fraction * Mod).toLong))
+
+  /** Append a `split` column assigning each row to one of the named
+    * fractions (e.g. train/val/test). Weights must sum to ≤ 1; any
+    * remainder falls into the LAST split. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)],
+                  seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "splitAssign: no splits given")
+    val b = hashBucket(col(idCol), "split", seed)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * Mod).toLong)
+    val assigned = weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), rest) =>
+      when(b < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Stratified (per-stratum-rate) deterministic sampling: each stratum
+    * value keeps its own fraction — the language/source rebalancing step
+    * of corpus mixing. Strata absent from `rates` keep `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 1.0,
+                           seed: Long = 42L): DataFrame = {
+    val cut = rates.toSeq.sortBy(_._1).foldRight(
+      lit(math.floor(defaultRate * Mod).toLong): Column) {
+      case ((stratum, rate), rest) =>
+        when(col(stratumCol) === stratum,
+          lit(math.floor(rate * Mod).toLong)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), "strat", seed) < cut)
+  }
+
+  /** Deterministic global shuffle: a total order by sampling hash (ties
+    * broken by id). At scale this is ONE range-partitioned sort — exactly
+    * what a training-data writer needs to decorrelate adjacent documents
+    * — and, unlike `orderBy(rand())`, reproducible and engine-portable. */
+  def hashShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    df.orderBy(hashBucket(col(idCol), "shuffle", seed), col(idCol))
+}

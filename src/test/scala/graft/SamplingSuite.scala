@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.toDf
+import graft.operators.{Pack, Sampling}
+
+/** Deterministic sampling / splitting / packing invariants. */
+class SamplingSuite extends SparkSpec {
+
+  private def ids(n: Int) = toDf(spark)("id" -> (0 until n)).df
+
+  test("hashSample is deterministic and nested across fractions") {
+    val df = ids(2000)
+    val s10 = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b)                      // reproducible
+    assert(s10.subsetOf(s20))                // fractions nest (same key space)
+    assert(math.abs(s10.size - 200) < 80)    // roughly the asked fraction
+    val other = Sampling.hashSample(df, "id", 0.1, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != s10)                     // seed changes the sample
+  }
+
+  test("splitAssign partitions every row into the named splits") {
+    val df = ids(2000)
+    val split = Sampling.splitAssign(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("stratifiedHashSample keeps full strata at default rate") {
+    val df = toDf(spark)(
+      "id" -> (0 until 1000),
+      "g" -> (0 until 1000).map(i => if (i % 2 == 0) "keep" else "thin")).df
+    val out = Sampling.stratifiedHashSample(df, "id", "g", Map("thin" -> 0.2))
+    val counts = out.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("keep") == 500)            // default rate 1.0: untouched
+    assert(counts("thin") < 200)             // thinned well below half
+  }
+
+  test("hashShuffle is a deterministic permutation") {
+    val df = ids(500)
+    val a = Sampling.hashShuffle(df, "id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.hashShuffle(df, "id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.sorted != a)                    // actually permuted
+    assert(a.sorted == (0L until 500L).toSeq)
+  }
+
+  test("packGreedy: examples fill the budget, ids monotone within shard") {
+    val n = 400
+    val df = toDf(spark)(
+      "id" -> (0 until n),
+      "n_tok" -> (0 until n).map(i => 10 + i % 90)).df
+    val packed = Pack.packGreedy(df, "id", "n_tok", budget = 256, shards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getLong(0),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("example_id")))
+    assert(packed.length == n)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2)
+      // example ids start at 0 and never decrease along the shard stream
+      assert(byId.head._4 == 0L)
+      assert(byId.sliding(2).forall { case Array(a, b) => a._4 <= b._4; case _ => true })
+      // replay the greedy rule: example = (cum - n) / budget
+      var cum = 0L
+      byId.foreach { case (_, _, tok, ex) =>
+        assert(ex == cum / 256L)
+        cum += tok
+      }
+    }
+  }
+}
