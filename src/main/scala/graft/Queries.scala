@@ -373,6 +373,23 @@ object Queries {
     // streaming session_window; integer arithmetic in MICROS (DuckDB's
     // native timestamp resolution — nanos would truncate on the oracle
     // side), exact oracle
+    // as-of join: each purchase gets the user's most recent prior view —
+    // the point-in-time lookup Spark lacks as an operator; implemented as
+    // union + one window (no inequality-join explosion); DuckDB's native
+    // ASOF JOIN is the oracle
+    "q_asof_join" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.api.DataTable(
+        graft.operators.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us", payload = Seq("view_event_id")))
+        .arrange("event_id").df
+    }),
+
     "q_sessionize" -> ((s: SparkSession, dir: String) =>
       graft.api.DataTable(
         graft.operators.Sessionize.sessionStats(
@@ -1073,6 +1090,19 @@ object Queries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |       r.ts_us AS asof_ts, r.view_event_id AS asof_view_event_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (
