@@ -548,6 +548,16 @@ object Queries {
               .as("lang_guess"))
           .arrange("doc_id").df),
 
+      // lexical-diversity / repetition quality signals
+      "q_diversity" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .withColumn("__toks", tokens(col("text")))
+            .select(col("doc_id"),
+              typeTokenRatioFromTokens(col("__toks")).as("ttr"),
+              topTokenRatioFromTokens(col("__toks")).as("top_tok_ratio")))
+          .arrange("doc_id").df),
+
       // document fingerprinting (md5 of normalized text)
       "q_fingerprint" -> ((s: SparkSession, dir: String) =>
         Tables(s, dir, "documents")
@@ -699,6 +709,15 @@ object Queries {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
+
+    "q_diversity" ->
+      """SELECT doc_id,
+        |  len(list_distinct(toks)) / len(toks) AS ttr,
+        |  list_max(list_transform(list_distinct(toks),
+        |    t -> len(list_filter(toks, x -> x = t)))) / len(toks) AS top_tok_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

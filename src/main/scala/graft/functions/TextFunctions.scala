@@ -95,6 +95,29 @@ object TextFunctions {
   def qualityScore(c: Column, stopwords: Seq[String]): Column =
     qualityFromParts(stopwordRatio(c, stopwords), meanTokenLen(c), punctRatio(c))
 
+  /** Lexical diversity (type-token ratio): distinct tokens / tokens.
+    * Low values flag template/boilerplate text (Gopher-style repetition
+    * signal). Pass a PRE-COMPUTED token-array column (no-recompute rule). */
+  def typeTokenRatioFromTokens(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Fraction of the document taken by its most frequent token — the
+    * companion repetition signal. Per-doc quadratic in DISTINCT tokens
+    * (bounded by doc length; corpus docs are short); pass a pre-computed
+    * token-array column. */
+  def topTokenRatioFromTokens(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("double") /
+      size(toks).cast("double")
+
+  /** PII scrubbing: emails and URLs replaced by typed placeholders.
+    * Conservative patterns shared by Java and RE2 regex dialects, so the
+    * same expression replays in any engine. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Public common-word lists, truncated. */
   val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
