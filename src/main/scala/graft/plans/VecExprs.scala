@@ -35,16 +35,20 @@ case class VecDot(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
     val (fx, fy) = (isFloat(left), isFloat(right))
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -60,6 +64,12 @@ case class VecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      // null-element checks only when the schema admits null slots — the
+      // hot loop over containsNull=false embeddings stays branch-free
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |double $acc = 0.0;
@@ -67,7 +77,7 @@ case class VecDot(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $nullCheck
          |    $acc += $getX * $getY;
          |  }
          |}
