@@ -72,6 +72,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop repeats of `keyCols` as they arrive.
+    * `dropDuplicatesWithinWatermark` bounds the state store to keys seen
+    * within the watermark horizon — the only dedup that runs forever on
+    * an unbounded feed (a plain `dropDuplicates` on a stream retains
+    * every key ever seen). Batch execution degrades to plain
+    * `dropDuplicates` — same semantics, no state. The caller must have
+    * applied `withWatermark` on a stream. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming) events.dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Open-session state for [[statefulSessions]]. */
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
 

@@ -29,6 +29,33 @@ class AsOfSuite extends SparkSpec {
       (4L, None, None)))            // key b: no right rows at all
   }
 
+  test("joinAsOf matches a brute-force reference on pseudo-random data") {
+    // deterministic pseudo-random workload (fixed seed): 3 keys, dense
+    // timestamp collisions to stress ties and empty keys
+    val rnd = new scala.util.Random(20260812L)
+    val leftRows = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong))
+    val rightRows = (0 until 200).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(50).toLong, 1000L + i))
+    val left = toDf(spark)(
+      "k" -> leftRows.map(_._1), "lts" -> leftRows.map(_._2),
+      "lid" -> leftRows.map(_._3)).df
+    val right = toDf(spark)(
+      "k" -> rightRows.map(_._1), "rts" -> rightRows.map(_._2),
+      "pay" -> rightRows.map(_._3)).df
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts", Seq("pay"),
+      rightTieBreak = col("pay"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("lid"),
+        Option(r.getAs[Any]("asof_pay")).map(_.asInstanceOf[Long]))).toSet
+    val want = leftRows.map { case (k, lts, lid) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 <= lts)
+      val best = if (candidates.isEmpty) None
+        else Some(candidates.maxBy(r => (r._2, r._3))._3) // latest ts, then max tiebreak
+      (k, lid, best)
+    }.toSet
+    assert(got == want)
+  }
+
   test("joinAsOf resolves right-ts ties by greatest tiebreak") {
     val left = toDf(spark)("k" -> Seq("a"), "lts" -> Seq(10), "lid" -> Seq(1)).df
     val right = toDf(spark)(

@@ -149,6 +149,27 @@ class StreamingSuite extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamingDedup drops duplicate keys within the watermark") {
+    val inDir = "/tmp/graft_stream_events"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // duplicate every event: read the same file twice via union upstream
+    // is not possible on one file source, so duplicate a key instead:
+    // user_id collides heavily -> dedup on user_id must emit each once
+    val stream = withTsUtc(spark.readStream.schema(schema).parquet(inDir))
+      .withWatermark("ts_utc", "2 hours")
+    val query = Streaming.streamingDedup(stream, Seq("user_id"))
+      .select("user_id")
+      .writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_dedup").collect().map(_.getLong(0)).toSeq
+    val want = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty)
+    assert(got.sorted == want.sorted) // each user exactly once
+  }
+
   test("sliding-window rate runs on a stream and matches batch") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
