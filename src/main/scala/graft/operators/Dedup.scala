@@ -312,9 +312,12 @@ object Dedup {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("component"))
+    // seed with one free propagation round: label_0 = min(id, neighbors)
+    // (one aggregation over the cached edges, no join, no change-count)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__m")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
