@@ -44,6 +44,23 @@ class SamplingSuite extends SparkSpec {
     assert(counts("thin") < 200)             // thinned well below half
   }
 
+  test("hashSample keys by entity: same ids selected across tables") {
+    // orders and lineitem share the order-key space: sampling each table
+    // at the same fraction/seed must select the SAME orders, so sampled
+    // lineitems always have their order (referential integrity for free)
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumnRenamed("o_orderkey", "k")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "k")
+    val so = Sampling.hashSample(orders, "k", 0.2)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val sl = Sampling.hashSample(lineitem, "k", 0.2)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(sl.nonEmpty)
+    assert(sl.subsetOf(so)) // every sampled lineitem's order was sampled
+  }
+
   test("hashShuffle is a deterministic permutation") {
     val df = ids(500)
     val a = Sampling.hashShuffle(df, "id").collect().map(_.getLong(0)).toSeq
