@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches. Beyond-reference surface.
   *
-  * The decode step is a deliberate STUB (no media libraries in this
-  * environment): [[decodeStub]] derives deterministic fake features from
-  * the bytes. Everything around it — the schema contract, the typed
-  * Dataset batch shape, partition-local processing with no driver
-  * involvement — is the real production plumbing; swapping the stub for a
-  * JNI/FFmpeg decoder changes one function.
+  * Image blobs (media_type starting `image/`) are decoded FOR REAL via the JDK's
+  * `javax.imageio` (PNG/BMP/GIF/JPEG — no external libraries needed):
+  * true dimensions plus mean luminance. Audio/video decode remains a
+  * deliberate STUB ([[decodeStub]] — no codec libraries in this
+  * environment): deterministic fake features from the bytes. Everything
+  * around both — the schema contract, the typed Dataset batch shape,
+  * partition-local processing with no driver involvement — is the real
+  * production plumbing; swapping the stub for a JNI/FFmpeg decoder
+  * changes one function.
   */
 object Multimodal {
 
@@ -36,6 +39,41 @@ object Multimodal {
       n, (64 + n % 512).toInt, (64 + (n * 31) % 512).toInt, mean)
   }
 
+  /** REAL image decode via the JDK's ImageIO: actual width/height and
+    * mean luminance (ITU-R BT.601 integer weights over all pixels).
+    * Returns null features (size only) for bytes ImageIO cannot parse —
+    * corrupt blobs must not kill a 100 TB job. */
+  def decodeImage(b: MediaBlob): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.blob))
+      catch { case _: Throwable => null }
+    if (img == null)
+      MediaFeatures(b.doc_id, b.media_type, b.blob.length.toLong, -1, -1, -1.0)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer luma (BT.601): deterministic, no float accumulation
+          sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(b.doc_id, b.media_type, b.blob.length.toLong, w, h,
+        sum.toDouble / (w.toLong * h))
+    }
+  }
+
+  /** Typed dispatch: real decoder where the JDK has one, stub elsewhere. */
+  def decode(b: MediaBlob): MediaFeatures =
+    if (b.media_type != null && b.media_type.startsWith("image/")) decodeImage(b)
+    else decodeStub(b)
+
   /** Batch feature extraction: partition-local map over a typed Dataset.
     * The `mapPartitions` boundary is where a real decoder would amortize
     * per-batch setup (model load, codec init) — the Scala analog of a
@@ -44,7 +82,7 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition setup would go here (codec/model init)
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 

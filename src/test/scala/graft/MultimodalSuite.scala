@@ -11,10 +11,36 @@ class MultimodalSuite extends SparkSpec {
   private def blobs = {
     val s = spark
     import s.implicits._
+    // video/audio types: the stub-decoder path (image/* decodes for real)
     Seq(
-      MediaBlob(1L, "image/fake", Array.tabulate(100)(_.toByte)),
-      MediaBlob(2L, "image/fake", Array.tabulate(700)(i => (i % 251).toByte)),
+      MediaBlob(1L, "video/fake", Array.tabulate(100)(_.toByte)),
+      MediaBlob(2L, "video/fake", Array.tabulate(700)(i => (i % 251).toByte)),
       MediaBlob(3L, "audio/fake", Array.emptyByteArray)).toDS()
+  }
+
+  private def pngBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image/* blobs decode FOR REAL through the JDK's ImageIO") {
+    val s = spark
+    import s.implicits._
+    val red = pngBytes(5, 3, (_, _) => 0xFF0000)       // luma 299*255/1000 = 76
+    val gray = pngBytes(4, 4, (_, _) => 0x808080)      // luma 0x80 = 128
+    val ds = Seq(
+      MediaBlob(1L, "image/png", red),
+      MediaBlob(2L, "image/png", gray),
+      MediaBlob(3L, "image/png", "not an image".getBytes("UTF-8"))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(f(0).width == 5 && f(0).height == 3 && f(0).mean_byte == 76.0)
+    assert(f(1).width == 4 && f(1).height == 4 && f(1).mean_byte == 128.0)
+    assert(f(2).width == -1 && f(2).height == -1)      // corrupt: flagged, not fatal
+    assert(f(2).n_bytes == 12L)
   }
 
   test("extractFeatures is deterministic and partition-local") {
