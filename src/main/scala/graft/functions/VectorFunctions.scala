@@ -35,7 +35,18 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity as the FUSED single-pass kernel
+    * (graftshim.VecCosine): one traversal accumulates a·b, a·a, b·b —
+    * same IEEE op sequence as the unfused three-dot form (bit-identical,
+    * pinned in VecExprSuite) at a third of the array passes. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.{Shim, VecCosine}
+    Shim.toColumn(VecCosine(Shim.toExpression(a), Shim.toExpression(b)))
+  }
+
+  /** Unfused three-dot formulation — kept for the bit-identity pin. */
+  private[graft] def cosineUnfused(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column =

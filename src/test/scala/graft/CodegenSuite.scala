@@ -57,6 +57,8 @@ class CodegenSuite extends SparkSpec {
       val emb = Tables.df(spark, sfDir, "embeddings")
       val d = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
       assert(d.limit(1).head().getDouble(0) > 0.0)
+      val c = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      assert(math.abs(c.limit(1).head().getDouble(0) - 1.0) < 1e-9)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftExtensions
+import graft.functions.VectorFunctions
+
+/** SQL-surface registration and the cosine fusion rule. */
+class ExtensionsSuite extends SparkSpec {
+
+  test("registered SQL functions run the graft kernels") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c,
+        |       graft_simhash48('the quick brown fox') AS sh""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // same simhash the Scala API computes
+    val viaApi = spark.sql("SELECT 'the quick brown fox' AS t")
+      .select(org.apache.spark.sql.graftshim.Shim.toColumn(
+        org.apache.spark.sql.graftshim.SimHashText(
+          org.apache.spark.sql.graftshim.Shim.toExpression(col("t")))))
+      .head().getLong(0)
+    assert(r.getLong(2) == viaApi)
+  }
+
+  test("FuseCosine rewrites the unfused pattern into one VecCosine kernel") {
+    GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
+    val unfused = emb.select(
+      (VectorFunctions.dot(col("embedding"), col("embedding")) /
+        (VectorFunctions.norm(col("embedding")) *
+          VectorFunctions.norm(col("embedding")))).as("c"))
+    val optimized = unfused.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_cosine"),
+      s"cosine pattern not fused:\n$optimized")
+    assert(math.abs(unfused.limit(1).head().getDouble(0) - 1.0) < 1e-9)
+  }
+}

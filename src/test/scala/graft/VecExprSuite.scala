@@ -74,4 +74,24 @@ class VecExprSuite extends SparkSpec {
     val self = arr.select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)
     assert(almostEqual(self, 1.0))
   }
+
+  test("fused VecCosine is bit-identical to the unfused three-dot form") {
+    // pseudo-random doubles with a fixed seed; the fused kernel must
+    // reproduce dot/(sqrt*sqrt) EXACTLY (same op sequence), not merely
+    // approximately — the DuckDB oracle replays the unfused arithmetic
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.fill(17)(rnd.nextDouble() * 2 - 1),
+        Array.fill(17)(rnd.nextDouble() * 2 - 1))
+    }
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("id", "a", "b")
+    val fused = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    val unfused = df.select(col("id"), VectorFunctions.cosineUnfused(col("a"), col("b")))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(fused == unfused) // exact ==, not almostEqual
+  }
 }
