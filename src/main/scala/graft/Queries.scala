@@ -548,6 +548,17 @@ object Queries {
               .as("lang_guess"))
           .arrange("doc_id").df),
 
+      // exact percentiles of an integer measure per language (corpus
+      // length profile; interpolated like SQL percentile_cont)
+      "q_percentiles" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .groupBy(col("lang"))
+            .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("p"))
+            .select(col("lang"), col("p")(0).as("p25"), col("p")(1).as("p50"),
+              col("p")(2).as("p75"), col("p")(3).as("p90")))
+          .arrange("lang").df),
+
       // lexical-diversity / repetition quality signals
       "q_diversity" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -709,6 +720,14 @@ object Queries {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
+
+    "q_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_diversity" ->
       """SELECT doc_id,
