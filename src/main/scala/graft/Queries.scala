@@ -548,6 +548,27 @@ object Queries {
               .as("lang_guess"))
           .arrange("doc_id").df),
 
+      // corpus vocabulary: top-50 tokens by frequency (canonical
+      // explode -> partial-agg wordcount; deterministic tiebreak)
+      "q_vocab" -> ((s: SparkSession, dir: String) =>
+        Tables.df(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50)),
+
+      // feature-hashing embeddings: dim-64 count vector per doc, checked
+      // through exact scalar projections (nnz / l2sq / argmax bucket)
+      "q_feature_hash" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .withColumn("__v", featureHash(col("text"), 64))
+            .select(col("doc_id"),
+              size(filter(col("__v"), x => x > 0)).cast("long").as("nnz"),
+              aggregate(col("__v"), lit(0L), (acc, x) => acc + x * x).as("l2sq"),
+              array_position(col("__v"), array_max(col("__v"))).as("top_bucket")))
+          .arrange("doc_id").df),
+
       // exact percentiles of an integer measure per language (corpus
       // length profile; interpolated like SQL percentile_cont)
       "q_percentiles" -> ((s: SparkSession, dir: String) =>
@@ -720,6 +741,28 @@ object Queries {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
+
+    "q_vocab" ->
+      """SELECT token, COUNT(*)::BIGINT AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64) AS hs
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j -> len(list_filter(hs, h -> h = j))) AS v
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(list_filter(v, x -> x > 0))::BIGINT AS nnz,
+        |  list_aggregate(list_transform(v, x -> x * x), 'sum')::BIGINT AS l2sq,
+        |  list_position(v, list_max(v))::BIGINT AS top_bucket
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT lang,

@@ -110,6 +110,20 @@ object TextFunctions {
       t => size(filter(toks, x => x === t)))).cast("double") /
       size(toks).cast("double")
 
+  /** Feature-hashing (hashing-trick) bag-of-words embedding: token →
+    * md5-bucket, `dim`-length count vector. The deterministic, vocab-free
+    * text vectorizer (hashing vectorizer) — enough to drive the ANN /
+    * near-dup machinery without a model. Token hashes are computed ONCE
+    * into their own array before the fold (no-recompute rule); the fold
+    * is O(tokens × dim) interpreted — fine for profile-sized dims; a
+    * codegen kernel à la MinHashSig is the path if dim grows. */
+  def featureHash(c: Column, dim: Int): Column = {
+    val hs = transform(tokens(c), t => pmod(hash48(t), lit(dim.toLong)))
+    aggregate(hs, array_repeat(lit(0L), dim),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(dim - 1L)),
+        (a, j) => a + when(h === j, lit(1L)).otherwise(lit(0L))))
+  }
+
   /** PII scrubbing: emails and URLs replaced by typed placeholders.
     * Conservative patterns shared by Java and RE2 regex dialects, so the
     * same expression replays in any engine. */

@@ -65,6 +65,18 @@ class CodegenSuite extends SparkSpec {
     }
   }
 
+  test("top-k rank filter gets WindowGroupLimit pruning (partial + final)") {
+    // the Similarity top-k path relies on Catalyst's InferWindowGroupLimit
+    // turning `row_number <= k` into partial/final WindowGroupLimit nodes —
+    // without it the final rank window materializes every pruned candidate
+    val emb = Tables.df(spark, sfDir, "embeddings")
+    val out = graft.operators.Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") === 0),
+      vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("SimHashText compiles into a WholeStageCodegen span") {
     val docs = Tables.df(spark, sfDir, "documents")
     val sigOnly = docs.select(
