@@ -113,11 +113,17 @@ object TextFunctions {
   /** Feature-hashing (hashing-trick) bag-of-words embedding: token →
     * md5-bucket, `dim`-length count vector. The deterministic, vocab-free
     * text vectorizer (hashing vectorizer) — enough to drive the ANN /
-    * near-dup machinery without a model. Token hashes are computed ONCE
-    * into their own array before the fold (no-recompute rule); the fold
-    * is O(tokens × dim) interpreted — fine for profile-sized dims; a
-    * codegen kernel à la MinHashSig is the path if dim grows. */
+    * near-dup machinery without a model. Codegen'd single-kernel
+    * expression (graftshim.FeatureHashText): one O(tokens) compiled pass,
+    * pinned bit-identical to the HOF reference form in TextSuite. */
   def featureHash(c: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftshim.{FeatureHashText, Shim}
+    Shim.toColumn(FeatureHashText(Shim.toExpression(c), dim))
+  }
+
+  /** Interpreted HOF formulation of [[featureHash]] (the O(tokens × dim)
+    * fold the kernel replaced) — kept for the bit-identity pin. */
+  private[graft] def featureHashHof(c: Column, dim: Int): Column = {
     val hs = transform(tokens(c), t => pmod(hash48(t), lit(dim.toLong)))
     aggregate(hs, array_repeat(lit(0L), dim),
       (acc, h) => zip_with(acc, sequence(lit(0L), lit(dim - 1L)),

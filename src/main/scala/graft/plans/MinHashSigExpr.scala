@@ -87,6 +87,20 @@ object GraftHash {
     new GenericArrayData(acc)
   }
 
+  /** Feature-hashing count vector from raw text: token → md5-48 % dim,
+    * `dim` bucket counts. One pass over the tokens. */
+  def featureHash(text: UTF8String, dim: Int): GenericArrayData = {
+    val ts = tokens(text)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < ts.length) {
+      val b = (hash48(ts(i).getBytes("UTF-8")) % dim).toInt
+      counts(b) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** 48-bit SimHash from raw text (token hashes NOT folded mod p —
     * matching the Column-API formulation it replaces). */
   def simhash48(text: UTF8String): Long = {
@@ -147,6 +161,30 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int,
     val gh = GraftHash.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, text =>
       s"${ev.value} = $gh.minhashSig($text, $k, $shingleSize, $aRef, $bRef, ${p}L, ${c}L);")
+  }
+}
+
+/** Codegen'd feature-hashing (hashing-trick) count vector from the raw
+  * text column — same design as [[MinHashSig]]: one compiled kernel call
+  * (tokenize → md5 → bucket counts), projection stays inside whole-stage
+  * codegen. Replaces an interpreted O(tokens × dim) HOF fold with an
+  * O(tokens) loop. */
+case class FeatureHashText(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "feature_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashText =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.featureHash(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
   }
 }
 

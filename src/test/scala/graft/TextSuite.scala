@@ -20,6 +20,20 @@ class TextSuite extends SparkSpec {
     assert(r.contains("no pii here at all"))
   }
 
+  test("FeatureHashText kernel equals the HOF fold (incl. empty/whitespace)") {
+    val df = toDf(spark)("id" -> Seq(1, 2, 3, 4), "t" -> Seq(
+      "the quick brown fox the quick",
+      "a",
+      "  tabs\tand\nnewlines  ",
+      "")).df
+    val viaKernel = df.select(col("id"), featureHash(col("t"), 16).as("v"))
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    val viaHof = df.select(col("id"), featureHashHof(col("t"), 16).as("v"))
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    assert(viaKernel == viaHof)
+    assert(viaKernel.head.sum == 6L) // six tokens counted
+  }
+
   test("type-token and top-token ratios") {
     val df = toDf(spark)("id" -> Seq(1), "t" -> Seq("a b a a c")).df
       .withColumn("toks", tokens(col("t")))
