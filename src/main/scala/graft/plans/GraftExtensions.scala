@@ -5,7 +5,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -56,7 +56,15 @@ object GraftExtensions {
     ("vec_cosine", info("vec_cosine", "vec_cosine(a, b) - fused cosine similarity"),
       (es: Seq[Expression]) => VecCosine(es(0), es(1))),
     ("graft_simhash48", info("graft_simhash48", "graft_simhash48(text) - 48-bit SimHash"),
-      (es: Seq[Expression]) => SimHashText(es(0))))
+      (es: Seq[Expression]) => SimHashText(es(0))),
+    ("graft_feature_hash",
+      info("graft_feature_hash",
+        "graft_feature_hash(text, dim) - hashing-trick count vector (dim must be a literal)"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(d: Int, _) => FeatureHashText(es(0), d)
+        case other => throw new IllegalArgumentException(
+          s"graft_feature_hash: dim must be an integer literal, got $other")
+      }))
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit = {

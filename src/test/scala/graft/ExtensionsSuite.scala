@@ -22,6 +22,9 @@ class ExtensionsSuite extends SparkSpec {
           org.apache.spark.sql.graftshim.Shim.toExpression(col("t")))))
       .head().getLong(0)
     assert(r.getLong(2) == viaApi)
+    val fh = spark.sql("SELECT graft_feature_hash('a b a', 8) AS v").head()
+      .getSeq[Long](0)
+    assert(fh.length == 8 && fh.sum == 3L && fh.max == 2L)
   }
 
   test("FuseCosine rewrites the unfused pattern into one VecCosine kernel") {
