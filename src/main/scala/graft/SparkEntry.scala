@@ -15,16 +15,31 @@ import graft.sources.Tables
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Exercises scan → filter → grouped aggregate → sort through the verb
-    * layer (the reference's canonical pipeline, SURVEY.md §7.3). */
-  def entry(spark: SparkSession): DataFrame =
-    Tables(spark, "/root/testdata/sf0.001", "lineitem")
-      .filter(col("l_quantity") < 45)
-      .groupBy("l_returnflag", "l_linestatus")
-      .summarize(
-        "sum_qty" -> sum(col("l_quantity")),
-        "n" -> count(lit(1)))
-      .df
+    * An end-to-end CORPUS CURATION pipeline — the composition this engine
+    * exists for: quality-score filter → language ID → exact dedup
+    * survivors → deterministic train/val/test split → per-(split, lang)
+    * rollup. Every stage is an operator proven individually by the oracle
+    * gate; entry() shows them composing into one Catalyst plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val scored = docs
+      .withColumn("__stop", stopwordRatio(col("text"), StopwordsEn))
+      .withColumn("__mtl", meanTokenLen(col("text")))
+      .withColumn("__punct", punctRatio(col("text")))
+      .withColumn("quality",
+        qualityFromParts(col("__stop"), col("__mtl"), col("__punct")))
+      .withColumn("lang_guess", langGuess(col("text")))
+      .filter(col("quality") > 0.1)
+    val deduped = Dedup.exact(scored, "text", "doc_id")
+    val split = Sampling.splitAssign(deduped, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    split.groupBy(col("split"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dups") - 1).as("n_dups_removed"))
+      .orderBy("split", "lang_guess")
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
