@@ -336,6 +336,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(
+        s"[graft] connectedComponents: not converged after $maxIter rounds " +
+          s"($changed labels still changing) — results are an upper bound; " +
+          "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist()
     labels
   }

@@ -43,6 +43,9 @@ object Sampling {
                   weights: Seq[(String, Double)],
                   seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "splitAssign: no splits given")
+    require(weights.forall(_._2 > 0), "splitAssign: weights must be positive")
+    require(weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"splitAssign: weights sum to ${weights.map(_._2).sum} > 1")
     val b = hashBucket(col(idCol), "split", seed)
     val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.floor(c * Mod).toLong)

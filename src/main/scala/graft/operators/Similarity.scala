@@ -200,6 +200,9 @@ object Similarity {
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty,
+      s"kmeansAssign: no seed vectors with id < $k — ids must start near 0 " +
+        "(deterministic seeding keys on the k smallest ids)")
     for (_ <- 0 until iters) {
       val elems = assignCells(e, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
