@@ -497,6 +497,17 @@ object Queries {
             .select(col("doc_id"), col("lang")))
           .arrange("doc_id").df),
 
+      // context-window chunking: 32-token windows every 24 tokens
+      // (overlap 8); chunk text checked via md5 fingerprint
+      "q_chunk" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Pack.chunkDocuments(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 100),
+            "doc_id", "text", chunkTokens = 32, stride = 24)
+            .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+              md5(col("chunk_text").cast("binary")).as("chunk_fp")))
+          .arrange("doc_id", "chunk_id").df),
+
       // sequence packing: shard-parallel greedy fill of 256-token
       // training examples (window cumsum per shard)
       "q_pack" -> ((s: SparkSession, dir: String) =>
@@ -808,6 +819,19 @@ object Queries {
         |         ELSE 1000000 END AS cut
         |  FROM documents)
         |WHERE b < cut ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 24)) AS st
+        |  FROM t)
+        |SELECT doc_id, (st / 24)::BIGINT AS chunk_id,
+        |  len(toks[st + 1 : st + 32])::BIGINT AS n_tok,
+        |  md5(array_to_string(toks[st + 1 : st + 32], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_pack" ->
       """WITH t AS (

@@ -37,4 +37,26 @@ object Pack {
         ((col("__cum") - col(tokensCol)) / lit(budget)).cast("long"))
       .drop("__cum")
   }
+
+  /** Context-window chunking — the other half of sequence preparation:
+    * split each document into token windows of `chunkTokens`, starting
+    * every `stride` tokens (stride < chunkTokens ⇒ overlap). One row per
+    * chunk: `(id, chunk_id, n_tok, chunk_text)`. Pure per-row explode —
+    * no shuffle, no state; chunk count per doc is ceil(tokens/stride).
+    * Trailing chunks may be shorter than `chunkTokens` (kept: they carry
+    * the document tail). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    import graft.functions.TextFunctions.tokens
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

@@ -70,6 +70,22 @@ class SamplingSuite extends SparkSpec {
     assert(a.sorted == (0L until 500L).toSeq)
   }
 
+  test("chunkDocuments windows with stride overlap and keeps the tail") {
+    val df = toDf(spark)(
+      "id" -> Seq(1),
+      "t" -> Seq((1 to 10).map(i => s"w$i").mkString(" "))).df
+    val chunks = Pack.chunkDocuments(df, "id", "t", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tok"),
+        r.getAs[String]("chunk_text")))
+    // starts at 0,3,6,9 over 10 tokens; window 4; tail shorter
+    assert(chunks.toSeq == Seq(
+      (0L, 4L, "w1 w2 w3 w4"),
+      (1L, 4L, "w4 w5 w6 w7"),
+      (2L, 4L, "w7 w8 w9 w10"),
+      (3L, 1L, "w10")))
+  }
+
   test("packGreedy: examples fill the budget, ids monotone within shard") {
     val n = 400
     val df = toDf(spark)(
