@@ -88,6 +88,14 @@ class CsvSuite extends SparkSpec {
     assert(df.df.schema("type").dataType == StringType)
   }
 
+  test("user headers starting with _c are NOT renamed (only synthetic _cN)") {
+    val df = Csv.parseCsvString(spark,
+      """_cost,_category,x
+        |1.5,a,10
+        |2.5,b,20""".stripMargin)
+    assert(df.columns.toSeq == Seq("_cost", "_category", "x"))
+  }
+
   test("custom column names on headerless data (testDf.nim:1384-1407)") {
     val data =
       """-3.0000E-06,  -2.441E-04,  -6.836E-04,  T1
