@@ -632,6 +632,17 @@ object Queries {
             "text", "doc_id", n = 5, minJaccard = 0.25))
           .arrange("id_a", "id_b").df),
 
+      // edit-distance similarity join over normalized 32-char prefixes
+      // (gram-prefilter + levenshtein verify; oracle replays the filter)
+      "q_edit_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.editDistancePairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 60)
+              .withColumn("prefix",
+                substring(normalizeText(col("text")), 1, 32)),
+            "prefix", "doc_id", maxDist = 16))
+          .arrange("id_a", "id_b").df),
+
       // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
       "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -782,6 +793,27 @@ object Queries {
         |  quantile_cont(n_chars, 0.75) AS p75,
         |  quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_edit_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS s
+        |  FROM documents WHERE doc_id < 60),
+        |g AS (
+        |  SELECT doc_id, s, unnest(list_distinct(
+        |    CASE WHEN length(s) <= 4 THEN [s]
+        |         ELSE list_transform(range(0, length(s) - 3),
+        |                i -> substring(s, CAST(i + 1 AS INT), 4)) END)) AS gr
+        |  FROM t),
+        |ok AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) BETWEEN 2 AND 256),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.gr = a.gr)
+        |SELECT id_a, id_b, levenshtein(s_a, s_b)::BIGINT AS dist
+        |FROM pairs
+        |WHERE abs(length(s_a) - length(s_b)) <= 16 AND levenshtein(s_a, s_b) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_diversity" ->
       """SELECT doc_id,

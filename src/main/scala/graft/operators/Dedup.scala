@@ -257,6 +257,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance similarity join: candidate pairs share at least one
+    * character n-gram (bucket join with skew cap — the retrieved
+    * string-similarity-join literature's filter-verify shape), verified
+    * with exact `levenshtein <= maxDist` after a cheap length filter.
+    * CANDIDATE-BASED like the LSH ops: recall is what the gram filter
+    * gives (guaranteed only for maxDist < ceil(len/n) by the q-gram
+    * bound); the oracle replays the same candidate generation. Input
+    * `strCol` should be pre-normalized/truncated by the caller. */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
+                        maxDist: Int, n: Int = 4,
+                        bucketCap: Int = 256): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(strCol).as("s"),
+      array_distinct(charNgrams(col(strCol), n)).as("gs"))
+    val banded = t.select(col("id"), col("s"), explode(col("gs")).as("g"))
+    val buckets = banded.groupBy(col("g"))
+      .agg(collect_list(struct(col("id"), col("s"))).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+    buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
+        |       m1.s as s_a, m2.s as s_b), null)), p -> p is not null)))"""
+        .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.s_a"), col("p.s_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ------------------------------------------------------------- embedding
 
   /** Embedding near-dup pairs: hyperplane-LSH bucket, in-bucket pairwise
