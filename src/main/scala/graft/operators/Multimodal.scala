@@ -69,10 +69,44 @@ object Multimodal {
     }
   }
 
-  /** Typed dispatch: real decoder where the JDK has one, stub elsewhere. */
+  /** Typed dispatch: real decoder where the JDK has one, stub elsewhere.
+    * (Audio container METADATA also decodes for real — see
+    * [[extractAudioFeatures]]; it has its own typed output.) */
   def decode(b: MediaBlob): MediaFeatures =
     if (b.media_type != null && b.media_type.startsWith("image/")) decodeImage(b)
     else decodeStub(b)
+
+  /** Audio container metadata, decoded FOR REAL via the JDK's
+    * `javax.sound.sampled` (WAV/AIFF/AU ship with the JDK). */
+  case class AudioFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           sample_rate: Double, channels: Int,
+                           frames: Long, duration_s: Double)
+
+  /** Parses the audio container header: sample rate, channels, frame
+    * count, duration. Unparseable bytes yield -1 markers (corrupt blobs
+    * must not kill the job). */
+  def decodeAudio(b: MediaBlob): AudioFeatures =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(b.blob))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      AudioFeatures(b.doc_id, b.media_type, b.blob.length.toLong,
+        fmt.getSampleRate.toDouble, fmt.getChannels, frames,
+        if (fmt.getSampleRate > 0 && frames >= 0)
+          frames.toDouble / fmt.getSampleRate else -1.0)
+    } catch {
+      case _: Throwable =>
+        AudioFeatures(b.doc_id, b.media_type, b.blob.length.toLong,
+          -1.0, -1, -1L, -1.0)
+    }
+
+  /** Partition-local audio metadata extraction — same batch shape as
+    * [[extractFeatures]]. */
+  def extractAudioFeatures(blobs: Dataset[MediaBlob]): Dataset[AudioFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(decodeAudio))
+  }
 
   /** Batch feature extraction: partition-local map over a typed Dataset.
     * The `mapPartitions` boundary is where a real decoder would amortize

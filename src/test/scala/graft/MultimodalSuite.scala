@@ -43,6 +43,32 @@ class MultimodalSuite extends SparkSpec {
     assert(f(2).n_bytes == 12L)
   }
 
+  test("audio/* blobs decode container metadata FOR REAL (WAV via javax.sound)") {
+    val s = spark
+    import s.implicits._
+    def wavBytes(rate: Float, channels: Int, seconds: Double): Array[Byte] = {
+      val frames = (rate * seconds).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * 2 * channels)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      MediaBlob(1L, "audio/wav", wavBytes(8000f, 1, 1.0)),
+      MediaBlob(2L, "audio/wav", wavBytes(16000f, 2, 0.5)),
+      MediaBlob(3L, "audio/wav", "not audio".getBytes("UTF-8"))).toDS()
+    val f = Multimodal.extractAudioFeatures(ds).collect().sortBy(_.doc_id)
+    assert(f(0).sample_rate == 8000.0 && f(0).channels == 1 && f(0).frames == 8000L)
+    assert(almostEqual(f(0).duration_s, 1.0))
+    assert(f(1).sample_rate == 16000.0 && f(1).channels == 2 && f(1).frames == 8000L)
+    assert(almostEqual(f(1).duration_s, 0.5))
+    assert(f(2).channels == -1 && f(2).frames == -1L) // corrupt: flagged
+  }
+
   test("extractFeatures is deterministic and partition-local") {
     val f = Multimodal.extractFeatures(blobs).collect().sortBy(_.doc_id)
     assert(f.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
