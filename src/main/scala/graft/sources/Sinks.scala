@@ -11,12 +11,16 @@ object Sinks {
 
   /** Write `df` as parquet partitioned by `partitionCols` (directory per
     * value combination). `maxRecordsPerFile` bounds file size so a skewed
-    * partition value cannot produce one giant file. */
+    * partition value cannot produce one giant file; zstd (bundled with
+    * Spark 4) over default snappy — at 100 TB the storage/scan-IO saving
+    * outweighs the extra encode CPU. */
   def writeParquet(df: DataFrame, path: String,
                    partitionCols: Seq[String] = Nil,
-                   maxRecordsPerFile: Long = 5000000L): Unit = {
+                   maxRecordsPerFile: Long = 5000000L,
+                   compression: String = "zstd"): Unit = {
     val w = df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
