@@ -53,20 +53,22 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * This is the Spark analogue of the reference's loop-invariant lifting of
     * whole-column subexpressions (`formulaExp.nim:438-485`): `x - mean(x)`
     * on a grouped table becomes `x - avg(x) OVER (PARTITION BY keys)`.
-    */
+    *
+    * On an UNGROUPED table the partition list is empty — the reference's
+    * whole-column reduce (`x >= max(x)*0.5`, testDf.nim:928-934). That is
+    * inherently a global aggregate; Spark runs it as a single-partition
+    * window, fine for the reference's semantics, but at 100 TB prefer an
+    * explicit pre-aggregated scalar (summarize + broadcast join). */
   private def windowize(c: Column): Column = {
-    if (groupKeys.isEmpty) c
-    else {
-      val spec = WindowSpecDefinition(
-        groupKeys.map(k => UnresolvedAttribute.quoted(k)), Nil, UnspecifiedFrame)
-      def wrap(e: Expression): Expression = e match {
-        case w: WindowExpression => w
-        case f: UnresolvedFunction if AggFunctionNames(f.nameParts.last.toLowerCase) =>
-          WindowExpression(f, spec)
-        case other => other.mapChildren(wrap)
-      }
-      Shim.toColumn(wrap(Shim.toExpression(c)))
+    val spec = WindowSpecDefinition(
+      groupKeys.map(k => UnresolvedAttribute.quoted(k)), Nil, UnspecifiedFrame)
+    def wrap(e: Expression): Expression = e match {
+      case w: WindowExpression => w
+      case f: UnresolvedFunction if AggFunctionNames(f.nameParts.last.toLowerCase) =>
+        WindowExpression(f, spec)
+      case other => other.mapChildren(wrap)
     }
+    Shim.toColumn(wrap(Shim.toExpression(c)))
   }
 
   // ---------------------------------------------------------------- selects
@@ -145,10 +147,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * groups, matching the reference's per-subgroup evaluation. */
   def filter(conds: Column*): DataTable = {
     val cond = conds.map(windowize).reduce(_ && _)
-    if (groupKeys.isEmpty) withDf(df.filter(cond))
+    def hasWindow(e: Expression): Boolean = e match {
+      case _: WindowExpression => true
+      case other => other.children.exists(hasWindow)
+    }
+    if (!hasWindow(Shim.toExpression(cond))) withDf(df.filter(cond))
     else {
-      // Window functions are not allowed in WHERE: project the (possibly
-      // windowed) condition, filter on it, drop the helper column.
+      // Window functions are not allowed in WHERE: project the windowed
+      // condition, filter on it, drop the helper column. Plain predicates
+      // keep the direct Dataset.filter path (preserves parquet pushdown
+      // AND Spark's resolution of columns from the projection's child).
       val c = "__graft_cond"
       withDf(df.withColumn(c, cond).filter(col(c)).drop(c))
     }

@@ -101,13 +101,32 @@ class VerbSuite extends SparkSpec {
   }
 
   test("filter: aggregate inside predicate = whole-column reduce (testDf.nim:928-934)") {
-    // `x >= max(x) * 0.5` — the aggregate evaluates over the whole column.
-    // Window functions are not allowed in WHERE, so project-then-filter
-    // (the same rewrite DataTable.filter applies for grouped tables).
+    // `x >= max(x) * 0.5` — the naked aggregate is lifted to a whole-frame
+    // window automatically, like the reference's loop-invariant lifting.
     val df = toDf(spark)("x" -> (0 to 100))
-    val r = df.mutate("__m" -> (lit(0.5) * max(col("x")).over()))
-      .filter(col("x") >= col("__m")).drop("__m").arrange("x")
+    val r = df.filter(col("x") >= max(col("x")) * 0.5).arrange("x")
     assert(colLongs(r, "x") == (50L to 100L))
+  }
+
+  test("mutate: ungrouped whole-column reduce (testDf.nim:2175-2192 block A)") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3), "y" -> Seq(4, 5, 6))
+    val r = df.mutate("z" -> (col("x") + sum(col("y")))).arrange("x")
+    assert(colLongs(r, "z") == Seq(16L, 17L, 18L))
+  }
+
+  test("bool comparisons filter (testDf.nim:2155-2161)") {
+    val df = toDf(spark)("x" -> Seq(true, false, true))
+    assert(df.filter(col("x") === true).df.count() == 2)
+    assert(df.filter(col("x") === false).df.count() == 1)
+    assert(df.filter(col("x") =!= true).df.count() == 1)
+    assert(df.filter(col("x") =!= false).df.count() == 2)
+  }
+
+  test("string in/notin filters (testDf.nim:2163-2170)") {
+    val df = toDf(spark)("x" -> Seq("foo", "bar", "baz"))
+    assert(colStrings(df.filter(col("x").isin("foo", "bar")).arrange("x"), "x")
+      == Seq("bar", "foo"))
+    assert(colStrings(df.filter(!col("x").isin("foo", "bar")), "x") == Seq("baz"))
   }
 
   test("grouped filter keeps whole-group semantics (dataframe.nim:1373-1385)") {
