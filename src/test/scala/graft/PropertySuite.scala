@@ -101,6 +101,44 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("splitAssign partitions any id set for any normalized weights") {
+    val genSplit = for {
+      n <- Gen.choose(1, 30)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+      w1 <- Gen.choose(1, 8)
+      w2 <- Gen.choose(1, 8)
+    } yield (ids.distinct, w1 / 10.0, w2 / 10.0)
+    forAll(genSplit) { case (ids, w1, w2) =>
+      if (w1 + w2 < 1.0 && ids.nonEmpty) {
+        val df = toDf(spark)("id" -> ids).df
+        val out = graft.operators.Sampling.splitAssign(df, "id",
+          Seq("a" -> w1, "b" -> w2, "c" -> (1.0 - w1 - w2)))
+        val got = out.collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(got.length == ids.length)               // total
+        assert(got.forall(r => Set("a", "b", "c")(r._2))) // exhaustive
+        // deterministic: same id always lands in the same split
+        val again = graft.operators.Sampling.splitAssign(df, "id",
+          Seq("a" -> w1, "b" -> w2, "c" -> (1.0 - w1 - w2)))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+      }
+    }
+  }
+
+  test("chunkDocuments at stride == chunkTokens reconstructs the token stream") {
+    val genDoc = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield toks
+    forAll(genDoc) { toks =>
+      val df = toDf(spark)("id" -> Seq(1), "t" -> Seq(toks.mkString(" "))).df
+      val chunks = graft.operators.Pack
+        .chunkDocuments(df, "id", "t", chunkTokens = 7, stride = 7)
+        .orderBy("chunk_id").collect().map(_.getAs[String]("chunk_text"))
+      assert(chunks.mkString(" ") == toks.mkString(" "))
+    }
+  }
+
   test("CSV roundtrip preserves any long/string frame") {
     forAll(genRows) { case (xs, gs) =>
       val df = toDf(spark)("x" -> xs, "g" -> gs)
