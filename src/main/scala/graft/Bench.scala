@@ -15,7 +15,8 @@ object Bench {
     // Warm up codegen/shuffle machinery so the first timed query doesn't
     // absorb one-time session cost.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections and
       // drop final sorts, so expression-heavy queries would be timed as a
@@ -28,12 +29,28 @@ object Bench {
             false
         }
       // a failed query must not masquerade as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Each query is timed twice in the same JVM. The first (cold) run pays
+    // JIT + codegen-cache + OS page-cache cost and swings 4-6x with machine
+    // load; the second (warm) run is the steady-state signal used to judge
+    // plan regressions. NOTE: rounds r1-r4 reported single-shot cold numbers
+    // only, so per-query comparisons against those rounds must use the
+    // "queries_cold" series, not "queries".
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val cold = timeOnce(name, fn)
+      val warm = if (cold < 0) -1.0 else timeOnce(name, fn)
+      name -> (cold, warm)
+    }
+    def series(pick: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + pick(v) }.mkString("{", ",", "}")
+    val warmQs = series(_._2)
+    val coldQs = series(_._1)
+    val warmTotal = results.values.map(_._2).filter(_ >= 0).sum
+    val coldTotal = results.values.map(_._1).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total_warm","value":$warmTotal,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$coldTotal,"sf":"$sfDir","note":"queries=2nd run in same JVM (steady state); queries_cold=1st run, comparable to r1-r4 single-shot numbers"}""")
     spark.stop()
   }
 }
