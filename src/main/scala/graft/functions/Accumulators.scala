@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{graftshim, Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -52,8 +52,19 @@ object Accumulators {
     c => f(c)
   }
 
-  /** Product reduction (`res *= x`, `testsFormula.nim:466-476`). */
-  def productLong: Column => Column = foldLong(1L)(_ * _)
+  /** Product reduction (`res *= x`, `testsFormula.nim:466-476`) — the
+    * scale path: a declarative aggregate whose buffer is one unboxed long
+    * updated by codegen'd `Multiply` inside HashAggregate, vs the
+    * `Aggregator` fold's ObjectHashAggregate with per-row encoder round
+    * trips. [[productLongFold]] keeps the general mechanism; the two are
+    * pinned bit-identical in AccumulatorSuite. */
+  def productLong: Column => Column = c =>
+    graftshim.Shim.toColumn(
+      graftshim.ProductLong(graftshim.Shim.toExpression(c)).toAggregateExpression())
+
+  /** The same product via the general custom-fold mechanism (any
+    * associative-commutative op, arbitrary buffer). */
+  def productLongFold: Column => Column = foldLong(1L)(_ * _)
 
   private case class WeightedMeanAgg()
       extends Aggregator[(Double, Double), (Double, Double), Double] {

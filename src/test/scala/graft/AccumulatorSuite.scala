@@ -29,6 +29,27 @@ class AccumulatorSuite extends SparkSpec {
     assert(colLongs(r, "prod") == Seq(6L, 8L))
   }
 
+  test("declarative product pinned identical to the Aggregator fold") {
+    // Scale path (ProductLong DeclarativeAggregate) vs general mechanism
+    // (Aggregator+udaf): same groups, same products — including a value
+    // pair that overflows Long (both wrap, non-ANSI Multiply == Scala *).
+    val df = toDf(spark)(
+      "g" -> Seq("a", "a", "b", "b", "c", "c"),
+      "x" -> Seq(3L, 5L, Long.MaxValue, 2L, -4L, 7L))
+    val fast = df.groupBy("g").summarize("p" -> Accumulators.productLong(col("x")))
+    val fold = df.groupBy("g").summarize("p" -> Accumulators.productLongFold(col("x")))
+    assert(colLongs(fast, "p") == colLongs(fold, "p"))
+    assert(colLongs(fast, "p") == Seq(15L, -2L, -28L))
+  }
+
+  test("declarative product plans as HashAggregate, not ObjectHashAggregate") {
+    val df = toDf(spark)("g" -> Seq("a", "b"), "x" -> Seq(2L, 3L))
+    val plan = df.groupBy("g").summarize("p" -> Accumulators.productLong(col("x")))
+      .df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("ObjectHashAggregate"))
+  }
+
   test("weighted mean with 2-field buffer (Aggregator[IN,BUF,OUT])") {
     val df = toDf(spark)("v" -> Seq(1.0, 3.0), "w" -> Seq(1.0, 3.0))
     val r = df.summarize("wm" -> Accumulators.weightedMean(col("v"), col("w")))
