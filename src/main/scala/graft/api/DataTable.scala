@@ -52,13 +52,9 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
   /** Wrap naked aggregate calls in `c` with a window over the group keys.
     * This is the Spark analogue of the reference's loop-invariant lifting of
     * whole-column subexpressions (`formulaExp.nim:438-485`): `x - mean(x)`
-    * on a grouped table becomes `x - avg(x) OVER (PARTITION BY keys)`.
-    *
-    * On an UNGROUPED table the partition list is empty — the reference's
-    * whole-column reduce (`x >= max(x)*0.5`, testDf.nim:928-934). That is
-    * inherently a global aggregate; Spark runs it as a single-partition
-    * window, fine for the reference's semantics, but at 100 TB prefer an
-    * explicit pre-aggregated scalar (summarize + broadcast join). */
+    * on a GROUPED table becomes `x - avg(x) OVER (PARTITION BY keys)`.
+    * Ungrouped whole-column reduces take [[broadcastLift]] instead — an
+    * empty-partition window would funnel the whole table through one task. */
   private def windowize(c: Column): Column = {
     val spec = WindowSpecDefinition(
       groupKeys.map(k => UnresolvedAttribute.quoted(k)), Nil, UnspecifiedFrame)
@@ -69,6 +65,39 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
       case other => other.mapChildren(wrap)
     }
     Shim.toColumn(wrap(Shim.toExpression(c)))
+  }
+
+  /** Replace naked aggregate calls in `e` with references to helper
+    * columns, recording each lifted aggregate in `acc` (structurally
+    * identical aggregates share one slot). */
+  private def liftAggs(e: Expression,
+      acc: scala.collection.mutable.LinkedHashMap[String, Expression]): Expression =
+    e match {
+      case w: WindowExpression => w
+      case f: UnresolvedFunction if AggFunctionNames(f.nameParts.last.toLowerCase) =>
+        val name = acc.collectFirst { case (n, e2) if e2 == f => n }.getOrElse {
+          val n = s"$LiftColPrefix${acc.size}"; acc += n -> f; n
+        }
+        UnresolvedAttribute.quoted(name)
+      case other => other.mapChildren(liftAggs(_, acc))
+    }
+
+  /** Whole-column reduces on an UNGROUPED table (`x >= max(x)*0.5`,
+    * testDf.nim:928-934): aggregate the lifted scalars ONCE, broadcast the
+    * 1-row result into every partition (BroadcastNestedLoopJoin of a 1-row
+    * relation — scan-parallel, no shuffle), and reference the scalars.
+    * The scale-safe twin of the grouped window rewrite; returns the input
+    * unchanged when `cs` contains no naked aggregates. */
+  private def broadcastLift(d: DataFrame, cs: Seq[Column])
+      : (DataFrame, Seq[Column], Seq[String]) = {
+    val acc = scala.collection.mutable.LinkedHashMap[String, Expression]()
+    val rewritten = cs.map(c => liftAggs(Shim.toExpression(c), acc))
+    if (acc.isEmpty) (d, cs, Nil)
+    else {
+      val aggCols = acc.map { case (n, e) => Shim.toColumn(e).as(n) }.toSeq
+      val scalars = d.agg(aggCols.head, aggCols.tail: _*)
+      (d.crossJoin(broadcast(scalars)), rewritten.map(Shim.toColumn), acc.keys.toSeq)
+    }
   }
 
   // ---------------------------------------------------------------- selects
@@ -117,14 +146,27 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * On a grouped table, aggregate subexpressions evaluate per group (window
     * rewrite — no per-group materialization, unlike the reference). */
   def mutate(pairs: (String, Column)*): DataTable =
-    withDf(pairs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, windowize(c)) })
+    if (isGrouped)
+      withDf(pairs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, windowize(c)) })
+    else
+      // Sequential per-pair lift so later pairs can reference columns the
+      // earlier pairs computed, matching the grouped fold's semantics.
+      withDf(pairs.foldLeft(df) { case (d, (name, c)) =>
+        val (joined, rewritten, helpers) = broadcastLift(d, Seq(c))
+        joined.withColumn(name, rewritten.head).drop(helpers: _*)
+      })
 
   /** mutate, keeping only the group keys and the computed columns
     * (`transmute`, `dataframe.nim:1777-1819`). */
-  def transmute(pairs: (String, Column)*): DataTable = {
-    val keyCols = groupKeys.map(col)
-    withDf(df.select(keyCols ++ pairs.map { case (n, c) => windowize(c).as(n) }: _*))
-  }
+  def transmute(pairs: (String, Column)*): DataTable =
+    if (isGrouped) {
+      val keyCols = groupKeys.map(col)
+      withDf(df.select(keyCols ++ pairs.map { case (n, c) => windowize(c).as(n) }: _*))
+    } else {
+      val (joined, rewritten, _) = broadcastLift(df, pairs.map(_._2))
+      withDf(joined.select(
+        pairs.map(_._1).zip(rewritten).map { case (n, c) => c.as(n) }: _*))
+    }
 
   /** mutate with reference-style auto-generated lisp names
     * (`formulaNameMacro.nim:92-95`): `mutateAuto(-lit(1.0) * col("hwy"))`
@@ -146,19 +188,30 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * grouped table a condition containing aggregates keeps/drops whole
     * groups, matching the reference's per-subgroup evaluation. */
   def filter(conds: Column*): DataTable = {
-    val cond = conds.map(windowize).reduce(_ && _)
-    def hasWindow(e: Expression): Boolean = e match {
-      case _: WindowExpression => true
-      case other => other.children.exists(hasWindow)
-    }
-    if (!hasWindow(Shim.toExpression(cond))) withDf(df.filter(cond))
-    else {
-      // Window functions are not allowed in WHERE: project the windowed
-      // condition, filter on it, drop the helper column. Plain predicates
-      // keep the direct Dataset.filter path (preserves parquet pushdown
-      // AND Spark's resolution of columns from the projection's child).
-      val c = "__graft_cond"
-      withDf(df.withColumn(c, cond).filter(col(c)).drop(c))
+    val lifted =
+      if (isGrouped) None
+      else {
+        // Ungrouped whole-column reduce: scalar aggregate + broadcast, not
+        // an empty-partition window.
+        val (joined, rewritten, helpers) = broadcastLift(df, Seq(conds.reduce(_ && _)))
+        if (helpers.isEmpty) None
+        else Some(withDf(joined.filter(rewritten.head).drop(helpers: _*)))
+      }
+    lifted.getOrElse {
+      val cond = conds.map(windowize).reduce(_ && _)
+      def hasWindow(e: Expression): Boolean = e match {
+        case _: WindowExpression => true
+        case other => other.children.exists(hasWindow)
+      }
+      if (!hasWindow(Shim.toExpression(cond))) withDf(df.filter(cond))
+      else {
+        // Window functions are not allowed in WHERE: project the windowed
+        // condition, filter on it, drop the helper column. Plain predicates
+        // keep the direct Dataset.filter path (preserves parquet pushdown
+        // AND Spark's resolution of columns from the projection's child).
+        val c = "__graft_cond"
+        withDf(df.withColumn(c, cond).filter(col(c)).drop(c))
+      }
     }
   }
 
@@ -567,6 +620,8 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
 object DataTable {
 
   private val RowNumCol = "__graft_rn"
+
+  private val LiftColPrefix = "__graft_lift_"
 
   /** Aggregate function names recognized by the grouped-verb window rewrite. */
   private val AggFunctionNames: Set[String] = Set(

@@ -114,6 +114,23 @@ class VerbSuite extends SparkSpec {
     assert(colLongs(r, "z") == Seq(16L, 17L, 18L))
   }
 
+  test("ungrouped whole-column reduce plans as broadcast, not global window") {
+    // The lift must become scalar-aggregate + BroadcastNestedLoopJoin of a
+    // 1-row relation — NOT a Window with empty partitioning, which funnels
+    // the whole table through a single task at scale.
+    val df = toDf(spark)("x" -> (0 to 100))
+    val mutated = df.mutate("z" -> (col("x") + sum(col("x"))))
+    val filtered = df.filter(col("x") >= max(col("x")) * 0.5)
+    for (t <- Seq(mutated, filtered)) {
+      val plan = t.df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("Window"), plan)
+    }
+    // identical aggregates dedup to one helper slot: one agg, one join
+    val dd = df.mutate("z" -> (sum(col("x")) + sum(col("x"))))
+    assert(colLongs(dd.head(1), "z") == Seq(10100L))
+  }
+
   test("bool comparisons filter (testDf.nim:2155-2161)") {
     val df = toDf(spark)("x" -> Seq(true, false, true))
     assert(df.filter(col("x") === true).df.count() == 2)
