@@ -356,17 +356,23 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      val next = viaNeighbor.union(labels)
-        .groupBy("id").agg(min("component").as("component"))
+      // The previous label rides through the min-aggregation as a tagged
+      // column (labels contribute exactly one non-null `__old` per id, so
+      // `min` recovers it) — the convergence check then reads the cached
+      // aggregation output directly instead of a second co-partitioned
+      // self-join per round.
+      val next = viaNeighbor
+        .select(col("id"), col("component"), lit(null).cast("long").as("__old"))
+        .union(labels.select(col("id"), col("component"), col("component").as("__old")))
+        .groupBy("id")
+        .agg(min("component").as("component"), min("__old").as("__old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
-        .filter(col("component") =!= col("__old"))
-        .count()
+      changed = next.filter(col("component") =!= col("__old")).count()
       labels.unpersist()
       labels = next
       iter += 1
     }
+    labels = labels.drop("__old")
     if (changed > 0)
       System.err.println(
         s"[graft] connectedComponents: not converged after $maxIter rounds " +
