@@ -37,6 +37,13 @@ object Queries {
 
   lazy val all: Map[String, Q] = core ++ relational ++ pipeline
 
+  /** Synthetic PII appended by q_pii_redact: the generated corpus contains
+    * no emails/URLs, so without this the redaction regexes would be
+    * oracle-checked only on non-matching text. No single quotes (the same
+    * literal is spliced into the DuckDB SQL). */
+  private val PiiTail =
+    " reach a.b+c@mail-host.example.com and bob@x.io via https://ex.com/a?b=1#c or http://t.co/xyz done"
+
   private val core: Map[String, Q] = Map(
 
     // select + rename (dataframe.nim:1403-1443)
@@ -607,6 +614,15 @@ object Queries {
           .selectCols(col("doc_id"), fingerprint(col("text")).as("fp"))
           .arrange("doc_id").df),
 
+      // PII scrubbing: the synthetic corpus carries no PII, so the query
+      // injects emails/URLs in-expression — both engines then run the
+      // same regexes over non-trivial matches (redaction actually fires)
+      "q_pii_redact" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            redactPii(concat(col("text"), lit(PiiTail))).as("redacted"))
+          .arrange("doc_id").df),
+
       // exact dedup: deterministic survivor per fingerprint + dup count
       "q_dedup_exact" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -814,6 +830,14 @@ object Queries {
         |FROM pairs
         |WHERE abs(length(s_a) - length(s_b)) <= 16 AND levenshtein(s_a, s_b) <= 16
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || '$PiiTail',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\\s]+', '<URL>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_diversity" ->
       """SELECT doc_id,
