@@ -51,53 +51,102 @@ object Csv {
 
   /** Read a CSV file into a typed DataFrame with reference inference.
     *
+    * `path` may also be an `http://`, `https://` or `file://` URL
+    * (`io.nim:752-756`): the content is fetched driver-side once, with no
+    * caching, exactly like the reference's `readCsvFromUrl`
+    * (`io.nim:672-686`) — a convenience for small remote files, not a
+    * distributed source.
+    *
     * `colNames` overrides the header entirely: the data is treated as
     * headerless (combine with `skipLines` to discard a real header, like
     * the reference's tests do). `sep = " "` means "runs of whitespace"
     * (aligned fixed-width-ish files).
     *
+    * @param skipLines drop N physical lines before the header (`io.nim:694`)
+    * @param maxLines stop after N data lines, not counting skipLines or the
+    *   header (`io.nim:723-724`); 0 = unlimited
+    * @param toSkip optional characters removed anywhere in a line before
+    *   parsing (`io.nim:709-713`, e.g. `Set(' ')` for `5, 10, 8`-style
+    *   files). Divergence from the reference's char-level parser skip:
+    *   removal also applies inside quoted fields.
     * @param wordDigits replicate the reference's `parseStringDigit` quirk
     *   ("one".."nine" count and parse as ints, `io.nim:323-330`); off by
     *   default — it is a surprise in production data.
+    * @param allowLineBreaks permit line breaks inside quoted fields
+    *   (`io.nim:744-748`; Spark's `multiLine`). Requires the splittable
+    *   whole-file path — incompatible with skipLines/maxLines/toSkip and
+    *   whitespace sep, which pre-split on physical lines. Note multiLine
+    *   files are not split across tasks (one task per file).
     */
   def readCsv(spark: SparkSession, path: String,
               sep: String = ",", header: Boolean = true,
               quote: String = "\"", comment: String = "#",
-              skipLines: Int = 0, colNames: Seq[String] = Nil,
-              wordDigits: Boolean = false): DataFrame = {
+              skipLines: Int = 0, maxLines: Int = 0,
+              toSkip: Set[Char] = Set.empty,
+              colNames: Seq[String] = Nil,
+              wordDigits: Boolean = false,
+              allowLineBreaks: Boolean = false): DataFrame = {
+    if (path.startsWith("http://") || path.startsWith("https://") ||
+        path.startsWith("file://"))
+      return parseCsvString(spark, fetchUrl(path), sep, header, skipLines,
+        maxLines, toSkip, colNames, wordDigits, quote)
+    val needLineSplit = skipLines > 0 || maxLines > 0 || toSkip.nonEmpty || sep == " "
     val raw =
-      if (skipLines == 0 && sep != " ") {
+      if (!needLineSplit) {
         val base = spark.read
           .option("sep", sep)
           .option("header", header && colNames.isEmpty)
           .option("quote", quote)
+          .option("multiLine", allowLineBreaks)
           .option("ignoreLeadingWhiteSpace", "true")
           .option("ignoreTrailingWhiteSpace", "true")
           .option("inferSchema", "false")
         (if (comment.nonEmpty) base.option("comment", comment) else base).csv(path)
       } else {
+        require(!allowLineBreaks,
+          "readCsv: allowLineBreaks is incompatible with skipLines/maxLines/" +
+            "toSkip/whitespace sep (those pre-split on physical lines)")
         // skipLines precedes the header (io.nim:694): drop the first N
         // physical lines, then parse the remainder. zipWithIndex gives
         // deterministic per-file line numbers (order-sensitive ingestion —
         // one of the rare legitimate RDD uses).
         import spark.implicits._
-        val lines = spark.sparkContext.textFile(path)
-          .zipWithIndex().filter(_._2 >= skipLines).map(_._1)
-        parseLines(spark, spark.createDataset(lines), sep,
-          header && colNames.isEmpty, quote, comment)
+        val hasHeader = header && colNames.isEmpty
+        val headerOffset = if (hasHeader) 1 else 0
+        var indexed = spark.sparkContext.textFile(path)
+          .zipWithIndex().filter(_._2 >= skipLines)
+        if (maxLines > 0)
+          indexed = indexed.filter(_._2 < skipLines + headerOffset + maxLines)
+        var lines = indexed.map(_._1)
+        if (toSkip.nonEmpty) lines = lines.map(_.filterNot(toSkip))
+        parseLines(spark, spark.createDataset(lines), sep, hasHeader, quote, comment)
       }
     finish(raw, colNames, wordDigits)
+  }
+
+  /** Driver-side URL fetch (`readCsvFromUrl`, `io.nim:672-686`): no
+    * caching, whole content in memory — small files only, by design. */
+  private def fetchUrl(url: String): String = {
+    val in = new java.net.URI(url).toURL.openStream()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** CSV from an in-memory string (`parseCsvString`, `io.nim:623-668`). */
   def parseCsvString(spark: SparkSession, content: String,
                      sep: String = ",", header: Boolean = true,
-                     skipLines: Int = 0, colNames: Seq[String] = Nil,
-                     wordDigits: Boolean = false): DataFrame = {
+                     skipLines: Int = 0, maxLines: Int = 0,
+                     toSkip: Set[Char] = Set.empty,
+                     colNames: Seq[String] = Nil,
+                     wordDigits: Boolean = false,
+                     quote: String = "\""): DataFrame = {
     import spark.implicits._
-    val lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
+    val hasHeader = header && colNames.isEmpty
+    var lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
+    if (maxLines > 0) lines = lines.take((if (hasHeader) 1 else 0) + maxLines)
+    if (toSkip.nonEmpty) lines = lines.map(_.filterNot(toSkip))
     val raw = parseLines(spark, spark.createDataset(lines), sep,
-      header && colNames.isEmpty, quote = "\"", comment = "#")
+      hasHeader, quote = quote, comment = "#")
     finish(raw, colNames, wordDigits)
   }
 

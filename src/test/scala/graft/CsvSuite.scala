@@ -246,6 +246,44 @@ class CsvSuite extends SparkSpec {
     assert(colSeq(back, "bl") == Seq(true, false, true))
   }
 
+  test("readCsv from a URL fetches driver-side (io.nim:672-686, 752-756)") {
+    val p = java.nio.file.Files.createTempFile("graft_url_csv", ".csv")
+    java.nio.file.Files.writeString(p, "x,y\n1,a\n2,b\n3,c\n")
+    val df = DataTable(Csv.readCsv(spark, "file://" + p)).arrange("x")
+    assert(df.df.schema("x").dataType == LongType)
+    assert(colLongs(df, "x") == Seq(1L, 2L, 3L))
+    assert(colStrings(df, "y") == Seq("a", "b", "c"))
+    java.nio.file.Files.delete(p)
+  }
+
+  test("allowLineBreaks parses quoted embedded newlines (io.nim:744-748)") {
+    val p = java.nio.file.Files.createTempFile("graft_ml_csv", ".csv")
+    java.nio.file.Files.writeString(p, "x,s\n1,\"line one\nline two\"\n2,plain\n")
+    val df = DataTable(Csv.readCsv(spark, p.toString, allowLineBreaks = true)).arrange("x")
+    assert(colLongs(df, "x") == Seq(1L, 2L))
+    assert(colStrings(df, "s") == Seq("line one\nline two", "plain"))
+    java.nio.file.Files.delete(p)
+  }
+
+  test("maxLines caps data rows, not counting header or skipLines (io.nim:723-724)") {
+    val data = "junk\nx\n10\n20\n30\n40\n"
+    val df = Csv.parseCsvString(spark, data, skipLines = 1, maxLines = 2)
+    assert(colLongs(DataTable(df).arrange("x"), "x") == Seq(10L, 20L))
+    // same through the file path
+    val p = java.nio.file.Files.createTempFile("graft_max_csv", ".csv")
+    java.nio.file.Files.writeString(p, data)
+    val df2 = Csv.readCsv(spark, p.toString, skipLines = 1, maxLines = 2)
+    assert(colLongs(DataTable(df2).arrange("x"), "x") == Seq(10L, 20L))
+    java.nio.file.Files.delete(p)
+  }
+
+  test("toSkip removes optional characters before parsing (io.nim:709-713)") {
+    // the reference's doc example: comma-separated with stray spaces
+    val df = Csv.parseCsvString(spark, "a,b\n5, 10\n8, 3\n", toSkip = Set(' '))
+    assert(df.schema.map(_.dataType) == Seq(LongType, LongType))
+    assert(colLongs(DataTable(df).arrange("a"), "b") == Seq(10L, 3L))
+  }
+
   test("semicolon-separated unicode CSV (Studentenstatistik; testDf.nim:831-857 Arrange fixture)") {
     val df = Csv.readCsv(spark, "/root/reference/data/Studentenstatistik_BB_Datensatz.csv",
       sep = ";")
