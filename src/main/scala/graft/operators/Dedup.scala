@@ -113,6 +113,18 @@ object Dedup {
   private def bandHash(sig: Column, start: Int, rows: Int): Column =
     hash48(concat_ws("_", transform(slice(sig, start, rows), _.cast("string"))))
 
+  /** Adds `__bands: array<long>`, the per-band LSH bucket hashes — a pure
+    * projection (stateless), so it runs identically on batch tables and
+    * unbounded streams (see `streaming.Streaming.streamingNearDedup`). */
+  private[graft] def withBandHashes(df: DataFrame, textCol: String,
+                                    k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    withMinhashSignature(df, textCol, k)
+      .withColumn("__bands", array((0 until bands).map(b =>
+        bandHash(col("sig"), b * rows + 1, rows)): _*))
+      .drop("sig")
+  }
+
   /** MinHash-LSH candidate duplicate pairs: signature → `bands` bands of
     * `k/bands` rows, band-hash → bucket join (groupBy + in-bucket pair
     * expansion), then exact signature-agreement estimate per pair.
@@ -329,13 +341,30 @@ object Dedup {
     * so rounds reuse the same co-partitioning) and takes the min label
     * over each node's neighborhood. Converges in O(component diameter)
     * rounds — near-dup clusters are shallow (diameter ≲ bucket chain
-    * length), so this beats the O(log²n) star-contraction algorithms that
-    * exist for adversarially deep graphs. Convergence is detected by an
-    * exact changed-label count (a co-partitioned self-join, not a float
-    * heuristic); lineage is truncated by per-round persist/unpersist so
-    * plans stay O(1) deep regardless of round count. */
+    * length), so the first rounds are pure propagation. From round
+    * [[CompressAfter]] on, each round also POINTER-JUMPS
+    * (`component := label(component)`, one extra co-partitioned join),
+    * which doubles the effective hop distance per round — so a deep
+    * (path-like) graph still converges in O(log n) rounds total instead
+    * of O(diameter), without taxing the shallow common case with the
+    * extra join. Convergence is detected by an exact changed-label count
+    * read off the cached per-round output; logical lineage is truncated by
+    * a lazy per-round `localCheckpoint` (persist alone leaves the plan
+    * tree doubling per round) so plans stay O(1) deep regardless of round
+    * count. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** Rounds taken before pointer jumping kicks in: shallow graphs (the
+    * near-dup norm) converge within these, never paying the jump join. */
+  private val CompressAfter = 2
+
+  /** [[connectedComponents]] + the number of rounds it ran (exposed for
+    * the convergence property tests). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
@@ -344,12 +373,18 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with one free propagation round: label_0 = min(id, neighbors)
-    // (one aggregation over the cached edges, no join, no change-count)
+    // (one aggregation over the cached edges, no join, no change-count).
+    // Each round's labels are localCheckpoint'ed (LAZY — the round's
+    // convergence count is still the single materializing action): persist
+    // alone does NOT truncate the LOGICAL plan, and since every round
+    // references the previous labels twice, the plan tree doubles per
+    // round — at ~16 rounds plan stringification alone OOMs the driver.
+    // Dropped round RDDs are reaped by Spark's ContextCleaner.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("id"),
         least(col("src"), col("__m")).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -361,14 +396,29 @@ object Dedup {
       // `min` recovers it) — the convergence check then reads the cached
       // aggregation output directly instead of a second co-partitioned
       // self-join per round.
-      val next = viaNeighbor
+      val propagated = viaNeighbor
         .select(col("id"), col("component"), lit(null).cast("long").as("__old"))
         .union(labels.select(col("id"), col("component"), col("component").as("__old")))
         .groupBy("id")
         .agg(min("component").as("component"), min("__old").as("__old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping (label compression): component := label(component).
+      // Every component value is itself a node id, so the lookup is a join
+      // against the same label set; label(m) <= m, so this only tightens.
+      // Doubles effective hop distance per round -> deep graphs converge in
+      // O(log n) rounds; skipped for the first rounds so shallow graphs
+      // (the near-dup norm) never pay the extra join.
+      var jumpSrc: DataFrame = null
+      val next = (if (iter < CompressAfter) propagated
+        else {
+          jumpSrc = propagated.persist(StorageLevel.MEMORY_AND_DISK)
+          jumpSrc
+            .join(jumpSrc.select(col("id").as("__cid"), col("component").as("__cc")),
+              col("component") === col("__cid"), "left")
+            .select(col("id"),
+              coalesce(col("__cc"), col("component")).as("component"), col("__old"))
+        }).localCheckpoint(false)
       changed = next.filter(col("component") =!= col("__old")).count()
-      labels.unpersist()
+      if (jumpSrc != null) jumpSrc.unpersist()
       labels = next
       iter += 1
     }
@@ -379,7 +429,7 @@ object Dedup {
           s"($changed labels still changing) — results are an upper bound; " +
           "raise maxIter for graphs with diameter > maxIter")
     edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Full-corpus cluster assignment over MinHash candidates: every row of

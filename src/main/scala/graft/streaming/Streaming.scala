@@ -83,6 +83,49 @@ object Streaming {
     if (events.isStreaming) events.dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming MinHash near-dup dedup — the streaming twin of
+    * `operators.Dedup.dedupByMinhash`. The signature and per-band LSH
+    * bucket hashes are stateless projections, so they run per-row on an
+    * unbounded stream; each (band, bucket) is then CLAIMED by the first
+    * document to arrive (`dropDuplicatesWithinWatermark`, so claim state
+    * is bounded by the watermark horizon), and a document survives iff it
+    * claimed every one of its bands — i.e. no band collided with an
+    * earlier document. Arrival order stands in for the batch rule's id
+    * order (drop the larger id of a candidate pair); the batch greedy
+    * verify step (signature agreement >= threshold) is traded for pure
+    * band collision, the standard streaming approximation.
+    *
+    * Emits `(idCol, win_start)` per surviving document once its
+    * event-time window finalizes (append mode, two chained stateful
+    * operators: dedup then windowed count). Batch execution runs the
+    * same plan with a deterministic earliest-(ts, id) claim window —
+    * parity-tested in StreamingSuite. */
+  def streamingNearDedup(docs: DataFrame, textCol: String, idCol: String,
+                         tsCol: String = "ts_utc", watermark: String = "2 hours",
+                         k: Int = 32, bands: Int = 8,
+                         windowLen: String = "1 hour"): DataFrame = {
+    val banded = graft.operators.Dedup.withBandHashes(docs, textCol, k, bands)
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__bands")).as(Seq("band", "bhash")))
+    val claimed =
+      if (docs.isStreaming)
+        banded.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("band", "bhash")
+      else {
+        // deterministic batch twin: earliest (ts, id) claims each bucket
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash"))
+          .orderBy(col(tsCol), col(idCol))
+        banded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    claimed
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_claimed"))
+      .filter(col("n_claimed") === lit(bands))
+      .select(col(idCol), col("window.start").as("win_start"))
+  }
+
   /** Open-session state for [[statefulSessions]]. */
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
 

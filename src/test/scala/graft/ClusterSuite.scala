@@ -23,6 +23,23 @@ class ClusterSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("path graph converges in O(log n) rounds via pointer jumping") {
+    // 128-node path 0-1-2-...-127: pure min-label propagation needs ~127
+    // rounds (O(diameter)); with label compression from round 3 the hop
+    // distance doubles per round, so convergence must land well under 16.
+    val n = 128
+    val pairs = toDf(spark)(
+      "id_a" -> (0 until n - 1),
+      "id_b" -> (1 until n)).df
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b", maxIter = 64)
+    val comps = labels.select("component").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(comps == Seq(0L), s"expected one component rooted at 0, got $comps")
+    assert(labels.count() == n)
+    assert(rounds <= 16, s"path-$n took $rounds rounds — compression not engaging")
+  }
+
   test("clusterByMinhash keeps singletons as their own cluster") {
     val docs = toDf(spark)(
       "doc_id" -> Seq(1, 2, 3),

@@ -170,6 +170,48 @@ class StreamingSuite extends SparkSpec {
     assert(got.sorted == want.sorted) // each user exactly once
   }
 
+  test("streaming MinHash near-dup dedup matches the batch twin") {
+    // Hand-built corpus, ONE FILE PER DOC + maxFilesPerTrigger=1, so stream
+    // arrival order is exactly (ts, id) order and the first-arrival bucket
+    // claim is deterministic — comparable to the batch earliest-(ts,id) rule.
+    val docs = Seq(
+      (1L, 0, "the quick brown fox jumps over the lazy dog and then runs far away home tonight"),
+      (2L, 60, "the quick brown fox jumps over the lazy dog and then runs far away home tonight"),
+      (3L, 120, "the quick brown fox jumps over the lazy cat and then runs far away home tonight"),
+      (4L, 180, "distributed query engines push filters into columnar scans and prune partitions aggressively"),
+      (5L, 240, "watermarks bound streaming state so unbounded feeds keep constant memory per key"))
+    val mkDf = (rows: Seq[(Long, Int, String)]) =>
+      spark.createDataFrame(rows).toDF("doc_id", "offset_s", "text")
+        .withColumn("ts_utc", expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,offset_s)"))
+        .drop("offset_s")
+    val inDir = Files.createTempDirectory("graft_stream_docs")
+    // sentinel 6 hours later: pushes the watermark past the first window so
+    // append mode finalizes it; its own window never closes -> never emitted
+    val all = docs.zipWithIndex :+ ((99L, 6 * 3600, "sentinel advances the watermark and nothing else"), docs.length)
+    all.foreach { case (row, i) =>
+      val tmp = Files.createTempDirectory("graft_doc_part")
+      mkDf(Seq(row)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), inDir.resolve(f"doc_$i%03d.parquet"))
+    }
+    val schema = mkDf(docs.take(1)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val query = Streaming.streamingNearDedup(stream, "text", "doc_id",
+        watermark = "10 minutes", k = 32, bands = 8)
+      .writeStream.format("memory").queryName("graft_near_dedup")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_near_dedup").collect().map(_.getLong(0)).toSet
+    val want = Streaming.streamingNearDedup(mkDf(docs), "text", "doc_id",
+        watermark = "10 minutes", k = 32, bands = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"stream survivors $got != batch survivors $want")
+    assert(!got.contains(2L)) // exact dup of doc 1 must be dropped
+    assert(got.contains(1L) && got.contains(4L) && got.contains(5L))
+  }
+
   test("sliding-window rate runs on a stream and matches batch") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
