@@ -131,6 +131,35 @@ class VerbSuite extends SparkSpec {
     assert(colLongs(dd.head(1), "z") == Seq(10100L))
   }
 
+  test("grouped transmute of pure aggregate equals summarize (testDf.nim:1715-1729)") {
+    val df = toDf(spark)(
+      "class" -> Seq("a", "a", "b", "b", "b"),
+      "hwy" -> Seq(20.0, 30.0, 10.0, 20.0, 30.0))
+    val tr = df.groupBy("class")
+      .transmute("subMeanHwy" -> (lit(0.0) + avg(col("hwy"))))
+      .ungroup.unique("class", "subMeanHwy").arrange("class")
+    val sm = df.groupBy("class")
+      .summarize("subMeanHwy" -> avg(col("hwy")))
+    assert(colDoubles(tr, "subMeanHwy") == colDoubles(sm, "subMeanHwy"))
+    assert(colDoubles(tr, "subMeanHwy") == Seq(25.0, 20.0))
+  }
+
+  test("slicing keeps constant columns constant (testDf.nim:2072-2081)") {
+    // Energy cycles 0..24 twice; Type is a broadcast scalar. df[24..26]
+    // under insertion order must carry the constant through the slice.
+    val energy = (0 to 24) ++ (0 to 24)
+    val df = toDf(spark)(
+      "Energy" -> energy.map(_.toDouble),
+      "Counts" -> ((0 until 25) ++ (0 until 25)),
+      "idx" -> energy.indices)
+      .mutate("Type" -> lit("background"))
+    val s = df.slice(24, 26, Seq(col("idx")))
+    assert(s.df.count() == 3)
+    assert(colDoubles(s.arrange("idx"), "Energy") == Seq(24.0, 0.0, 1.0))
+    assert(colLongs(s.arrange("idx"), "Counts") == Seq(24L, 0L, 1L))
+    assert(colStrings(s, "Type") == Seq("background", "background", "background"))
+  }
+
   test("bool comparisons filter (testDf.nim:2155-2161)") {
     val df = toDf(spark)("x" -> Seq(true, false, true))
     assert(df.filter(col("x") === true).df.count() == 2)
