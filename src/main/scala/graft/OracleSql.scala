@@ -110,8 +110,11 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  def minhashPairs(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
-                   bucketCap: Int = 64, minEstJaccard: Double = 0.3): String = {
+  /** Shared CTE prefix `docs → th → hs → sig → banded`: token hashes,
+    * shingle polynomial hashes, the k-permutation signature, and the
+    * per-band bucket hashes — the exact replay of Spark's
+    * `Dedup.withMinhashSignature` + `withBandHashes`. */
+  private def sigBandedCtes(k: Int, shingleSize: Int, bands: Int): String = {
     val rows = k / bands
     val sigElems = (0 until k).map { j =>
       val (a, b) = Dedup.perm(j)
@@ -123,7 +126,7 @@ object OracleSql {
     // window; DuckDB list_reduce seeds with the first element, which
     // equals the fold-with-zero since (0*C + h) % P = h
     val polyRed = s"(acc, x) -> (acc * $c + x) % $P"
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |th AS (
        |  SELECT doc_id, list_transform(w, tk -> ${h48("tk")} % $P) AS t FROM docs),
@@ -141,7 +144,28 @@ object OracleSql {
        |banded AS (
        |  SELECT doc_id, sig, b AS band,
        |    ${h48(s"array_to_string(sig[b*$rows+1 : b*$rows+$rows], '_')")} AS bhash
-       |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(b)),
+       |  FROM sig, unnest([${(0 until bands).mkString(",")}]) AS t(b))""".stripMargin
+  }
+
+  /** Replays the batch twin of `Streaming.streamingNearDedup` (arrival ts
+    * derived from doc_id, so first-arrival == min doc_id): every
+    * (band, bhash) bucket is claimed by its smallest doc id, and a
+    * document survives iff it claimed all `bands` of its bands. */
+  def streamNearDedupSurvivors(k: Int = 32, shingleSize: Int = 3,
+                               bands: Int = 8): String =
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |winners AS (
+       |  SELECT band, bhash, MIN(doc_id) AS w FROM banded GROUP BY band, bhash),
+       |claims AS (
+       |  SELECT b.doc_id, COUNT(*) AS n
+       |  FROM banded b JOIN winners win
+       |    ON b.band = win.band AND b.bhash = win.bhash AND b.doc_id = win.w
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id FROM claims WHERE n = $bands ORDER BY doc_id""".stripMargin
+
+  def minhashPairs(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                   bucketCap: Int = 64, minEstJaccard: Double = 0.3): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
        |ok AS (
        |  SELECT band, bhash FROM banded GROUP BY band, bhash
        |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),

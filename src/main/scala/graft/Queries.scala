@@ -769,7 +769,19 @@ object Queries {
       "q_events_hourly" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           graft.streaming.Streaming.hourlyRollup(Tables.events(s, dir)))
-          .arrange("hour", "event_type").df)
+          .arrange("hour", "event_type").df),
+
+      // batch twin of the streaming MinHash near-dup dedup: arrival ts is
+      // doc_id-derived, so first-arrival bucket claiming == min-doc-id
+      // claiming and the whole band/claim pipeline replays in DuckDB
+      "q_stream_dedup_twin" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.streaming.Streaming.streamingNearDedup(
+            Tables.df(s, dir, "documents").withColumn("ts_utc",
+              expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")),
+            "text", "doc_id")
+            .select("doc_id"))
+          .arrange("doc_id").df)
     )
   }
 
@@ -779,6 +791,7 @@ object Queries {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
+    "q_stream_dedup_twin" -> OracleSql.streamNearDedupSurvivors(),
 
     "q_vocab" ->
       """SELECT token, COUNT(*)::BIGINT AS n
