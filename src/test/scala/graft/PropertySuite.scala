@@ -125,6 +125,48 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("ungrouped whole-column lift equals driver-side arithmetic") {
+    // the broadcast-lift rewrite (mutate/filter of x - mean(x) etc.) must
+    // agree with computing the scalar on the driver, for any frame
+    forAll(genRows) { case (xs, gs) =>
+      val df = toDf(spark)("x" -> xs, "g" -> gs)
+      val mean = xs.sum.toDouble / xs.length
+      val got = colDoubles(df.mutate("d" -> (col("x") - avg(col("x")))).arrange("x", "g", "d"), "d")
+      val want = xs.map(_ - mean).sorted // d sorts like x within (x,g) ties collapsing to same d
+      assert(got.sorted == want)
+      val kept = df.filter(col("x") >= max(col("x"))).df.count()
+      assert(kept == xs.count(_ == xs.max).toLong)
+    }
+  }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(1, 12)
+      as <- Gen.listOfN(n, Gen.choose(0L, 15L))
+      bs <- Gen.listOfN(n, Gen.choose(0L, 15L))
+    } yield as.zip(bs).filter { case (a, b) => a != b }
+    forAll(genEdges, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        // driver oracle: union-find with min-label roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val pairs = toDf(spark)(
+          "id_a" -> edges.map(_._1), "id_b" -> edges.map(_._2)).df
+        val got = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
   test("chunkDocuments at stride == chunkTokens reconstructs the token stream") {
     val genDoc = for {
       n <- Gen.choose(1, 40)
