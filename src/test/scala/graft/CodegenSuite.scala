@@ -59,6 +59,11 @@ class CodegenSuite extends SparkSpec {
       assert(d.limit(1).head().getDouble(0) > 0.0)
       val c = emb.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
       assert(math.abs(c.limit(1).head().getDouble(0) - 1.0) < 1e-9)
+      // the declarative product aggregate must also codegen end-to-end
+      val p = graft.api.DataTable(docs).groupBy("lang")
+        .summarize("p" -> graft.functions.Accumulators.productLong(
+          (col("doc_id") % 7 + 1).cast("long")))
+      assert(p.df.collect().length > 0)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
