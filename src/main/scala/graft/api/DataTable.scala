@@ -148,6 +148,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
   def mutate(pairs: (String, Column)*): DataTable =
     if (isGrouped)
       withDf(pairs.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, windowize(c)) })
+    else if (!pairsChain(pairs))
+      // No pair references an earlier pair's output: one broadcastLift for
+      // all pairs — k aggregate-bearing columns cost ONE scalar aggregation
+      // and one broadcast, not k full-table passes.
+      withDf {
+        val (joined, rewritten, helpers) = broadcastLift(df, pairs.map(_._2))
+        pairs.map(_._1).zip(rewritten)
+          .foldLeft(joined) { case (d, (name, c)) => d.withColumn(name, c) }
+          .drop(helpers: _*)
+      }
     else
       // Sequential per-pair lift so later pairs can reference columns the
       // earlier pairs computed, matching the grouped fold's semantics.
@@ -155,6 +165,19 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
         val (joined, rewritten, helpers) = broadcastLift(d, Seq(c))
         joined.withColumn(name, rewritten.head).drop(helpers: _*)
       })
+
+  /** Does any pair's expression reference a column computed by an EARLIER
+    * pair (by output name)? Decides whether mutate can batch the lift. */
+  private def pairsChain(pairs: Seq[(String, Column)]): Boolean = {
+    def refs(e: Expression, names: Set[String]): Boolean = e match {
+      case a: UnresolvedAttribute => names(a.nameParts.last)
+      case other => other.children.exists(refs(_, names))
+    }
+    pairs.zipWithIndex.exists { case ((_, c), i) =>
+      val earlier = pairs.take(i).map(_._1).toSet
+      earlier.nonEmpty && refs(Shim.toExpression(c), earlier)
+    }
+  }
 
   /** mutate, keeping only the group keys and the computed columns
     * (`transmute`, `dataframe.nim:1777-1819`). */
@@ -195,7 +218,22 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
         // an empty-partition window.
         val (joined, rewritten, helpers) = broadcastLift(df, Seq(conds.reduce(_ && _)))
         if (helpers.isEmpty) None
-        else Some(withDf(joined.filter(rewritten.head).drop(helpers: _*)))
+        else {
+          // the condition may ALSO carry an explicit user window (not
+          // allowed in WHERE): project it to a helper column first
+          def hasWin(e: Expression): Boolean = e match {
+            case _: WindowExpression => true
+            case other => other.children.exists(hasWin)
+          }
+          val c = rewritten.head
+          val filtered =
+            if (!hasWin(Shim.toExpression(c))) joined.filter(c)
+            else {
+              val h = "__graft_cond"
+              joined.withColumn(h, c).filter(col(h)).drop(h)
+            }
+          Some(withDf(filtered.drop(helpers: _*)))
+        }
       }
     lifted.getOrElse {
       val cond = conds.map(windowize).reduce(_ && _)

@@ -57,7 +57,10 @@ object Accumulators {
     * updated by codegen'd `Multiply` inside HashAggregate, vs the
     * `Aggregator` fold's ObjectHashAggregate with per-row encoder round
     * trips. [[productLongFold]] keeps the general mechanism; the two are
-    * pinned bit-identical in AccumulatorSuite. */
+    * pinned bit-identical on NON-NULL input in AccumulatorSuite. Null
+    * handling diverges by construction: this skips nulls (SQL aggregate /
+    * DuckDB `product()` semantics); the primitive fold reads null as 0L
+    * (collapsing the product) — pinned too. */
   def productLong: Column => Column = c =>
     graftshim.Shim.toColumn(
       graftshim.ProductLong(graftshim.Shim.toExpression(c)).toAggregateExpression())

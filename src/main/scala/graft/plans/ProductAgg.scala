@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
   * custom folds stays [[graft.functions.Accumulators.foldLong]], pinned
   * bit-identical to this in AccumulatorSuite.
   *
-  * Semantics match both the `Aggregator` fold and DuckDB `product()`:
-  * identity 1, null inputs skipped, non-ANSI wrap-around `*` (the same
-  * overflow behavior as the Scala `_ * _` fold it replaces).
+  * Semantics match DuckDB `product()`: identity 1, null inputs SKIPPED
+  * (the primitive `Aggregator` fold instead reads null as 0L — a
+  * documented divergence pinned in AccumulatorSuite), non-ANSI
+  * wrap-around `*` (the same overflow behavior as the Scala `_ * _`
+  * fold).
   */
 case class ProductLong(child: Expression)
     extends DeclarativeAggregate with ImplicitCastInputTypes

@@ -51,11 +51,14 @@ object Csv {
 
   /** Read a CSV file into a typed DataFrame with reference inference.
     *
-    * `path` may also be an `http://`, `https://` or `file://` URL
-    * (`io.nim:752-756`): the content is fetched driver-side once, with no
-    * caching, exactly like the reference's `readCsvFromUrl`
-    * (`io.nim:672-686`) — a convenience for small remote files, not a
-    * distributed source.
+    * `path` may also be an `http://` or `https://` URL (`io.nim:752-756`):
+    * the content is fetched driver-side once, with no caching, exactly
+    * like the reference's `readCsvFromUrl` (`io.nim:672-686`) — a
+    * convenience for small remote files, not a distributed source. Other
+    * schemes (`file://`, `hdfs://`, `s3a://`…) go to Spark's distributed
+    * reader as plain paths. Like the reference's URL branch, the fetch
+    * path does not support `allowLineBreaks` (content is pre-split on
+    * physical lines).
     *
     * `colNames` overrides the header entirely: the data is treated as
     * headerless (combine with `skipLines` to discard a real header, like
@@ -86,10 +89,13 @@ object Csv {
               colNames: Seq[String] = Nil,
               wordDigits: Boolean = false,
               allowLineBreaks: Boolean = false): DataFrame = {
-    if (path.startsWith("http://") || path.startsWith("https://") ||
-        path.startsWith("file://"))
+    if (path.startsWith("http://") || path.startsWith("https://")) {
+      require(!allowLineBreaks,
+        "readCsv: allowLineBreaks is not supported with URL fetch " +
+          "(content is pre-split on physical lines, like the reference)")
       return parseCsvString(spark, fetchUrl(path), sep, header, skipLines,
-        maxLines, toSkip, colNames, wordDigits, quote)
+        maxLines, toSkip, colNames, wordDigits, quote, comment)
+    }
     val needLineSplit = skipLines > 0 || maxLines > 0 || toSkip.nonEmpty || sep == " "
     val raw =
       if (!needLineSplit) {
@@ -112,21 +118,28 @@ object Csv {
         // one of the rare legitimate RDD uses).
         import spark.implicits._
         val hasHeader = header && colNames.isEmpty
-        val headerOffset = if (hasHeader) 1 else 0
-        var indexed = spark.sparkContext.textFile(path)
-          .zipWithIndex().filter(_._2 >= skipLines)
-        if (maxLines > 0)
-          indexed = indexed.filter(_._2 < skipLines + headerOffset + maxLines)
-        var lines = indexed.map(_._1)
+        var lines = spark.sparkContext.textFile(path)
+          .zipWithIndex().filter(_._2 >= skipLines).map(_._1)
         if (toSkip.nonEmpty) lines = lines.map(_.filterNot(toSkip))
+        if (maxLines > 0) {
+          // cap counts DATA lines (io.nim:723-724): blank and comment
+          // lines are dropped by the parse anyway, so drop them before
+          // indexing — the cap then lands on header + N parsed rows
+          val headerOffset = if (hasHeader) 1 else 0
+          lines = lines
+            .filter(l => l.nonEmpty && !(comment.nonEmpty && l.startsWith(comment)))
+            .zipWithIndex().filter(_._2 < headerOffset + maxLines).map(_._1)
+        }
         parseLines(spark, spark.createDataset(lines), sep, hasHeader, quote, comment)
       }
     finish(raw, colNames, wordDigits)
   }
 
   /** Driver-side URL fetch (`readCsvFromUrl`, `io.nim:672-686`): no
-    * caching, whole content in memory — small files only, by design. */
-  private def fetchUrl(url: String): String = {
+    * caching, whole content in memory — small files only, by design.
+    * (`private[graft]` so the suite can exercise it via `file://` —
+    * the environment has no egress for a real http round trip.) */
+  private[graft] def fetchUrl(url: String): String = {
     val in = new java.net.URI(url).toURL.openStream()
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -139,14 +152,19 @@ object Csv {
                      toSkip: Set[Char] = Set.empty,
                      colNames: Seq[String] = Nil,
                      wordDigits: Boolean = false,
-                     quote: String = "\""): DataFrame = {
+                     quote: String = "\"",
+                     comment: String = "#"): DataFrame = {
     import spark.implicits._
     val hasHeader = header && colNames.isEmpty
     var lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
-    if (maxLines > 0) lines = lines.take((if (hasHeader) 1 else 0) + maxLines)
     if (toSkip.nonEmpty) lines = lines.map(_.filterNot(toSkip))
+    if (maxLines > 0)
+      // data-line cap, like readCsv: blanks/comments don't count
+      lines = lines
+        .filter(l => l.nonEmpty && !(comment.nonEmpty && l.startsWith(comment)))
+        .take((if (hasHeader) 1 else 0) + maxLines)
     val raw = parseLines(spark, spark.createDataset(lines), sep,
-      hasHeader, quote = quote, comment = "#")
+      hasHeader, quote = quote, comment = comment)
     finish(raw, colNames, wordDigits)
   }
 

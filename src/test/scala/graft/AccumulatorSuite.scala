@@ -42,6 +42,19 @@ class AccumulatorSuite extends SparkSpec {
     assert(colLongs(fast, "p") == Seq(15L, -2L, -28L))
   }
 
+  test("product null semantics: declarative skips (SQL), primitive fold reads 0") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(3L)), ("a", None), ("a", Some(5L))).toDF("g", "x")
+    val decl = df.groupBy("g").agg(Accumulators.productLong(col("x")).as("p"))
+      .collect().head.getLong(1)
+    val fold = df.groupBy("g").agg(Accumulators.productLongFold(col("x")).as("p"))
+      .collect().head.getLong(1)
+    assert(decl == 15L) // nulls skipped, like DuckDB product()
+    assert(fold == 0L)  // primitive encoder reads null as 0 — documented
+  }
+
   test("declarative product plans as HashAggregate, not ObjectHashAggregate") {
     val df = toDf(spark)("g" -> Seq("a", "b"), "x" -> Seq(2L, 3L))
     val plan = df.groupBy("g").summarize("p" -> Accumulators.productLong(col("x")))

@@ -246,13 +246,19 @@ class CsvSuite extends SparkSpec {
     assert(colSeq(back, "bl") == Seq(true, false, true))
   }
 
-  test("readCsv from a URL fetches driver-side (io.nim:672-686, 752-756)") {
+  test("URL fetch path: fetchUrl + parseCsvString (io.nim:672-686, 752-756)") {
+    // http/https dispatch in readCsv is exactly this composition; no
+    // egress in the test env, so the helper is exercised via file://
     val p = java.nio.file.Files.createTempFile("graft_url_csv", ".csv")
     java.nio.file.Files.writeString(p, "x,y\n1,a\n2,b\n3,c\n")
-    val df = DataTable(Csv.readCsv(spark, "file://" + p)).arrange("x")
+    val content = Csv.fetchUrl("file://" + p)
+    val df = DataTable(Csv.parseCsvString(spark, content)).arrange("x")
     assert(df.df.schema("x").dataType == LongType)
     assert(colLongs(df, "x") == Seq(1L, 2L, 3L))
     assert(colStrings(df, "y") == Seq("a", "b", "c"))
+    // a file:// PATH (not URL-fetched) still reads distributed
+    val viaSpark = DataTable(Csv.readCsv(spark, "file://" + p)).arrange("x")
+    assert(colLongs(viaSpark, "x") == Seq(1L, 2L, 3L))
     java.nio.file.Files.delete(p)
   }
 
@@ -273,6 +279,17 @@ class CsvSuite extends SparkSpec {
     val p = java.nio.file.Files.createTempFile("graft_max_csv", ".csv")
     java.nio.file.Files.writeString(p, data)
     val df2 = Csv.readCsv(spark, p.toString, skipLines = 1, maxLines = 2)
+    assert(colLongs(DataTable(df2).arrange("x"), "x") == Seq(10L, 20L))
+    java.nio.file.Files.delete(p)
+  }
+
+  test("maxLines counts DATA lines: blanks and comments inside the window are free") {
+    val data = "x\n# a note\n10\n\n20\n30\n"
+    val df = Csv.parseCsvString(spark, data, maxLines = 2)
+    assert(colLongs(DataTable(df).arrange("x"), "x") == Seq(10L, 20L))
+    val p = java.nio.file.Files.createTempFile("graft_maxd_csv", ".csv")
+    java.nio.file.Files.writeString(p, data)
+    val df2 = Csv.readCsv(spark, p.toString, maxLines = 2)
     assert(colLongs(DataTable(df2).arrange("x"), "x") == Seq(10L, 20L))
     java.nio.file.Files.delete(p)
   }

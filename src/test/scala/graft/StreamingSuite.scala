@@ -192,7 +192,14 @@ class StreamingSuite extends SparkSpec {
       val tmp = Files.createTempDirectory("graft_doc_part")
       mkDf(Seq(row)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-      Files.copy(Paths.get(part), inDir.resolve(f"doc_$i%03d.parquet"))
+      val dst = inDir.resolve(f"doc_$i%03d.parquet")
+      Files.copy(Paths.get(part), dst)
+      // FileStreamSource orders by modification time: fast copies can tie
+      // (coarse mtime granularity), making arrival order — and which
+      // exact-dup survives — nondeterministic. Pin strictly increasing
+      // mtimes so arrival order is exactly doc order.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
     val schema = mkDf(docs.take(1)).schema
     val stream = spark.readStream.schema(schema)

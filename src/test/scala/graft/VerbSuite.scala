@@ -114,6 +114,34 @@ class VerbSuite extends SparkSpec {
     assert(colLongs(r, "z") == Seq(16L, 17L, 18L))
   }
 
+  test("ungrouped filter mixing lifted aggregate and explicit window") {
+    // the broadcast-lift path must still route explicit user windows
+    // through the helper-column projection (windows aren't legal in WHERE)
+    import org.apache.spark.sql.expressions.Window
+    val df = toDf(spark)("x" -> (1 to 10))
+    val r = df.filter(
+      col("x") >= max(col("x")) * 0.5 &&
+        row_number().over(Window.orderBy(col("x"))) <= 8)
+    assert(colLongs(r.arrange("x"), "x") == Seq(5L, 6L, 7L, 8L))
+  }
+
+  test("multi-pair ungrouped mutate batches the lift; chained pairs stay sequential") {
+    val df = toDf(spark)("x" -> Seq(1, 2, 3))
+    // independent pairs: ONE aggregation + ONE broadcast join for both
+    val batched = df.mutate(
+      "a" -> (col("x") - avg(col("x"))),
+      "b" -> (col("x").cast("double") / max(col("x"))))
+    val plan = batched.df.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 == 1, plan)
+    assert(colDoubles(batched.arrange("x"), "a") == Seq(-1.0, 0.0, 1.0))
+    assertAllClose(colDoubles(batched.arrange("x"), "b"), Seq(1.0 / 3, 2.0 / 3, 1.0))
+    // "n" references "m" computed one pair earlier -> sequential fold
+    val chained = df.mutate(
+      "m" -> (lit(0L) + max(col("x"))),
+      "n" -> (col("m") + sum(col("x"))))
+    assert(colLongs(chained.arrange("x"), "n") == Seq(9L, 9L, 9L))
+  }
+
   test("ungrouped whole-column reduce plans as broadcast, not global window") {
     // The lift must become scalar-aggregate + BroadcastNestedLoopJoin of a
     // 1-row relation — NOT a Window with empty partitioning, which funnels
