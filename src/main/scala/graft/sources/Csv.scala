@@ -72,6 +72,10 @@ object Csv {
     *   parsing (`io.nim:709-713`, e.g. `Set(' ')` for `5, 10, 8`-style
     *   files). Divergence from the reference's char-level parser skip:
     *   removal also applies inside quoted fields.
+    * @param headerSymbol reference `header: string` mode (`io.nim:714-718`):
+    *   when nonempty, column names come from the first line (which must
+    *   start with the symbol), and every further line starting with the
+    *   symbol is skipped until the data begins.
     * @param wordDigits replicate the reference's `parseStringDigit` quirk
     *   ("one".."nine" count and parse as ints, `io.nim:323-330`); off by
     *   default — it is a surprise in production data.
@@ -87,14 +91,29 @@ object Csv {
               skipLines: Int = 0, maxLines: Int = 0,
               toSkip: Set[Char] = Set.empty,
               colNames: Seq[String] = Nil,
+              headerSymbol: String = "",
               wordDigits: Boolean = false,
               allowLineBreaks: Boolean = false): DataFrame = {
+    if (headerSymbol.nonEmpty && colNames.isEmpty &&
+        !path.startsWith("http://") && !path.startsWith("https://")) {
+      // names from the '#'-style header line; remaining symbol-prefixed
+      // lines drop via the comment option (driver-side peek of one line)
+      val first = spark.sparkContext.textFile(path)
+        .take(skipLines + 1).lastOption.getOrElse("")
+      require(first.startsWith(headerSymbol),
+        s"readCsv: first line does not start with headerSymbol '$headerSymbol'")
+      return readCsv(spark, path, sep, header = false, quote,
+        comment = headerSymbol, skipLines, maxLines, toSkip,
+        colNames = splitHeader(first.stripPrefix(headerSymbol), sep),
+        headerSymbol = "", wordDigits = wordDigits,
+        allowLineBreaks = allowLineBreaks)
+    }
     if (path.startsWith("http://") || path.startsWith("https://")) {
       require(!allowLineBreaks,
         "readCsv: allowLineBreaks is not supported with URL fetch " +
           "(content is pre-split on physical lines, like the reference)")
       return parseCsvString(spark, fetchUrl(path), sep, header, skipLines,
-        maxLines, toSkip, colNames, wordDigits, quote, comment)
+        maxLines, toSkip, colNames, wordDigits, quote, comment, headerSymbol)
     }
     val needLineSplit = skipLines > 0 || maxLines > 0 || toSkip.nonEmpty || sep == " "
     val raw =
@@ -153,8 +172,17 @@ object Csv {
                      colNames: Seq[String] = Nil,
                      wordDigits: Boolean = false,
                      quote: String = "\"",
-                     comment: String = "#"): DataFrame = {
+                     comment: String = "#",
+                     headerSymbol: String = ""): DataFrame = {
     import spark.implicits._
+    if (headerSymbol.nonEmpty && colNames.isEmpty) {
+      val first = content.split("\r?\n").drop(skipLines).headOption.getOrElse("")
+      require(first.startsWith(headerSymbol),
+        s"parseCsvString: first line does not start with headerSymbol '$headerSymbol'")
+      return parseCsvString(spark, content, sep, header = false, skipLines,
+        maxLines, toSkip, splitHeader(first.stripPrefix(headerSymbol), sep),
+        wordDigits, quote, comment = headerSymbol, headerSymbol = "")
+    }
     val hasHeader = header && colNames.isEmpty
     var lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
     if (toSkip.nonEmpty) lines = lines.map(_.filterNot(toSkip))
@@ -198,6 +226,14 @@ object Csv {
           sanitizeName(c, i)
         }.toIndexedSeq: _*)
     inferTypes(named, wordDigits)
+  }
+
+  /** Tokenize a `headerSymbol` header line into column names. */
+  private def splitHeader(s: String, sep: String): Seq[String] = {
+    val toks =
+      if (sep == " ") s.trim.split("\\s+")
+      else s.split(java.util.regex.Pattern.quote(sep))
+    toks.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Unnamed columns become `UnnamedN` like the reference (`io.nim:143-144`).

@@ -294,6 +294,21 @@ class CsvSuite extends SparkSpec {
     java.nio.file.Files.delete(p)
   }
 
+  test("headerSymbol mode: names from the '#'-line, preamble skipped (io.nim:714-718)") {
+    val data = "# x y z\n# units: m s kg\n1 2 3\n4 5 6\n"
+    val df = Csv.parseCsvString(spark, data, sep = " ", headerSymbol = "#")
+    assert(df.columns.toSeq == Seq("x", "y", "z"))
+    assert(colLongs(DataTable(df).arrange("x"), "x") == Seq(1L, 4L))
+    assert(colLongs(DataTable(df).arrange("x"), "z") == Seq(3L, 6L))
+    // file path variant, comma-separated
+    val p = java.nio.file.Files.createTempFile("graft_hsym_csv", ".csv")
+    java.nio.file.Files.writeString(p, "#a,b\n#note\n10,20\n30,40\n")
+    val df2 = Csv.readCsv(spark, p.toString, headerSymbol = "#")
+    assert(df2.columns.toSeq == Seq("a", "b"))
+    assert(colLongs(DataTable(df2).arrange("a"), "b") == Seq(20L, 40L))
+    java.nio.file.Files.delete(p)
+  }
+
   test("toSkip removes optional characters before parsing (io.nim:709-713)") {
     // the reference's doc example: comma-separated with stray spaces
     val df = Csv.parseCsvString(spark, "a,b\n5, 10\n8, 3\n", toSkip = Set(' '))
