@@ -40,6 +40,19 @@ class ClusterSuite extends SparkSpec {
     assert(rounds <= 16, s"path-$n took $rounds rounds — compression not engaging")
   }
 
+  test("clusterByMinhash with no near-dups at all: empty edge list, identity clusters") {
+    // exercises connectedComponents on an EMPTY pair set end-to-end
+    val docs = toDf(spark)(
+      "doc_id" -> Seq(1, 2),
+      "text" -> Seq(
+        "completely different alpha beta gamma delta epsilon",
+        "another unrelated sentence with many other words here")).df
+    val out = Dedup.clusterByMinhash(docs, "text", "doc_id")
+      .select("doc_id", "cluster_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 2L))
+  }
+
   test("clusterByMinhash keeps singletons as their own cluster") {
     val docs = toDf(spark)(
       "doc_id" -> Seq(1, 2, 3),
