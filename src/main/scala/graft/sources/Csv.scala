@@ -74,8 +74,11 @@ object Csv {
     *   removal also applies inside quoted fields.
     * @param headerSymbol reference `header: string` mode (`io.nim:714-718`):
     *   when nonempty, column names come from the first line (which must
-    *   start with the symbol), and every further line starting with the
-    *   symbol is skipped until the data begins.
+    *   start with the symbol), and only the CONTIGUOUS run of
+    *   symbol-prefixed lines after it (the preamble) is skipped — a later
+    *   data row that happens to begin with the symbol is data, and the
+    *   `comment` option keeps its own, independent meaning (it is not
+    *   overridden by the symbol).
     * @param wordDigits replicate the reference's `parseStringDigit` quirk
     *   ("one".."nine" count and parse as ints, `io.nim:323-330`); off by
     *   default — it is a surprise in production data.
@@ -96,17 +99,28 @@ object Csv {
               allowLineBreaks: Boolean = false): DataFrame = {
     if (headerSymbol.nonEmpty && colNames.isEmpty &&
         !path.startsWith("http://") && !path.startsWith("https://")) {
-      // names from the '#'-style header line; remaining symbol-prefixed
-      // lines drop via the comment option (driver-side peek of one line)
-      val first = spark.sparkContext.textFile(path)
-        .take(skipLines + 1).lastOption.getOrElse("")
+      require(!allowLineBreaks,
+        "readCsv: allowLineBreaks is incompatible with headerSymbol " +
+          "(the preamble skip is positional on physical lines)")
+      // Names from the symbol-prefixed header line; skip ONLY the
+      // contiguous preamble of symbol lines (io.nim readCsv doc: "skip
+      // every line until the first line starting without the symbol").
+      // The user's `comment` option is honored independently.
+      val idx = spark.sparkContext.textFile(path).zipWithIndex()
+      val first = idx.filter(_._2 == skipLines).map(_._1)
+        .take(1).headOption.getOrElse("")
       require(first.startsWith(headerSymbol),
         s"readCsv: first line does not start with headerSymbol '$headerSymbol'")
-      return readCsv(spark, path, sep, header = false, quote,
-        comment = headerSymbol, skipLines, maxLines, toSkip,
-        colNames = splitHeader(first.stripPrefix(headerSymbol), sep),
-        headerSymbol = "", wordDigits = wordDigits,
-        allowLineBreaks = allowLineBreaks)
+      val names = splitHeader(first.stripPrefix(headerSymbol), sep)
+      // first physical line at/after skipLines not starting with the symbol
+      val firstData = idx
+        .filter { case (l, i) => i >= skipLines && !l.startsWith(headerSymbol) }
+        .map(_._2).fold(Long.MaxValue)(math.min)
+      if (firstData == Long.MaxValue) // header + preamble only: empty table
+        return finish(emptyStrings(spark, names.length), names, wordDigits)
+      return readCsv(spark, path, sep, header = false, quote, comment,
+        skipLines = firstData.toInt, maxLines, toSkip, colNames = names,
+        headerSymbol = "", wordDigits = wordDigits, allowLineBreaks = false)
     }
     if (path.startsWith("http://") || path.startsWith("https://")) {
       require(!allowLineBreaks,
@@ -176,12 +190,18 @@ object Csv {
                      headerSymbol: String = ""): DataFrame = {
     import spark.implicits._
     if (headerSymbol.nonEmpty && colNames.isEmpty) {
-      val first = content.split("\r?\n").drop(skipLines).headOption.getOrElse("")
+      // contiguous-preamble skip only; user's `comment` stays in force
+      val ls = content.split("\r?\n").toIndexedSeq.drop(skipLines)
+      val first = ls.headOption.getOrElse("")
       require(first.startsWith(headerSymbol),
         s"parseCsvString: first line does not start with headerSymbol '$headerSymbol'")
-      return parseCsvString(spark, content, sep, header = false, skipLines,
-        maxLines, toSkip, splitHeader(first.stripPrefix(headerSymbol), sep),
-        wordDigits, quote, comment = headerSymbol, headerSymbol = "")
+      val names = splitHeader(first.stripPrefix(headerSymbol), sep)
+      val data = ls.dropWhile(_.startsWith(headerSymbol))
+      if (data.isEmpty)
+        return finish(emptyStrings(spark, names.length), names, wordDigits)
+      return parseCsvString(spark, data.mkString("\n"), sep, header = false,
+        skipLines = 0, maxLines, toSkip, names, wordDigits, quote, comment,
+        headerSymbol = "")
     }
     val hasHeader = header && colNames.isEmpty
     var lines = content.split("\r?\n").toIndexedSeq.drop(skipLines)
@@ -212,6 +232,15 @@ object Csv {
       .option("ignoreTrailingWhiteSpace", "true")
       .option("inferSchema", "false")
     (if (comment.nonEmpty) base.option("comment", comment) else base).csv(data)
+  }
+
+  /** Zero-row all-string frame (headerSymbol files whose body is all
+    * preamble: the header still names the columns). */
+  private def emptyStrings(spark: SparkSession, n: Int): DataFrame = {
+    val schema = StructType((0 until n).map(i =>
+      StructField(s"_c$i", StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   private def finish(raw: DataFrame, colNames: Seq[String],
@@ -259,13 +288,17 @@ object Csv {
       c => lower(col(c)).isin("true", "false")
 
     // per column: [nonMissing, long-parsable, double-parsable, bool, missing]
+    // (sums coalesced: over ZERO rows sum() is NULL, and an empty frame —
+    // e.g. a headerSymbol file whose body is all preamble — must still
+    // type-infer to all-string instead of throwing)
+    def cnt(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
     val voteCols = cols.map { c =>
       struct(
-        sum(when(!missing(c), 1L).otherwise(0L)).as("n"),
-        sum(when(!missing(c) && isLongStr(c), 1L).otherwise(0L)).as("nLong"),
-        sum(when(!missing(c) && isDoubleStr(c), 1L).otherwise(0L)).as("nDouble"),
-        sum(when(!missing(c) && isBoolStr(c), 1L).otherwise(0L)).as("nBool"),
-        sum(when(missing(c), 1L).otherwise(0L)).as("nMiss")).as(c)
+        cnt(when(!missing(c), 1L).otherwise(0L)).as("n"),
+        cnt(when(!missing(c) && isLongStr(c), 1L).otherwise(0L)).as("nLong"),
+        cnt(when(!missing(c) && isDoubleStr(c), 1L).otherwise(0L)).as("nDouble"),
+        cnt(when(!missing(c) && isBoolStr(c), 1L).otherwise(0L)).as("nBool"),
+        cnt(when(missing(c), 1L).otherwise(0L)).as("nMiss")).as(c)
     }
     val vote = df.agg(voteCols.head, voteCols.tail: _*).head()
 

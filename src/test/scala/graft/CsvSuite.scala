@@ -309,6 +309,28 @@ class CsvSuite extends SparkSpec {
     java.nio.file.Files.delete(p)
   }
 
+  test("headerSymbol skips only the contiguous preamble; comment stays independent") {
+    // '%' is the header/preamble symbol; a mid-file '%'-line is DATA
+    val data = "%x,y\n%preamble note\nab,1\n%mid,2\ncd,3\n"
+    val df = Csv.parseCsvString(spark, data, headerSymbol = "%", comment = "")
+    assert(df.columns.toSeq == Seq("x", "y"))
+    assert(colLongs(DataTable(df).arrange("y"), "y") == Seq(1L, 2L, 3L))
+    // the user's comment char ('#' default) keeps working mid-file,
+    // un-clobbered by the symbol
+    val df2 = Csv.parseCsvString(spark, "%x\n%pre\n1\n# a comment\n2\n",
+      headerSymbol = "%")
+    assert(colLongs(DataTable(df2).arrange("x"), "x") == Seq(1L, 2L))
+    // file-path variant: same positional semantics
+    val p = java.nio.file.Files.createTempFile("graft_hsym2_csv", ".csv")
+    java.nio.file.Files.writeString(p, data)
+    val df3 = Csv.readCsv(spark, p.toString, headerSymbol = "%", comment = "")
+    assert(colLongs(DataTable(df3).arrange("y"), "y") == Seq(1L, 2L, 3L))
+    java.nio.file.Files.delete(p)
+    // header + preamble only: empty table, named columns
+    val df4 = Csv.parseCsvString(spark, "%a,b\n%only preamble\n", headerSymbol = "%")
+    assert(df4.columns.toSeq == Seq("a", "b") && df4.count() == 0L)
+  }
+
   test("toSkip removes optional characters before parsing (io.nim:709-713)") {
     // the reference's doc example: comma-separated with stray spaces
     val df = Csv.parseCsvString(spark, "a,b\n5, 10\n8, 3\n", toSkip = Set(' '))
