@@ -55,6 +55,20 @@ class AccumulatorSuite extends SparkSpec {
     assert(fold == 0L)  // primitive encoder reads null as 0 — documented
   }
 
+  test("product of an all-null group (and empty input) is NULL like SQL aggregates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(3L)), ("b", None), ("b", None)).toDF("g", "x")
+    val rows = df.groupBy("g").agg(Accumulators.productLong(col("x")).as("p"))
+      .orderBy("g").collect()
+    assert(rows(0).getLong(1) == 3L)
+    assert(rows(1).isNullAt(1)) // no non-null input -> NULL, not identity 1
+    val empty = df.filter(lit(false))
+      .agg(Accumulators.productLong(col("x")).as("p")).collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("declarative product plans as HashAggregate, not ObjectHashAggregate") {
     val df = toDf(spark)("g" -> Seq("a", "b"), "x" -> Seq(2L, 3L))
     val plan = df.groupBy("g").summarize("p" -> Accumulators.productLong(col("x")))
