@@ -348,10 +348,16 @@ object Dedup {
     * (path-like) graph still converges in O(log n) rounds total instead
     * of O(diameter), without taxing the shallow common case with the
     * extra join. Convergence is detected by an exact changed-label count
-    * read off the cached per-round output; logical lineage is truncated by
-    * a lazy per-round `localCheckpoint` (persist alone leaves the plan
-    * tree doubling per round) so plans stay O(1) deep regardless of round
-    * count. */
+    * read off the cached per-round output; logical lineage is truncated
+    * per round (persist alone leaves the plan tree doubling per round) so
+    * plans stay O(1) deep regardless of round count.
+    *
+    * Fault tolerance: when `spark.sparkContext.setCheckpointDir` has been
+    * called, rounds use RELIABLE `checkpoint` (survives executor loss —
+    * the right mode for long runs on a real cluster). Otherwise they fall
+    * back to `localCheckpoint`, whose blocks are unreplicated executor
+    * storage: losing an executor mid-iteration fails the job instead of
+    * recomputing, an acceptable trade only for short interactive runs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
@@ -372,19 +378,24 @@ object Dedup {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // seed with one free propagation round: label_0 = min(id, neighbors)
-    // (one aggregation over the cached edges, no join, no change-count).
-    // Each round's labels are localCheckpoint'ed (LAZY — the round's
-    // convergence count is still the single materializing action): persist
-    // alone does NOT truncate the LOGICAL plan, and since every round
+    // Each round's labels get their LOGICAL plan truncated (lazily — the
+    // round's convergence count is still the single materializing action):
+    // persist alone does NOT truncate the plan, and since every round
     // references the previous labels twice, the plan tree doubles per
     // round — at ~16 rounds plan stringification alone OOMs the driver.
-    // Dropped round RDDs are reaped by Spark's ContextCleaner.
-    var labels = edges.groupBy(col("src"))
+    // Reliable checkpoint when a checkpoint dir is configured (replicated,
+    // survives executor loss); else localCheckpoint (unreplicated — see
+    // scaladoc). Dropped round RDDs are reaped by Spark's ContextCleaner.
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // seed with one free propagation round: label_0 = min(id, neighbors)
+    // (one aggregation over the cached edges, no join, no change-count).
+    var labels = truncate(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("id"),
-        least(col("src"), col("__m")).as("component"))
-      .localCheckpoint(false)
+        least(col("src"), col("__m")).as("component")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -408,7 +419,7 @@ object Dedup {
       // O(log n) rounds; skipped for the first rounds so shallow graphs
       // (the near-dup norm) never pay the extra join.
       var jumpSrc: DataFrame = null
-      val next = (if (iter < CompressAfter) propagated
+      val next = truncate(if (iter < CompressAfter) propagated
         else {
           jumpSrc = propagated.persist(StorageLevel.MEMORY_AND_DISK)
           jumpSrc
@@ -416,7 +427,7 @@ object Dedup {
               col("component") === col("__cid"), "left")
             .select(col("id"),
               coalesce(col("__cc"), col("component")).as("component"), col("__old"))
-        }).localCheckpoint(false)
+        })
       changed = next.filter(col("component") =!= col("__old")).count()
       if (jumpSrc != null) jumpSrc.unpersist()
       labels = next
