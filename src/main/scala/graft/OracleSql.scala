@@ -292,4 +292,34 @@ object OracleSql {
        |SELECT query_id, vec_id, cos, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replays [[graft.operators.Bm25.score]] with the SAME constants and
+    * the SAME parenthesization (every floating-point operation happens in
+    * the same order, so with the micro-scaled rounding the scores are
+    * exactly comparable despite ln/division ulp sensitivity). */
+  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::BIGINT AS df$i"
+    }.mkString(",\n        ")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"(len(list_filter(toks, x -> x = '$t')))::DOUBLE AS tf$i"
+    }.mkString(",\n        ")
+    val parts = terms.indices.map { i =>
+      s"(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${dlit(k1 + 1)}))" +
+        s" / (tf$i + ${dlit(k1)} * (${dlit(1 - b)} + ${dlit(b)} * (dl / (sumdl / n))))"
+    }.mkString("(", " + ", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |l AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM d),
+       |s AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sumdl,
+       |        $dfs
+       |      FROM l),
+       |f AS (SELECT doc_id, dl, n, sumdl,
+       |        ${terms.indices.map(i => s"df$i").mkString(", ")},
+       |        $tfs
+       |      FROM l CROSS JOIN s)
+       |SELECT doc_id, round($parts * 1000000.0)::BIGINT AS score_micro
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

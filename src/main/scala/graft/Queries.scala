@@ -477,7 +477,7 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Dedup, Multimodal, Pack, Sampling, Similarity}
+    import graft.operators.{Bm25, Dedup, Multimodal, Pack, RangeJoin, Sampling, Similarity}
     Map(
 
       // deterministic hash sampling: reproducible 10% of the corpus,
@@ -781,9 +781,66 @@ object Queries {
               expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")),
             "text", "doc_id")
             .select("doc_id"))
+          .arrange("doc_id").df),
+
+      // balanced per-stratum sample: exactly 25 docs per language by
+      // deterministic hash rank (WindowGroupLimit prunes map-side)
+      "q_stratified" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.stratifiedTopN(Tables.df(s, dir, "documents"),
+            "doc_id", "lang", n = 25)
+            .select(col("doc_id"), col("lang")))
+          .arrange("doc_id").df),
+
+      // benchmark decontamination: drop training docs sharing any word
+      // 5-gram with a held-out 20% benchmark slice (GPT-3-style exact
+      // n-gram overlap filter; hash48 shingles replay in DuckDB)
+      "q_decontam" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val isBench =
+          Sampling.hashBucket(col("doc_id"), "bench", 7L) < lit(200000L)
+        graft.api.DataTable(
+          Dedup.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+            "text", "doc_id", n = 5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df
+      }),
+
+      // banded interval join WITHOUT an equi-key: events into 20 fixed
+      // 6-hour windows placed every 36 hours from the first event; the
+      // bin rewrite keeps it a hash join (never a nested-loop cartesian)
+      "q_range_join" -> ((s: SparkSession, dir: String) => {
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"))
+        val t0 = ev.agg(min(col("t_us")).as("t0"))
+        val windows = s.range(20).toDF("window_id")
+          .crossJoin(broadcast(t0))
+          .select(col("window_id"),
+            (col("t0") + col("window_id") * lit(129600000000L)).as("w_start"),
+            (col("t0") + col("window_id") * lit(129600000000L) +
+              lit(21600000000L)).as("w_end"))
+        graft.api.DataTable(
+          RangeJoin.intervalJoin(ev, "t_us", windows, "w_start", "w_end",
+            binWidth = 3600000000L)
+            .groupBy("window_id")
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct(col("user_id")).as("n_users")))
+          .arrange("window_id").df
+      }),
+
+      // BM25 relevance of every document for a fixed term query
+      // (micro-scaled BIGINT scores; oracle mirrors every float op)
+      "q_bm25" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Bm25.score(Tables.df(s, dir, "documents"), "doc_id", "text",
+            Bm25Terms))
           .arrange("doc_id").df)
     )
   }
+
+  /** Query terms for q_bm25 — spliced into both engines. */
+  private val Bm25Terms = Seq("vector", "stream", "merge", "window")
 
   private val pipelineOracles: Map[String, String] = Map(
 
@@ -1026,7 +1083,50 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  event_type, COUNT(*) AS n,
         |  SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substring(md5('graft_stratn_42_' || doc_id), 1, 12))::BIGINT
+        |                 % 1000000, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+
+    "q_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    ('0x' || substring(md5('graft_bench_7_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 < 200000 AS is_bench
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_bench, unnest(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i+1:i+5], ' ')) END) AS g
+        |  FROM d),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(g), 1, 12))::BIGINT AS h
+        |       FROM sh WHERE is_bench),
+        |bad AS (SELECT DISTINCT doc_id
+        |        FROM sh JOIN bh ON ('0x' || substring(md5(g), 1, 12))::BIGINT = bh.h
+        |        WHERE NOT is_bench)
+        |SELECT doc_id FROM d
+        |WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+        |m AS (SELECT min(t_us) AS t0 FROM t),
+        |w AS (SELECT i AS window_id,
+        |        t0 + i * 129600000000 AS ws,
+        |        t0 + i * 129600000000 + 21600000000 AS we
+        |      FROM m CROSS JOIN unnest(range(0, 20)) AS u(i))
+        |SELECT window_id, COUNT(*)::BIGINT AS n_events,
+        |  COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM t JOIN w ON t.t_us >= w.ws AND t.t_us < w.we
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    "q_bm25" -> OracleSql.bm25(Bm25Terms)
   )
 
   private val coreOracles: Map[String, String] = Map(

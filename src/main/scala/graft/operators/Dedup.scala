@@ -269,6 +269,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: drop from `df` every document sharing at
+    * least one word `n`-gram with a benchmark document — the exact
+    * n-gram-overlap filter training pipelines run against held-out eval
+    * sets before training, applied corpus-side. Returns the surviving
+    * (clean) rows of `df` with their original columns.
+    *
+    * Scale shape: shingles are compressed to 48-bit md5 hashes
+    * ([[graft.functions.TextFunctions.hash48]], so the oracle replays
+    * them exactly); the benchmark side is tiny by nature (eval sets are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * set broadcasts and both the semi-join (find contaminated ids) and
+    * the anti-join (drop them) are map-side — the corpus is scanned
+    * twice and never shuffled. */
+  def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    val benchShingles = bench
+      .select(explode(wordShingles(col(textCol), n)).as("__sh"))
+      .select(hash48(col("__sh")).as("__h"))
+      .distinct()
+    val contaminated = df
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), hash48(col("__sh")).as("__h"))
+      .join(broadcast(benchShingles), Seq("__h"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    // contaminated-id cardinality is data-dependent (worst case the whole
+    // corpus) — no broadcast hint; AQE picks broadcast when it is small
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Edit-distance similarity join: candidate pairs share at least one
     * character n-gram (bucket join with skew cap — the retrieved
     * string-similarity-join literature's filter-verify shape), verified

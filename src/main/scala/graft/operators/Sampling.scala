@@ -72,6 +72,25 @@ object Sampling {
     df.filter(hashBucket(col(idCol), "strat", seed) < cut)
   }
 
+  /** Exactly `n` rows per stratum (all of a stratum smaller than `n`),
+    * chosen by deterministic hash rank — the balanced-sample counterpart
+    * of [[stratifiedHashSample]]: exact counts ("20k docs per language
+    * for the eval set") instead of per-stratum rates. One hash shuffle
+    * on the stratum; the rank filter qualifies for Spark's
+    * `WindowGroupLimit` pushdown, which prunes every map partition to
+    * its local top-`n` BEFORE the exchange — a billion-row stratum
+    * ships only `n` rows per input partition, not the stratum. */
+  def stratifiedTopN(df: DataFrame, idCol: String, stratumCol: String,
+                     n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "stratifiedTopN: n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), "stratn", seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic global shuffle: a total order by sampling hash (ties
     * broken by id). At scale this is ONE range-partitioned sort — exactly
     * what a training-data writer needs to decorrelate adjacent documents

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{toDf, DataTable}
+import graft.operators.{Bm25, Dedup, RangeJoin, Sampling}
+
+/** Round-6 pipeline operators: balanced stratified sampling, banded
+  * interval join, benchmark decontamination, BM25 scoring. */
+class PipelineOpsSuite extends SparkSpec {
+
+  test("stratifiedTopN keeps exactly n per stratum (all of smaller strata)") {
+    val df = toDf(spark)(
+      "id" -> (0 until 100),
+      "g" -> (0 until 100).map(i => if (i < 90) "big" else "small")).df
+    val out = Sampling.stratifiedTopN(df, "id", "g", n = 12)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 12L, "small" -> 10L))
+    // deterministic: the same rows come back on a fresh evaluation
+    val again = Sampling.stratifiedTopN(df, "id", "g", n = 12)
+    assert(colLongs(DataTable(out).arrange("id"), "id") ==
+      colLongs(DataTable(again).arrange("id"), "id"))
+  }
+
+  test("stratifiedTopN rank filter qualifies for WindowGroupLimit pushdown") {
+    val df = toDf(spark)("id" -> (0 until 100), "g" -> Seq.fill(100)("x")).df
+    val plan = Sampling.stratifiedTopN(df, "id", "g", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("intervalJoin matches brute force on [start,end), every match once") {
+    val left = toDf(spark)("t" -> Seq(0L, 5L, 10L, 99L, 100L, 250L, 999L)).df
+    val right = toDf(spark)(
+      "iv" -> Seq(0L, 1L, 2L, 3L),
+      "s" -> Seq(0L, 90L, 100L, 500L),
+      "e" -> Seq(10L, 100L, 300L, 500L)).df
+    val got = RangeJoin.intervalJoin(left, "t", right, "s", "e", binWidth = 64L)
+      .select("t", "iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val want = left.crossJoin(right)
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("t", "iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got == want)
+    // an interval spanning several bins still yields each match ONCE
+    assert(got.size == got.distinct.size)
+    // empty interval (e == s) matches nothing; end is exclusive
+    assert(!got.exists(_._2 == 3L))
+    assert(got.contains((100L, 2L)) && !got.contains((100L, 1L)))
+  }
+
+  test("intervalJoin plans as a hash join on the bin, never a cartesian") {
+    val left = toDf(spark)("t" -> (0L until 50L)).df
+    val right = toDf(spark)("iv" -> Seq(0L, 1L),
+      "s" -> Seq(0L, 25L), "e" -> Seq(10L, 40L)).df
+    val plan = RangeJoin.intervalJoin(left, "t", right, "s", "e", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("decontaminate drops docs sharing a word n-gram with the benchmark") {
+    val corpus = toDf(spark)(
+      "id" -> Seq(1, 2, 3),
+      "text" -> Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "completely unrelated content about spark plans here",
+        "tiny doc")).df // < n tokens: whole text is the single shingle
+    val bench = toDf(spark)(
+      "id" -> Seq(10, 11),
+      "text" -> Seq(
+        "we saw the quick brown fox jumps over a fence",
+        "tiny doc")).df
+    val out = Dedup.decontaminate(corpus, bench, "text", "id", n = 5)
+    assert(colLongs(DataTable(out).arrange("id"), "id") == Seq(2L))
+  }
+
+  test("decontaminate with a disjoint benchmark keeps the corpus intact") {
+    val corpus = toDf(spark)(
+      "id" -> Seq(1, 2), "text" -> Seq("alpha beta gamma", "delta epsilon")).df
+    val bench = toDf(spark)(
+      "id" -> Seq(9), "text" -> Seq("zeta eta theta iota kappa lambda")).df
+    val out = Dedup.decontaminate(corpus, bench, "text", "id", n = 3)
+    assert(colLongs(DataTable(out).arrange("id"), "id") == Seq(1L, 2L))
+  }
+
+  test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
+    val df = toDf(spark)(
+      "id" -> Seq(1, 2, 3),
+      "text" -> Seq("a b a", "b c", "d")).df
+    val got = Bm25.score(df, "id", "text", Seq("a", "c"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1))).toMap
+    // N=3, sumdl=6, avgdl=2; df(a)=1, df(c)=1; k1=1.2, b=0.75
+    def part(tf: Double, dfT: Long, dl: Long): Double = {
+      val n = 3L; val sumdl = 6L
+      val avgdl = sumdl.toDouble / n
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    }
+    assert(got(1L) == math.round(part(2, 1, 3) * 1e6)) // "a b a": tf(a)=2
+    assert(got(2L) == math.round((part(0, 1, 2) + part(1, 1, 2)) * 1e6))
+    assert(got(3L) == 0L) // no query term
+  }
+
+  test("bm25 corpus stats are one scalar aggregate broadcast back (no shuffle of docs)") {
+    val df = toDf(spark)("id" -> (0 until 64),
+      "text" -> (0 until 64).map(i => s"w$i common term")).df
+    val plan = Bm25.score(df, "id", "text", Seq("common"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+}
