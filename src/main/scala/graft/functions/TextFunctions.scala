@@ -44,14 +44,20 @@ object TextFunctions {
     conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
 
   /** Word k-shingles: contiguous k-grams of whitespace tokens, the input
-    * unit for MinHash. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val w = tokens(c)
+    * unit for MinHash. NOTE: higher-order functions get no CSE — when `c`
+    * is an expression (not an attribute), pass an aliased token column
+    * through [[wordShinglesFromTokens]] instead, or the tokenizer re-runs
+    * per shingle (O(tokens²) per row). */
+  def wordShingles(c: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(c), k)
+
+  /** [[wordShingles]] over an already-tokenized (ideally aliased) array
+    * column. */
+  def wordShinglesFromTokens(w: Column, k: Int): Column =
     when(size(w) < k, array(concat_ws(" ", w)))
       .otherwise(transform(
         sequence(lit(0), size(w) - k),
         i => concat_ws(" ", slice(w, i + 1, lit(k)))))
-  }
 
   /** Character n-grams of the normalized text (near-dup shingling for
     * short strings). */

@@ -284,12 +284,18 @@ object Dedup {
     * twice and never shuffled. */
   def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
                     idCol: String, n: Int = 8): DataFrame = {
+    // token arrays aliased in their own projection BEFORE the explode:
+    // the shingle transform is a higher-order function (no CSE), so an
+    // inline tokens() would re-split the text once per shingle
     val benchShingles = bench
-      .select(explode(wordShingles(col(textCol), n)).as("__sh"))
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
       .select(hash48(col("__sh")).as("__h"))
       .distinct()
     val contaminated = df
-      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
       .select(col(idCol), hash48(col("__sh")).as("__h"))
       .join(broadcast(benchShingles), Seq("__h"), "left_semi")
       .select(col(idCol))
