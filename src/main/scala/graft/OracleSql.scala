@@ -293,6 +293,44 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Replays q_ann_recall: recall of the multi-probe LSH ANN against the
+    * brute-force ground truth, per query — both sides regenerated from
+    * the same plane constants, so the overlap counts are exact. */
+  def annRecall(dim: Int = 64, numPlanes: Int = 8, k: Int = 10): String = {
+    val planes = VectorFunctions.hashPlanes(numPlanes, dim)
+    val probes = ("qbucket" +: (0 until numPlanes).map(i => s"xor(qbucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS cv,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS qbucket
+       |  FROM embeddings WHERE vec_id < 4),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosExpr("c.cv", "q.qv")} DESC, c.vec_id) AS rank
+       |    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |  WHERE rank <= $k),
+       |probes AS (SELECT query_id, qv, p AS bucket FROM q, unnest($probes) AS t(p)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id, ${cosExpr("c.cv", "p.qv")} AS cos
+       |  FROM c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM cand) WHERE rank <= $k)
+       |SELECT t.query_id, COUNT(*)::BIGINT AS n_true,
+       |  SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   /** Replays [[graft.operators.Bm25.score]] with the SAME constants and
     * the SAME parenthesization (every floating-point operation happens in
     * the same order, so with the micro-scaled rounding the scores are

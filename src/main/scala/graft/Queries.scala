@@ -835,7 +835,29 @@ object Queries {
         graft.api.DataTable(
           Bm25.score(Tables.df(s, dir, "documents"), "doc_id", "text",
             Bm25Terms))
-          .arrange("doc_id").df)
+          .arrange("doc_id").df),
+
+      // ANN evaluation: recall@10 of the multi-probe LSH index against
+      // brute-force ground truth, per query (integer counts — exact)
+      "q_ann_recall" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 4)
+        val truth = Similarity.bruteForceTopK(
+          corpus = emb, queries = qs,
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+          k = 10).select(col("query_id"), col("vec_id"))
+        val approx = Similarity.lshTopK(
+          corpus = emb, queries = qs,
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+          k = 10, dim = 64, numPlanes = 8, probeBits = 1)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+        graft.api.DataTable(
+          truth.join(approx, Seq("query_id", "vec_id"), "left")
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("n_true"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hit")))
+          .arrange("query_id").df
+      })
     )
   }
 
@@ -1126,7 +1148,9 @@ object Queries {
         |FROM t JOIN w ON t.t_us >= w.ws AND t.t_us < w.we
         |GROUP BY window_id ORDER BY window_id""".stripMargin,
 
-    "q_bm25" -> OracleSql.bm25(Bm25Terms)
+    "q_bm25" -> OracleSql.bm25(Bm25Terms),
+
+    "q_ann_recall" -> OracleSql.annRecall()
   )
 
   private val coreOracles: Map[String, String] = Map(

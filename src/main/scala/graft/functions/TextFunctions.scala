@@ -108,13 +108,25 @@ object TextFunctions {
     size(array_distinct(toks)).cast("double") / size(toks).cast("double")
 
   /** Fraction of the document taken by its most frequent token — the
-    * companion repetition signal. Per-doc quadratic in DISTINCT tokens
-    * (bounded by doc length; corpus docs are short); pass a pre-computed
+    * companion repetition signal. Computed as the longest run in the
+    * SORTED token array (one fold, O(n log n) per row) — the naive
+    * distinct×count spelling is quadratic per document, which a long doc
+    * at corpus scale turns into a straggler. Same value: the max run of
+    * a sorted array IS the max token frequency. Pass a pre-computed
     * token-array column. */
-  def topTokenRatioFromTokens(toks: Column): Column =
-    array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))).cast("double") /
-      size(toks).cast("double")
+  def topTokenRatioFromTokens(toks: Column): Column = {
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    best.cast("double") / size(toks).cast("double")
+  }
 
   /** Feature-hashing (hashing-trick) bag-of-words embedding: token →
     * md5-bucket, `dim`-length count vector. The deterministic, vocab-free
