@@ -360,4 +360,27 @@ object OracleSql {
        |SELECT doc_id, round($parts * 1000000.0)::BIGINT AS score_micro
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  /** Replays Layout.quantize + Layout.zorderKey over lineitem's
+    * (l_partkey, l_suppkey) with data-derived min/max bounds. Pure
+    * integer arithmetic both engines: subtract-min, scale by 2^bits,
+    * integer divide (`//` — inputs non-negative, so floor == truncate),
+    * then interleave the low bits with shift/and/or. The term list is
+    * generated from the SAME (column, lane) loop Layout.zorderKey uses. */
+  def zorderLineitem(bits: Int = 8): String = {
+    val cols = Seq("q0", "q1")
+    val morton = (for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield s"((($c >> $j) & 1) << ${j * cols.length + i})")
+      .mkString("(", " | ", ")")
+    s"""WITH b AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |    min(l_suppkey) AS slo, max(l_suppkey) AS shi FROM lineitem),
+       |q AS (SELECT l_orderkey, l_linenumber,
+       |    ((l_partkey - plo) * ${1L << bits}) // (phi - plo + 1) AS q0,
+       |    ((l_suppkey - slo) * ${1L << bits}) // (shi - slo + 1) AS q1
+       |  FROM lineitem CROSS JOIN b)
+       |SELECT l_orderkey, l_linenumber, ($morton)::BIGINT AS zkey
+       |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
 }

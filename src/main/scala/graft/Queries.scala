@@ -477,7 +477,7 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Bm25, Dedup, Multimodal, Pack, RangeJoin, Sampling, Similarity}
+    import graft.operators.{Bm25, Dedup, Layout, Multimodal, Pack, RangeJoin, Sampling, Similarity}
     Map(
 
       // deterministic hash sampling: reproducible 10% of the corpus,
@@ -857,6 +857,25 @@ object Queries {
             .agg(count(lit(1)).as("n_true"),
               sum(coalesce(col("__hit"), lit(0L))).as("n_hit")))
           .arrange("query_id").df
+      }),
+
+      // Z-order (Morton) layout key over (l_partkey, l_suppkey): 8-bit
+      // quantize lanes from a one-row min/max stats aggregate, bits
+      // interleaved — pure integer arithmetic, so DuckDB replays the key
+      // bit-exactly (same subtract/scale/div/shift/or both engines)
+      "q_zorder" -> ((s: SparkSession, dir: String) => {
+        val li = lineitem(s, dir).df
+        val st = li.agg(
+          min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head
+        val bits = 8
+        val key = Layout.zorderKey(Seq(
+          Layout.quantize(col("l_partkey"), st.getLong(0), st.getLong(1), bits),
+          Layout.quantize(col("l_suppkey"), st.getLong(2), st.getLong(3), bits)),
+          bits)
+        graft.api.DataTable(
+          li.select(col("l_orderkey"), col("l_linenumber"), key.as("zkey")))
+          .arrange("l_orderkey", "l_linenumber").df
       })
     )
   }
@@ -1150,7 +1169,9 @@ object Queries {
 
     "q_bm25" -> OracleSql.bm25(Bm25Terms),
 
-    "q_ann_recall" -> OracleSql.annRecall()
+    "q_ann_recall" -> OracleSql.annRecall(),
+
+    "q_zorder" -> OracleSql.zorderLineitem()
   )
 
   private val coreOracles: Map[String, String] = Map(

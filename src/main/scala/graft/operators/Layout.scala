@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
 
 /** Data-layout keys for multi-dimensional scan pruning — the missing
   * piece between "filters push down" and "filters prune file I/O" at
@@ -31,7 +33,11 @@ object Layout {
     require(bits >= 1 && bits <= 31, s"quantize: bits=$bits out of [1,31]")
     require(hi - lo < (1L << (62 - bits)),
       s"quantize: domain width ${hi - lo} overflows the scale multiply")
-    ((c.cast("long") - lit(lo)) * lit(1L << bits)) div lit(hi - lo + 1L)
+    // SQL `div` (IntegralDivide): exact long division — `divide` would go
+    // through double and lose exactness past 2^53.
+    Shim.toColumn(new IntegralDivide(
+      Shim.toExpression((c.cast("long") - lit(lo)) * lit(1L << bits)),
+      Shim.toExpression(lit(hi - lo + 1L))))
   }
 
   /** Morton (Z-order) key: interleave the low `bits` bits of each
