@@ -783,6 +783,19 @@ object Queries {
             .select("doc_id"))
           .arrange("doc_id").df),
 
+      // batch twin of the flatMapGroupsWithState sessionizer: on a batch
+      // Dataset timeouts don't exist and the open session flushes at end
+      // of group, so the emitted sessions are exactly the gap rule's —
+      // lag + running-sum replays them in DuckDB (same 30-min gap)
+      "q_stream_sessions" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.streaming.Streaming.statefulSessions(
+            Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+            gapUs = 30L * 60 * 1000000L).toDF
+            .select(col("user_id"), col("session_start_us"),
+              col("n_events"), col("dur_us")))
+          .arrange("user_id", "session_start_us").df),
+
       // balanced per-stratum sample: exactly 25 docs per language by
       // deterministic hash rank (WindowGroupLimit prunes map-side)
       "q_stratified" -> ((s: SparkSession, dir: String) =>
@@ -890,6 +903,20 @@ object Queries {
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
     "q_stream_dedup_twin" -> OracleSql.streamNearDedupSurvivors(),
+
+    "q_stream_sessions" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+        |s AS (SELECT user_id, t_us,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |         OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |g AS (SELECT user_id, t_us, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, MIN(t_us) AS session_start_us,
+        |  COUNT(*)::BIGINT AS n_events, (MAX(t_us) - MIN(t_us)) AS dur_us
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, COUNT(*)::BIGINT AS n

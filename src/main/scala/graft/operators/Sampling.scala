@@ -25,6 +25,15 @@ object Sampling {
 
   private val Mod = 1000000L // hash buckets: rate resolution 1e-6
 
+  /** Bucket cut for a fraction, at the advertised 1e-6 resolution.
+    * `rint`, not `floor`: `(n/1e6) * 1e6` lands within ~2^-32 of the
+    * rational value but on EITHER side, so floor is off by one for
+    * ~1% of exact-millionth fractions (249e-6 → 248). Nearest-integer
+    * is exact for every n/Mod as long as Mod stays well under 2^26
+    * (product error << 0.5) — property-tested over all million cuts. */
+  private[graft] def cutFor(fraction: Double): Long =
+    math.rint(fraction * Mod).toLong
+
   /** Uniform bucket in [0, Mod) from (tag, seed, id) — the sampling key. */
   def hashBucket(idCol: Column, tag: String, seed: Long): Column =
     pmod(hash48(concat(lit(s"graft_${tag}_${seed}_"), idCol.cast("string"))),
@@ -33,8 +42,7 @@ object Sampling {
   /** Keep a deterministic `fraction` of rows, keyed on `idCol`. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: Long = 42L): DataFrame =
-    df.filter(hashBucket(col(idCol), "sample", seed) <
-      lit(math.floor(fraction * Mod).toLong))
+    df.filter(hashBucket(col(idCol), "sample", seed) < lit(cutFor(fraction)))
 
   /** Append a `split` column assigning each row to one of the named
     * fractions (e.g. train/val/test). Weights must sum to ≤ 1; any
@@ -47,8 +55,7 @@ object Sampling {
     require(weights.map(_._2).sum <= 1.0 + 1e-9,
       s"splitAssign: weights sum to ${weights.map(_._2).sum} > 1")
     val b = hashBucket(col(idCol), "split", seed)
-    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(c => math.floor(c * Mod).toLong)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(cutFor)
     val assigned = weights.init.zip(cuts.init).foldRight(
       lit(weights.last._1): Column) { case (((name, _), cut), rest) =>
       when(b < cut, lit(name)).otherwise(rest)
@@ -64,10 +71,9 @@ object Sampling {
                            defaultRate: Double = 1.0,
                            seed: Long = 42L): DataFrame = {
     val cut = rates.toSeq.sortBy(_._1).foldRight(
-      lit(math.floor(defaultRate * Mod).toLong): Column) {
+      lit(cutFor(defaultRate)): Column) {
       case ((stratum, rate), rest) =>
-        when(col(stratumCol) === stratum,
-          lit(math.floor(rate * Mod).toLong)).otherwise(rest)
+        when(col(stratumCol) === stratum, lit(cutFor(rate))).otherwise(rest)
     }
     df.filter(hashBucket(col(idCol), "strat", seed) < cut)
   }

@@ -40,6 +40,33 @@ class ClusterSuite extends SparkSpec {
     assert(rounds <= 16, s"path-$n took $rounds rounds — compression not engaging")
   }
 
+  test("reliable-checkpoint branch (checkpoint dir set) yields identical labels") {
+    // exercises the fault-tolerant truncation path: with a checkpoint dir
+    // configured, rounds go through reliable checkpoint() instead of
+    // localCheckpoint — labels must be identical either way
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite precondition: no ckpt dir")
+    val pairs = toDf(spark)(
+      "id_a" -> Seq(1, 2, 3, 4, 5, 6, 10, 20, 21, 20),
+      "id_b" -> Seq(2, 3, 4, 5, 6, 7, 11, 21, 22, 22)).df
+    val baseline = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == baseline)
+      // the reliable branch really ran: round checkpoints hit the dir
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, s"no checkpoint files under $dir — reliable branch not taken")
+    } finally {
+      // SparkContext has no unset API; null restores the local default
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("clusterByMinhash with no near-dups at all: empty edge list, identity clusters") {
     // exercises connectedComponents on an EMPTY pair set end-to-end
     val docs = toDf(spark)(

@@ -125,6 +125,23 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("sampling cuts hit the rational millionth for EVERY fraction n/1e6") {
+    // guards the advertised 1e-6 rate resolution: cutFor(n/1e6) must be
+    // exactly n for all million cuts (floor was off by one for ~11.5k of
+    // them — rint holds as long as Mod stays well under 2^26)
+    var n = 0L
+    while (n <= 1000000L) {
+      val cut = graft.operators.Sampling.cutFor(n.toDouble / 1000000.0)
+      assert(cut == n, s"cutFor($n/1e6) = $cut")
+      n += 1
+    }
+    // prefix-sum path (splitAssign cumsums before cutting): the ~1e-16
+    // cumsum error must stay far below the half-ulp rint absorbs
+    val ws = Seq(0.124997, 0.2, 0.3, 0.000001)
+    val cuts = ws.scanLeft(0.0)(_ + _).tail.map(graft.operators.Sampling.cutFor)
+    assert(cuts == Seq(124997L, 324997L, 624997L, 624998L))
+  }
+
   test("ungrouped whole-column lift equals driver-side arithmetic") {
     // the broadcast-lift rewrite (mutate/filter of x - mean(x) etc.) must
     // agree with computing the scalar on the driver, for any frame
