@@ -278,12 +278,19 @@ object Dedup {
     * Scale shape: shingles are compressed to 48-bit md5 hashes
     * ([[graft.functions.TextFunctions.hash48]], so the oracle replays
     * them exactly); the benchmark side is tiny by nature (eval sets are
-    * thousands of docs, the corpus is billions), so its distinct shingle
-    * set broadcasts and both the semi-join (find contaminated ids) and
-    * the anti-join (drop them) are map-side — the corpus is scanned
-    * twice and never shuffled. */
+    * thousands of docs, the corpus is billions). Fast path: the distinct
+    * bench shingle-hash set is collected (sorted long array, ≤
+    * `maxSetShingles` — 16 MB at the default) and embedded in a
+    * codegen'd membership expression
+    * ([[org.apache.spark.sql.graftshim.AnyShingleInSet]]), so the corpus
+    * is scanned ONCE with a per-row early-exit kernel — no shingle
+    * explode, no join, no shuffle at all. Oversized bench sets fall back
+    * to the relational shape: broadcast semi-join on exploded shingles +
+    * anti-join, corpus scanned twice, still never shuffled. Both paths
+    * are the same exact-membership semantics (parity-tested). */
   def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
-                    idCol: String, n: Int = 8): DataFrame = {
+                    idCol: String, n: Int = 8,
+                    maxSetShingles: Int = 2000000): DataFrame = {
     // token arrays aliased in their own projection BEFORE the explode:
     // the shingle transform is a higher-order function (no CSE), so an
     // inline tokens() would re-split the text once per shingle
@@ -292,17 +299,30 @@ object Dedup {
       .select(explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
       .select(hash48(col("__sh")).as("__h"))
       .distinct()
-    val contaminated = df
-      .select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .select(col(idCol),
-        explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
-      .select(col(idCol), hash48(col("__sh")).as("__h"))
-      .join(broadcast(benchShingles), Seq("__h"), "left_semi")
-      .select(col(idCol))
-      .distinct()
-    // contaminated-id cardinality is data-dependent (worst case the whole
-    // corpus) — no broadcast hint; AQE picks broadcast when it is small
-    df.join(contaminated, Seq(idCol), "left_anti")
+    // one bounded action decides the strategy: grab at most cap+1 hashes
+    val head = benchShingles.limit(maxSetShingles + 1).collect()
+    if (head.length <= maxSetShingles) {
+      import org.apache.spark.sql.graftshim.{AnyShingleInSet, Shim}
+      val sorted = head.map(_.getLong(0))
+      java.util.Arrays.sort(sorted)
+      val dirty = Shim.toColumn(AnyShingleInSet(
+        Shim.toExpression(col(textCol)), n, sorted))
+      // null text has no shingles → clean (matches the join path, where
+      // a null-text doc never reaches the semi-join)
+      df.filter(coalesce(!dirty, lit(true)))
+    } else {
+      val contaminated = df
+        .select(col(idCol), tokens(col(textCol)).as("__tk"))
+        .select(col(idCol),
+          explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
+        .select(col(idCol), hash48(col("__sh")).as("__h"))
+        .join(broadcast(benchShingles), Seq("__h"), "left_semi")
+        .select(col(idCol))
+        .distinct()
+      // contaminated-id cardinality is data-dependent (worst case the
+      // whole corpus) — no broadcast hint; AQE broadcasts when small
+      df.join(contaminated, Seq(idCol), "left_anti")
+    }
   }
 
   /** Edit-distance similarity join: candidate pairs share at least one

@@ -101,6 +101,38 @@ object GraftHash {
     new GenericArrayData(counts)
   }
 
+  /** True iff any word `n`-shingle of `text` hash48-hashes into `sorted`
+    * (ascending). Shingle construction matches the Column pipeline
+    * (`wordShinglesFromTokens`): fewer than `n` tokens → ONE shingle of
+    * all tokens space-joined; else every contiguous window of `n`.
+    * Short-circuits on the first hit — a contaminated document stops at
+    * its first dirty shingle instead of hashing the whole text. */
+  def anyShingleIn(text: UTF8String, n: Int, sorted: Array[Long]): Boolean = {
+    val ts = tokens(text)
+    val sb = new java.lang.StringBuilder
+    def windowHash(start: Int, len: Int): Long = {
+      sb.setLength(0)
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(ts(start + i))
+        i += 1
+      }
+      hash48(sb.toString.getBytes("UTF-8"))
+    }
+    if (ts.length < n)
+      java.util.Arrays.binarySearch(sorted, windowHash(0, ts.length)) >= 0
+    else {
+      var pos = 0
+      while (pos <= ts.length - n) {
+        if (java.util.Arrays.binarySearch(sorted, windowHash(pos, n)) >= 0)
+          return true
+        pos += 1
+      }
+      false
+    }
+  }
+
   /** 48-bit SimHash from raw text (token hashes NOT folded mod p —
     * matching the Column-API formulation it replaces). */
   def simhash48(text: UTF8String): Long = {
@@ -185,6 +217,35 @@ case class FeatureHashText(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
+  }
+}
+
+/** Codegen'd set-membership over word n-shingles of the raw text column:
+  * true iff ANY shingle's hash48 is in the (sorted, plan-embedded) set.
+  * The decontamination fast path — the bench shingle set rides the
+  * broadcast task binary once per stage and each corpus row is ONE
+  * compiled kernel call with early exit, so the corpus is scanned once
+  * with no explode, no join, no shuffle. Same [[MinHashSig]] design:
+  * text input keeps the whole tokenize→md5→probe pipeline inside the
+  * whole-stage-codegen span. */
+case class AnyShingleInSet(child: Expression, n: Int, sorted: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_shingle_in_set"
+
+  override protected def withNewChildInternal(newChild: Expression): AnyShingleInSet =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.anyShingleIn(input.asInstanceOf[UTF8String], n, sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("shingleSet", sorted, "long[]")
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.anyShingleIn($text, $n, $sRef);")
   }
 }
 

@@ -54,6 +54,12 @@ class CodegenSuite extends SparkSpec {
           org.apache.spark.sql.graftshim.SimHashText(
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
       assert(sh.limit(3).collect().length == 3)
+      val dirty = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.AnyShingleInSet(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
+            5, Array(1L, 2L, 3L))).as("dirty"))
+      assert(dirty.limit(3).collect().length == 3)
       val emb = Tables.df(spark, sfDir, "embeddings")
       val d = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
       assert(d.limit(1).head().getDouble(0) > 0.0)

@@ -85,6 +85,29 @@ class PipelineOpsSuite extends SparkSpec {
     assert(colLongs(DataTable(out).arrange("id"), "id") == Seq(1L, 2L))
   }
 
+  test("decontaminate fast path: one scan, no join, parity with join path") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fast = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+    // maxSetShingles = 0: any non-empty bench overflows → join fallback
+    val slow = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 5,
+      maxSetShingles = 0)
+    val a = fast.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = slow.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "fast/fallback divergence")
+    assert(a.nonEmpty && a.size < corpus.count(),
+      "fixture should drop some docs and keep some")
+    // the fast path is a single codegen'd scan: no join, no shuffle
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fast path still joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"fast path shuffles:\n$plan")
+    assert(plan.contains("any_shingle_in_set"), plan)
+    val spans = fast.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(spans.nonEmpty, s"filter not inside WholeStageCodegen:\n$plan")
+  }
+
   test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
     val df = toDf(spark)(
       "id" -> Seq(1, 2, 3),
