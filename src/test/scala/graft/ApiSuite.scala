@@ -48,6 +48,35 @@ class ApiSuite extends SparkSpec {
     assert(df.rowAt(4, Seq(col("x"))).getLong(0) == 50L)
   }
 
+  test("construction with scalar broadcasts constants (testDf.nim:1729-1744)") {
+    val df = toDf(spark)(
+      "x" -> Seq(1, 2, 3), "y" -> Seq(5, 6, 7), "z" -> "foo", "alpha" -> 2.5)
+    assert(df.df.count() == 3)
+    assert(colLongs(df.arrange("x"), "x") == Seq(1L, 2L, 3L))
+    assert(colStrings(df, "z").toSet == Set("foo"))
+    assert(colDoubles(df, "alpha").toSet == Set(2.5))
+    // the reference's `df["beta"] = 123` constant assignment — here a
+    // lit() mutate; still one value everywhere at full length
+    val withBeta = df.mutate("beta" -> lit(123))
+    assert(colLongs(withBeta, "beta") == Seq(123L, 123L, 123L))
+  }
+
+  test("slicing a frame with a constant column keeps it aligned (testDf.nim:2072-2082)") {
+    // Energy cycles 0..24 twice; Type is a scalar-broadcast constant.
+    // Slice rows 24..26 under the construction order: the constant must
+    // survive the slice at every row, like the reference's colConstant.
+    val energy = (0 to 24) ++ (0 to 24)
+    val df = toDf(spark)(
+      "rowid" -> energy.indices.toSeq,
+      "Energy" -> energy.toSeq,
+      "Counts" -> energy.toSeq,
+      "Type" -> "background")
+    val s = df.slice(24, 26, Seq(col("rowid")))
+    assert(s.df.count() == 3)
+    assert(colLongs(s.arrange("rowid"), "Energy") == Seq(24L, 0L, 1L))
+    assert(colStrings(s, "Type") == Seq("background", "background", "background"))
+  }
+
   test("pretty prints shape, names, dtype row (dataframe.nim:823-874)") {
     val df = toDf(spark)("x" -> Seq(1, 2), "y" -> Seq(1.5, 2.5), "s" -> Seq("ab", "cd"))
     val p = df.pretty(5)

@@ -323,6 +323,39 @@ class VerbSuite extends SparkSpec {
     assert(r.columns.toSet == Set("k", "w"))
   }
 
+  test("innerJoin regression: sparse keys + common Idx column, no truncation (testDf.nim:2256-2288)") {
+    // mirrors data/df_chip_join_regression.csv / df_all_join_regression.csv:
+    // the chip side SKIPS eventNumber 4 while carrying its own Idx; the
+    // all side has every event plus a timestamp. Pre-fix, the joined
+    // eventNumber data cut off at the gap — rows past it must survive
+    // under every CommonColumnMerge mode.
+    val chipEv = (0 to 20).filter(_ != 4)
+    val chip = toDf(spark)(
+      "eventNumber" -> chipEv,
+      "hits" -> chipEv.map(_ * 3),
+      "Idx" -> chipEv.indices.toSeq)
+    val all = toDf(spark)(
+      "timestamp" -> (0 to 20).map(1723468563L + _),
+      "eventNumber" -> (0 to 20).toSeq,
+      "Idx" -> (0 to 20).toSeq)
+    val expEvNum = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 10L, 11L)
+    val rn = chip.innerJoin(all, by = Seq("eventNumber"), merge = CcRename)
+      .arrange("eventNumber")
+    assert(!rn.columns.contains("Idx"))
+    assert(rn.columns.contains("Idx_left") && rn.columns.contains("Idx_right"))
+    assert(colLongs(rn, "eventNumber").take(11) == expEvNum)
+    val lf = chip.innerJoin(all, by = Seq("eventNumber"), merge = CcLeft)
+      .arrange("eventNumber")
+    assert(lf.columns.contains("Idx") && !lf.columns.contains("Idx_left"))
+    assert(colLongs(lf, "eventNumber").take(11) == expEvNum)
+    // ccLeft keeps the LEFT side's Idx values (chip's compacted index)
+    assert(colLongs(lf, "Idx").take(6) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val dr = chip.innerJoin(all, by = Seq("eventNumber"), merge = CcDrop)
+      .arrange("eventNumber")
+    assert(!dr.columns.exists(_.startsWith("Idx")))
+    assert(colLongs(dr, "eventNumber").take(11) == expEvNum)
+  }
+
   test("innerJoin missing elements -> intersection (testDf.nim:1545-1570)") {
     val df1 = toDf(spark)("Ident" -> Seq("A", "B", "C", "D", "E"), "Ids" -> Seq(1, 2, 3, 4, 5))
     val df2 = toDf(spark)("Ident" -> Seq("A", "B", "C", "D"),
