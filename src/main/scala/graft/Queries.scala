@@ -872,6 +872,42 @@ object Queries {
           .arrange("query_id").df
       }),
 
+      // Gopher/C4-style repetition signals in exact integer form: word
+      // 2-gram totals, distinct counts, and the top 2-gram's frequency
+      // (sorted-run fold, not the quadratic distinct-x-count spelling)
+      "q_repetition" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), tokens(col("text")).as("__tk"))
+            .select(col("doc_id"),
+              wordShinglesFromTokens(col("__tk"), 2).as("__g2"))
+            .select(col("doc_id"),
+              size(col("__g2")).cast("long").as("n_2gram"),
+              size(array_distinct(col("__g2"))).cast("long").as("n_distinct_2gram"),
+              maxRunCount(col("__g2")).as("top_2gram_n")))
+          .arrange("doc_id").df),
+
+      // JSONL interchange roundtrip: parallel write of a directory of
+      // part files, schema-explicit distributed read-back (no inference
+      // pass), identity vs the source table
+      "q_jsonl_roundtrip" -> ((s: SparkSession, dir: String) => {
+        val tmp = "/tmp/graft_jsonl_roundtrip"
+        val src = Tables.df(s, dir, "documents")
+        graft.sources.Jsonl.writeJsonl(src, tmp)
+        val back = graft.sources.Jsonl.readJsonl(s, tmp, Some(src.schema))
+        graft.api.DataTable(
+          back.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), md5(col("text").cast("binary")).as("text_fp")))
+          .arrange("doc_id").df
+      }),
+
+      // hourly distinct users — exact countDistinct in batch (two-phase
+      // partial agg); the streaming twin trades to HLL (StreamingSuite)
+      "q_hourly_uniques" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.streaming.Streaming.hourlyUniques(Tables.events(s, dir)))
+          .arrange("hour").df),
+
       // Z-order (Morton) layout key over (l_partkey, l_suppkey): 8-bit
       // quantize lanes from a one-row min/max stats aggregate, bits
       // interleaved — pure integer arithmetic, so DuckDB replays the key
@@ -1198,7 +1234,33 @@ object Queries {
 
     "q_ann_recall" -> OracleSql.annRecall(),
 
-    "q_zorder" -> OracleSql.zorderLineitem()
+    "q_zorder" -> OracleSql.zorderLineitem(),
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 1),
+        |                i -> array_to_string(toks[i+1:i+2], ' ')) END AS gs
+        |  FROM d)
+        |SELECT doc_id, len(gs)::BIGINT AS n_2gram,
+        |  len(list_distinct(gs))::BIGINT AS n_distinct_2gram,
+        |  list_max(list_transform(list_distinct(gs),
+        |    x -> len(list_filter(gs, y -> y = x))))::BIGINT AS top_2gram_n
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  md5(text) AS text_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hourly_uniques" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |  COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val coreOracles: Map[String, String] = Map(

@@ -107,16 +107,15 @@ object TextFunctions {
   def typeTokenRatioFromTokens(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks).cast("double")
 
-  /** Fraction of the document taken by its most frequent token — the
-    * companion repetition signal. Computed as the longest run in the
-    * SORTED token array (one fold, O(n log n) per row) — the naive
-    * distinct×count spelling is quadratic per document, which a long doc
-    * at corpus scale turns into a straggler. Same value: the max run of
-    * a sorted array IS the max token frequency. Pass a pre-computed
-    * token-array column. */
-  def topTokenRatioFromTokens(toks: Column): Column = {
-    val best = aggregate(
-      array_sort(toks),
+  /** Count of the most frequent element of a string-array column,
+    * computed as the longest run in the SORTED array (one fold,
+    * O(n log n) per row) — the naive distinct×count spelling is
+    * quadratic per document, which a long doc at corpus scale turns
+    * into a straggler. Same value: the max run of a sorted array IS
+    * the max element frequency. */
+  def maxRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc("prev"), acc("run") + lit(1L))
@@ -125,8 +124,12 @@ object TextFunctions {
           greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
-    best.cast("double") / size(toks).cast("double")
-  }
+
+  /** Fraction of the document taken by its most frequent token — the
+    * companion repetition signal ([[maxRunCount]] over the tokens).
+    * Pass a pre-computed token-array column. */
+  def topTokenRatioFromTokens(toks: Column): Column =
+    maxRunCount(toks).cast("double") / size(toks).cast("double")
 
   /** Feature-hashing (hashing-trick) bag-of-words embedding: token →
     * md5-bucket, `dim`-length count vector. The deterministic, vocab-free

@@ -30,6 +30,25 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_v"))
 
+  /** Hourly distinct users. Exact `countDistinct` in batch (two-phase
+    * partial aggregate — scales); on an unbounded stream exact distinct
+    * would hold every key in the state store, so the streaming path
+    * trades to `approx_count_distinct` (HyperLogLog++, constant state
+    * per window, `rsd` relative error) — parity within the HLL bound is
+    * asserted in StreamingSuite. Input needs `ts_utc`, `user_id`. */
+  def hourlyUniques(events: DataFrame, watermark: String = "2 hours",
+                    rsd: Double = 0.05): DataFrame = {
+    val agged = events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(
+        if (events.isStreaming) approx_count_distinct(col("user_id"), rsd).as("n_users")
+        else countDistinct(col("user_id")).as("n_users"))
+    agged.select(
+      date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+      col("n_users"))
+  }
+
   /** Sliding-window event rate (5-minute hops over 1-hour windows) —
     * the monitoring-style companion to [[hourlyRollup]]. */
   def slidingRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -42,6 +42,33 @@ class StreamingSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("hourly uniques: streaming HLL lands within rsd of the exact batch count") {
+    val inDir = Paths.get("/tmp/graft_stream_events")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = withTsUtc(
+      spark.readStream.schema(schema).parquet(inDir.toString))
+    val query = Streaming.hourlyUniques(stream, rsd = 0.05)
+      .writeStream.format("memory").queryName("graft_uniques")
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val approx = spark.table("graft_uniques").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Streaming.hourlyUniques(
+      withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && approx.keySet == exact.keySet)
+    // HLL++ at rsd=5%: allow 4 sigma (binomial-ish tail, deterministic
+    // here — same input hashes every run)
+    exact.foreach { case (h, n) =>
+      val a = approx(h)
+      assert(math.abs(a - n) <= math.max(2.0, 0.20 * n),
+        s"hour $h: approx $a vs exact $n beyond 20%")
+    }
+  }
+
   test("session_window streaming matches batch Sessionize semantics") {
     import graft.operators.Sessionize
     val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
