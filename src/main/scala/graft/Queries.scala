@@ -901,6 +901,19 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // ORC interchange roundtrip (predicate/partition behavior shared
+      // with the parquet sink; identity vs the source table)
+      "q_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+        val tmp = "/tmp/graft_orc_roundtrip"
+        val src = Tables.df(s, dir, "documents")
+        graft.sources.Sinks.writeOrc(src, tmp)
+        graft.api.DataTable(
+          graft.sources.Sinks.readOrc(s, tmp)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), md5(col("text").cast("binary")).as("text_fp")))
+          .arrange("doc_id").df
+      }),
+
       // hourly distinct users — exact countDistinct in batch (two-phase
       // partial agg); the streaming twin trades to HLL (StreamingSuite)
       "q_hourly_uniques" -> ((s: SparkSession, dir: String) =>
@@ -1253,6 +1266,11 @@ object Queries {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  md5(text) AS text_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars,
         |  md5(text) AS text_fp
         |FROM documents ORDER BY doc_id""".stripMargin,

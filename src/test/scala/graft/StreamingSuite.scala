@@ -69,6 +69,32 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("decontaminate fast path runs on an unbounded stream (stateless filter)") {
+    // the collected-set membership filter is a pure projection — unlike
+    // the join fallback it needs no watermark, no state, and works
+    // unchanged on a stream: decontaminate(stream, batchBench, ...)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val inDir = Paths.get("/tmp/graft_stream_docs")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+    val clean = graft.operators.Dedup.decontaminate(
+      stream, bench, "text", "doc_id", n = 5)
+    assert(clean.isStreaming)
+    val query = clean.select("doc_id")
+      .writeStream.format("memory").queryName("graft_decontam")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val got = spark.table("graft_decontam").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Dedup.decontaminate(
+      docs, bench, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("session_window streaming matches batch Sessionize semantics") {
     import graft.operators.Sessionize
     val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
