@@ -873,19 +873,22 @@ object Queries {
       }),
 
       // Gopher/C4-style repetition signals in exact integer form: word
-      // 2-gram totals, distinct counts, and the top 2-gram's frequency
-      // (sorted-run fold, not the quadratic distinct-x-count spelling)
-      "q_repetition" -> ((s: SparkSession, dir: String) =>
+      // 2-gram totals, distinct counts, and the top 2-gram's frequency —
+      // one compiled kernel pass per row (build, sort, sweep), not the
+      // interpreted HOF fold
+      "q_repetition" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.graftshim.{NgramStats, Shim}
         graft.api.DataTable(
           Tables.df(s, dir, "documents")
-            .select(col("doc_id"), tokens(col("text")).as("__tk"))
             .select(col("doc_id"),
-              wordShinglesFromTokens(col("__tk"), 2).as("__g2"))
+              Shim.toColumn(NgramStats(
+                Shim.toExpression(col("text")), 2)).as("__st"))
             .select(col("doc_id"),
-              size(col("__g2")).cast("long").as("n_2gram"),
-              size(array_distinct(col("__g2"))).cast("long").as("n_distinct_2gram"),
-              maxRunCount(col("__g2")).as("top_2gram_n")))
-          .arrange("doc_id").df),
+              col("__st").getItem(0).as("n_2gram"),
+              col("__st").getItem(1).as("n_distinct_2gram"),
+              col("__st").getItem(2).as("top_2gram_n")))
+          .arrange("doc_id").df
+      }),
 
       // JSONL interchange roundtrip: parallel write of a directory of
       // part files, schema-explicit distributed read-back (no inference
@@ -898,6 +901,19 @@ object Queries {
         graft.api.DataTable(
           back.select(col("doc_id"), col("lang"), col("source"),
             col("n_chars"), md5(col("text").cast("binary")).as("text_fp")))
+          .arrange("doc_id").df
+      }),
+
+      // incremental (ingestion-time) exact dedup: new batch (doc_id >=
+      // 400) against the historical corpus (doc_id < 400) — drop already-
+      // known fingerprints, keep-first within the batch
+      "q_dedup_incr" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.exactIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400), "text", "doc_id")
+            .select(col("doc_id"), col("fp")))
           .arrange("doc_id").df
       }),
 
@@ -1274,6 +1290,17 @@ object Queries {
       """SELECT doc_id, lang, source, n_chars,
         |  md5(text) AS text_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+        |batch AS (SELECT * FROM f WHERE doc_id >= 400)
+        |SELECT min(doc_id) AS doc_id, fp FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM known)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
 
     "q_hourly_uniques" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,

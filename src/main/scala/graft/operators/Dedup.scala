@@ -36,6 +36,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup — the daily-ingestion stage: drop from
+    * `newDocs` every document whose normalized-text fingerprint already
+    * exists in `corpus`, then dedup within the batch itself (smallest
+    * `idCol` survives). The historical corpus is scanned once for its
+    * fingerprint projection and NEVER re-deduped or rewritten; the only
+    * shuffles are on the (small) new batch. At 100 TB the corpus side is
+    * a pure scan→project→distinct feeding the anti-join — and when the
+    * fingerprint set of the corpus is maintained as its own table (the
+    * production shape), pass THAT as `corpus` with `textCol` = the
+    * fingerprint column upstream. */
+  def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val known = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    newDocs.withColumn("fp", fingerprint(col(textCol)))
+      .join(known, Seq("fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** Large prime for the universal-hash family ((a·h + b) mod P). The base

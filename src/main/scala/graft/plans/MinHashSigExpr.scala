@@ -101,6 +101,46 @@ object GraftHash {
     new GenericArrayData(counts)
   }
 
+  /** Word n-gram repetition stats in one pass: (total, distinct,
+    * top-frequency) as a 3-long array. Grams are built once, sorted
+    * (ANY total order yields the same run counts — Java string order
+    * here, UTF8 binary order in the Column formulation; the COUNTS are
+    * order-invariant), and counted in a single sweep. */
+  def ngramStats(text: UTF8String, n: Int): GenericArrayData = {
+    val ts = tokens(text)
+    val grams: Array[String] =
+      if (ts.length < n) Array(ts.mkString(" "))
+      else {
+        val out = new Array[String](ts.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= ts.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ts(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var distinct = 0L
+    var best = 0L
+    var run = 0L
+    var i = 0
+    while (i < grams.length) {
+      if (i == 0 || grams(i) != grams(i - 1)) { distinct += 1; run = 1L }
+      else run += 1
+      if (run > best) best = run
+      i += 1
+    }
+    new GenericArrayData(Array(grams.length.toLong, distinct, best))
+  }
+
   /** True iff any word `n`-shingle of `text` hash48-hashes into `sorted`
     * (ascending). Shingle construction matches the Column pipeline
     * (`wordShinglesFromTokens`): fewer than `n` tokens → ONE shingle of
@@ -217,6 +257,30 @@ case class FeatureHashText(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
+  }
+}
+
+/** Codegen'd word-n-gram repetition stats from the raw text column:
+  * `[total, distinct, top_frequency]` in one compiled pass (build grams,
+  * sort, single sweep) — the HOF spelling (array_distinct + an aggregate
+  * fold over array_sort) runs interpreted and re-materializes the gram
+  * array per sub-expression. Same [[MinHashSig]] design. */
+case class NgramStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.ngramStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.ngramStats($text, $n);")
   }
 }
 

@@ -54,6 +54,12 @@ class CodegenSuite extends SparkSpec {
           org.apache.spark.sql.graftshim.SimHashText(
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
       assert(sh.limit(3).collect().length == 3)
+      val rep = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.NgramStats(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
+            2)).as("st"))
+      assert(rep.limit(3).collect().length == 3)
       val dirty = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.AnyShingleInSet(

@@ -108,6 +108,22 @@ class PipelineOpsSuite extends SparkSpec {
     assert(spans.nonEmpty, s"filter not inside WholeStageCodegen:\n$plan")
   }
 
+  test("exactIncremental drops known fingerprints, dedups within the batch") {
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1, 2),
+      "text" -> Seq("dup one", "other doc")).df
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11, 12, 13),
+      "text" -> Seq(
+        "  DUP   one ",   // normalizes to the corpus dup → dropped
+        "fresh text",
+        "fresh  TEXT",    // in-batch dup of 11 → keep-first
+        "brand new")).df
+    val out = Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L, 13L))
+  }
+
   test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
     val df = toDf(spark)(
       "id" -> Seq(1, 2, 3),

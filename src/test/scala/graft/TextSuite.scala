@@ -34,6 +34,32 @@ class TextSuite extends SparkSpec {
     assert(viaKernel.head.sum == 6L) // six tokens counted
   }
 
+  test("NgramStats kernel equals the HOF spelling (incl. short/empty docs)") {
+    import org.apache.spark.sql.graftshim.{NgramStats, Shim}
+    val df = toDf(spark)("id" -> Seq(1, 2, 3, 4, 5), "t" -> Seq(
+      "a b a b a b c",   // repeated bigram 'a b' x3, 'b a' x2
+      "one",             // < n tokens: single whole-text gram
+      "x y",             // exactly n
+      "",                // empty → one gram of the empty token
+      "z z z z z")).df   // max repetition
+    def kernel(n: Int) = df.select(col("id"),
+      Shim.toColumn(NgramStats(Shim.toExpression(col("t")), n)).as("st"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    def hof(n: Int) = df
+      .select(col("id"), tokens(col("t")).as("tk"))
+      .select(col("id"), wordShinglesFromTokens(col("tk"), n).as("g"))
+      .select(col("id"),
+        size(col("g")).cast("long"),
+        size(array_distinct(col("g"))).cast("long"),
+        maxRunCount(col("g")))
+      .orderBy("id").collect()
+      .map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(kernel(2) == hof(2))
+    assert(kernel(3) == hof(3))
+    assert(kernel(2).head == Seq(6L, 3L, 3L)) // 6 bigrams, 3 distinct, 'a b' x3
+    assert(kernel(2)(4) == Seq(4L, 1L, 4L))
+  }
+
   test("type-token and top-token ratios") {
     val df = toDf(spark)("id" -> Seq(1), "t" -> Seq("a b a a c")).df
       .withColumn("toks", tokens(col("t")))
