@@ -904,6 +904,27 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // Unicode NFC canonical composition (the cross-source dedup
+      // precondition): decomposed sequences injected in-expression so
+      // the normalizer provably fires; both engines run the same
+      // Unicode algorithm (java.text.Normalizer / nfc_normalize)
+      "q_nfc" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.graftshim.{NfcNormalize, Shim}
+        // DECOMPOSED combining marks (e+U+0301, i+U+0308, A+U+030A):
+        // the engine must compose them; the oracle injects the same
+        // sequence via chr() and both land on the composed forms
+        val injected = concat(
+          lit("café naïve Å "), col("text"))
+        val norm = Shim.toColumn(NfcNormalize(Shim.toExpression(injected)))
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), norm.as("__n"))
+            .select(col("doc_id"),
+              md5(col("__n").cast("binary")).as("norm_fp"),
+              length(col("__n")).as("n_chars_norm")))
+          .arrange("doc_id").df
+      }),
+
       // incremental (ingestion-time) exact dedup: new batch (doc_id >=
       // 400) against the historical corpus (doc_id < 400) — drop already-
       // known fingerprints, keep-first within the batch
@@ -1290,6 +1311,16 @@ object Queries {
       """SELECT doc_id, lang, source, n_chars,
         |  md5(text) AS text_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_nfc" ->
+      """WITH n AS (
+        |  SELECT doc_id, nfc_normalize(
+        |    'cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+        |    'A' || chr(778) || ' ' || text) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_fp,
+        |  length(nt)::INT AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incr" ->
       """WITH f AS (

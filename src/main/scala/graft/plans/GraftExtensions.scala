@@ -64,7 +64,10 @@ object GraftExtensions {
         case Literal(d: Int, _) => FeatureHashText(es(0), d)
         case other => throw new IllegalArgumentException(
           s"graft_feature_hash: dim must be an integer literal, got $other")
-      }))
+      }),
+    ("graft_nfc", info("graft_nfc",
+      "graft_nfc(text) - Unicode NFC canonical composition"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit = {

@@ -101,6 +101,21 @@ object GraftHash {
     new GenericArrayData(counts)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer) — canonical
+    * composition, the precondition for cross-source exact/fuzzy dedup:
+    * 'e' + COMBINING ACUTE and precomposed 'é' are byte-different but
+    * the same text; fingerprints must not see them as distinct. DuckDB's
+    * `nfc_normalize` implements the same Unicode algorithm, so the
+    * oracle replays it. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most real text
+    // is already NFC and skips the allocation entirely
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Word n-gram repetition stats in one pass: (total, distinct,
     * top-frequency) as a 3-long array. Grams are built once, sorted
     * (ANY total order yields the same run counts — Java string order
@@ -257,6 +272,26 @@ case class FeatureHashText(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
+  }
+}
+
+/** Codegen'd Unicode NFC normalization — see [[GraftHash.nfc]]. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.nfc($text);")
   }
 }
 

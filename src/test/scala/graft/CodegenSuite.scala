@@ -54,6 +54,11 @@ class CodegenSuite extends SparkSpec {
           org.apache.spark.sql.graftshim.SimHashText(
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("sh"))
       assert(sh.limit(3).collect().length == 3)
+      val nfc = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.NfcNormalize(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("n"))
+      assert(nfc.limit(3).collect().length == 3)
       val rep = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.NgramStats(

@@ -25,6 +25,12 @@ class ExtensionsSuite extends SparkSpec {
     val fh = spark.sql("SELECT graft_feature_hash('a b a', 8) AS v").head()
       .getSeq[Long](0)
     assert(fh.length == 8 && fh.sum == 3L && fh.max == 2L)
+    // NFC via SQL: 'e' + combining acute (U+0301) composes to 1 char.
+    // (Spark SQL's chr() is mod-256 ASCII — unlike DuckDB's codepoint
+    // chr — so the combining mark goes in as a \u string escape.)
+    val n = spark.sql(
+      "SELECT length(graft_nfc('e\\u0301')) AS l").head().getInt(0)
+    assert(n == 1, s"graft_nfc did not compose: length $n")
   }
 
   test("FuseCosine rewrites the unfused pattern into one VecCosine kernel") {

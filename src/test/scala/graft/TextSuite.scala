@@ -60,6 +60,27 @@ class TextSuite extends SparkSpec {
     assert(kernel(2)(4) == Seq(4L, 1L, 4L))
   }
 
+  test("NFC normalization converges decomposed and precomposed forms") {
+    import org.apache.spark.sql.graftshim.{NfcNormalize, Shim}
+    def norm(c: org.apache.spark.sql.Column) =
+      Shim.toColumn(NfcNormalize(Shim.toExpression(c)))
+    val df = toDf(spark)("id" -> Seq(1, 2, 3),
+      "t" -> Seq(
+        "café",  // decomposed: e + combining acute
+        "café",   // precomposed é
+        "plain")).df
+    val out = df.select(col("id"), norm(col("t")).as("n"),
+      length(norm(col("t"))).as("len")).orderBy("id").collect()
+    assert(out(0).getString(1) == out(1).getString(1),
+      "decomposed and precomposed must normalize identically")
+    assert(out(0).getInt(2) == 4, "composed café is 4 chars")
+    assert(out(2).getString(1) == "plain") // already-NFC fast path
+    // dedup consequence: the fingerprints now collide as they should
+    val fps = df.select(graft.functions.TextFunctions.fingerprint(
+      norm(col("t"))).as("fp")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
   test("type-token and top-token ratios") {
     val df = toDf(spark)("id" -> Seq(1), "t" -> Seq("a b a a c")).df
       .withColumn("toks", tokens(col("t")))
