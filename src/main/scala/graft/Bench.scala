@@ -57,7 +57,7 @@ object Bench {
     val warmTotal = results.values.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.values.map(_._1).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":${series(_._2, 2)},"total":${fmt(coldTotal, 3)},"total_cold":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"value/queries=warm run2; total=cold run1 sum (r1-r4 series)"}"""
+      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":${series(_._2, 2)},"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"warm run2; total=cold run1 (r1-r4 series)"}"""
     // full precision for local analysis (not part of the driver contract)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"queries_warm":${series(_._2, 6)},"queries_cold":${series(_._1, 6)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"}\n""")
