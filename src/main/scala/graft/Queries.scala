@@ -35,6 +35,15 @@ object Queries {
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(round(c * lit(100.0), 0).cast("long")) / lit(100.0)
 
+  /** Scratch dir for a roundtrip query, unique per (format, sf dir, JVM):
+    * a fixed path would let a concurrent Verify (sf0.01) and Bench
+    * (sf0.1) overwrite each other's roundtrip mid-read. */
+  private def roundtripDir(fmt: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    s"/tmp/graft_${fmt}_roundtrip_${tag}_$pid"
+  }
+
   lazy val all: Map[String, Q] = core ++ relational ++ pipeline
 
   /** Synthetic PII appended by q_pii_redact: the generated corpus contains
@@ -138,7 +147,7 @@ object Queries {
     // the round trip must reproduce the typed table exactly (ints → long,
     // floats → double via exact Double.toString round-trip, strings kept)
     "q_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
-      val tmp = "/tmp/graft_csv_roundtrip"
+      val tmp = roundtripDir("csv", dir)
       // parallel writer (directory of parts) — the cluster-scale shape;
       // readCsv globs the directory back
       graft.sources.Csv.writeCsv(customer(s, dir).df, tmp)
@@ -894,7 +903,7 @@ object Queries {
       // part files, schema-explicit distributed read-back (no inference
       // pass), identity vs the source table
       "q_jsonl_roundtrip" -> ((s: SparkSession, dir: String) => {
-        val tmp = "/tmp/graft_jsonl_roundtrip"
+        val tmp = roundtripDir("jsonl", dir)
         val src = Tables.df(s, dir, "documents")
         graft.sources.Jsonl.writeJsonl(src, tmp)
         val back = graft.sources.Jsonl.readJsonl(s, tmp, Some(src.schema))
@@ -941,7 +950,7 @@ object Queries {
       // ORC interchange roundtrip (predicate/partition behavior shared
       // with the parquet sink; identity vs the source table)
       "q_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
-        val tmp = "/tmp/graft_orc_roundtrip"
+        val tmp = roundtripDir("orc", dir)
         val src = Tables.df(s, dir, "documents")
         graft.sources.Sinks.writeOrc(src, tmp)
         graft.api.DataTable(

@@ -44,11 +44,21 @@ object Dedup {
     * shuffles are on the (small) new batch. At 100 TB the corpus side is
     * a pure scan→project→distinct feeding the anti-join — and when the
     * fingerprint set of the corpus is maintained as its own table (the
-    * production shape), pass THAT as `corpus` with `textCol` = the
-    * fingerprint column upstream. */
+    * production shape), use [[exactIncrementalAgainstFps]] with that
+    * table instead of rescanning the raw corpus. */
   def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
-                       textCol: String, idCol: String): DataFrame = {
-    val known = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+                       textCol: String, idCol: String): DataFrame =
+    exactIncrementalAgainstFps(newDocs, textCol, idCol,
+      corpus.select(fingerprint(col(textCol)).as("fp")), "fp")
+
+  /** [[exactIncremental]] against an already-materialized fingerprint
+    * table (`fpCol` holds [[graft.functions.TextFunctions.fingerprint]]
+    * values) — the production shape where the corpus fingerprint set is
+    * maintained incrementally instead of rescanned per ingest. */
+  def exactIncrementalAgainstFps(newDocs: DataFrame, textCol: String,
+                                 idCol: String, knownFps: DataFrame,
+                                 fpCol: String): DataFrame = {
+    val known = knownFps.select(col(fpCol).as("fp")).distinct()
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
     newDocs.withColumn("fp", fingerprint(col(textCol)))
       .join(known, Seq("fp"), "left_anti")
@@ -307,8 +317,14 @@ object Dedup {
     * is scanned ONCE with a per-row early-exit kernel — no shingle
     * explode, no join, no shuffle at all. Oversized bench sets fall back
     * to the relational shape: broadcast semi-join on exploded shingles +
-    * anti-join, corpus scanned twice, still never shuffled. Both paths
-    * are the same exact-membership semantics (parity-tested). */
+    * anti-join, corpus scanned twice, still never shuffled.
+    *
+    * Contract: `idCol` must be unique and non-null (the universal corpus
+    * invariant). Under that contract the two paths are identical
+    * (parity-tested), so the data-dependent strategy switch is safe.
+    * With duplicate or null ids they would diverge: the fast path
+    * filters per ROW by text, the fallback drops per ID (all rows of a
+    * contaminated id) and a null id never matches the anti-join key. */
   def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
                     idCol: String, n: Int = 8,
                     maxSetShingles: Int = 2000000): DataFrame = {

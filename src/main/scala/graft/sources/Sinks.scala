@@ -69,8 +69,27 @@ object Sinks {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
                      targetRowsPerFile: Long = 5000000L,
                      compression: String = "zstd"): Unit = {
-    require(outPath != inPath, "compactParquet: writing over the input " +
-      "would delete it mid-read (Spark overwrite is not atomic here)")
+    // qualified-path guard: raw string compare misses trailing slashes,
+    // relative spellings, and scheme-qualified variants of the same dir;
+    // also reject nesting either way — overwrite inside the input mutates
+    // it mid-read, input inside output gets deleted by the overwrite
+    val conf = spark.sessionState.newHadoopConf()
+    def qualify(p: String): org.apache.hadoop.fs.Path = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // URI.normalize resolves ".." segments, which Hadoop Path keeps
+      new org.apache.hadoop.fs.Path(
+        hp.getFileSystem(conf).makeQualified(hp).toUri.normalize())
+    }
+    val (qi, qo) = (qualify(inPath), qualify(outPath))
+    def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path) = {
+      var p = b
+      var hit = false
+      while (p != null && !hit) { hit = p == a; p = p.getParent }
+      hit
+    }
+    require(!contains(qi, qo) && !contains(qo, qi),
+      s"compactParquet: output $qo overlaps input $qi — the overwrite " +
+        "would destroy the input mid-read")
     val df = spark.read.parquet(inPath)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)

@@ -58,7 +58,8 @@ class ClusterSuite extends SparkSpec {
         .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == baseline)
       // the reliable branch really ran: round checkpoints hit the dir
-      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      val wrote = scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.count() > 1)
       assert(wrote, s"no checkpoint files under $dir — reliable branch not taken")
     } finally {
       // SparkContext has no unset API; null restores the local default

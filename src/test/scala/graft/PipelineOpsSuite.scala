@@ -124,6 +124,23 @@ class PipelineOpsSuite extends SparkSpec {
       == Seq(11L, 13L))
   }
 
+  test("exactIncrementalAgainstFps consumes a materialized fingerprint table") {
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1, 2),
+      "text" -> Seq("dup one", "other doc")).df
+    val fps = corpus.select(graft.functions.TextFunctions
+      .fingerprint(col("text")).as("known_fp"))
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11),
+      "text" -> Seq("  DUP   one ", "fresh text")).df
+    val out = Dedup.exactIncrementalAgainstFps(
+      batch, "text", "doc_id", fps, "known_fp")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    // and it equals the raw-corpus path
+    val viaCorpus = Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+    assert(viaCorpus.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
     val df = toDf(spark)(
       "id" -> Seq(1, 2, 3),

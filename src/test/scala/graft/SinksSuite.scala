@@ -67,6 +67,21 @@ class SinksSuite extends SparkSpec {
     assert(sig(back) == sig(docs))
   }
 
+  test("compactParquet refuses overlapping in/out paths in any spelling") {
+    val base = "/tmp/graft_sink_guard"
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.mode("overwrite").parquet(base)
+    for (out <- Seq(base, s"$base/", s"file:$base", s"$base/nested",
+      "/tmp/graft_sink_guard/../graft_sink_guard")) {
+      intercept[IllegalArgumentException] {
+        Sinks.compactParquet(spark, base, out)
+      }
+    }
+    // disjoint sibling path is fine
+    Sinks.compactParquet(spark, base, s"${base}_ok", targetRowsPerFile = 1000L)
+    assert(spark.read.parquet(s"${base}_ok").count() == docs.count())
+  }
+
   test("ORC sink roundtrips and prunes partitions like parquet") {
     val out = "/tmp/graft_sink_orc"
     val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
