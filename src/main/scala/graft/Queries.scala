@@ -406,6 +406,24 @@ object Queries {
         .arrange("event_id").df
     }),
 
+    // forward as-of with tolerance: each purchase matched to the NEXT
+    // view within 1 hour (pandas merge_asof direction='forward'); the
+    // DuckDB oracle reuses native backward ASOF on negated timestamps
+    "q_asof_forward" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.api.DataTable(
+        graft.operators.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "ts_us",
+          payload = Seq("view_event_id"),
+          direction = "forward", tolerance = Some(3600000000L)))
+        .arrange("event_id").df
+    }),
+
     "q_sessionize" -> ((s: SparkSession, dir: String) =>
       graft.api.DataTable(
         graft.operators.Sessionize.sessionStats(
@@ -1596,6 +1614,26 @@ object Queries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    -epoch_us(ts) AS nts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, -epoch_us(ts) AS nts,
+        |    max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, l.ts_us,
+        |    r.ts_us AS m_ts, r.view_event_id AS m_id
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.nts >= r.nts)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN m_ts - ts_us <= 3600000000 THEN m_ts END AS asof_ts,
+        |  CASE WHEN m_ts - ts_us <= 3600000000 THEN m_id END
+        |    AS asof_view_event_id
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -4,33 +4,45 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join: for each left row, attach the single right row
-  * with the greatest `rightTs <= leftTs` among the same join keys — the
-  * point-in-time lookup of time-series engines (kdb `aj`, pandas
-  * `merge_asof`, DuckDB `ASOF JOIN`), which Spark has no operator for.
+/** As-of join: for each left row, attach the single right row closest in
+  * time among the same join keys — the point-in-time lookup of
+  * time-series engines (kdb `aj`, pandas `merge_asof`, DuckDB
+  * `ASOF JOIN`), which Spark has no operator for. Backward (greatest
+  * `rightTs <= leftTs`, the default), forward (smallest
+  * `rightTs >= leftTs`), and an optional staleness `tolerance` — the
+  * pandas `merge_asof` surface.
   *
   * Implementation is a UNION + ONE WINDOW, not an inequality join: left
   * and right rows are interleaved per key in time order, and a running
-  * `last(payload, ignoreNulls)` carries the most recent right payload
-  * forward onto each left row. Cost is one shuffle on the keys plus a
-  * per-partition sort — the same plan as a sort-merge join — where a
-  * range-condition join (`l.ts >= r.ts` + row_number) explodes to the
-  * full cross product per key before pruning. At 100 TB the window
-  * shape is the only one that survives.
+  * `last(payload, ignoreNulls)` (resp. `first` for forward) carries the
+  * nearest right payload onto each left row. Cost is one shuffle on the
+  * keys plus a per-partition sort — the same plan as a sort-merge join —
+  * where a range-condition join (`l.ts >= r.ts` + row_number) explodes
+  * to the full cross product per key before pruning. At 100 TB the
+  * window shape is the only one that survives.
   *
   * Ties: right rows sharing (keys, ts) resolve to the greatest
-  * `rightTieBreak`; a right row exactly at the left timestamp DOES match
-  * (inclusive, like DuckDB's `ON l.ts >= r.ts`). Left rows with no prior
-  * right row keep NULL payload (left-join semantics).
+  * `rightTieBreak` in either direction; a right row exactly at the left
+  * timestamp DOES match (inclusive, like DuckDB's `ON l.ts >= r.ts`).
+  * Left rows with no match (none prior/following, or outside tolerance)
+  * keep NULL payload (left-join semantics). Timestamps must be non-null;
+  * `tolerance` requires a numeric (ticks) time column.
   */
 object AsOf {
 
-  /** @param payload right columns to carry (renamed `<prefix><name>` in
-    *                the output, plus `<prefix>ts` for the matched time) */
+  /** @param payload   right columns to carry (renamed `<prefix><name>` in
+    *                  the output, plus `<prefix>ts` for the matched time)
+    * @param direction "backward" (default) or "forward"
+    * @param tolerance max |leftTs - matchedTs| in ticks; farther matches
+    *                  null out (pandas merge_asof `tolerance`) */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                rightTieBreak: Column = lit(0L),
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"joinAsOf: direction must be backward|forward, got $direction")
     val keyCols = keys.map(col)
     val r = right.select(
       keyCols :+ col(rightTs).as("__ts") :+
@@ -41,17 +53,38 @@ object AsOf {
       .withColumn("__ts", col(leftTs))
       .withColumn("__tie", lit(null).cast("long"))
       .withColumn("__is_left", lit(1))
-    // right rows sort BEFORE left rows at equal ts (inclusive match);
-    // among right rows at equal ts the greatest tiebreak lands last,
-    // i.e. wins the running `last`
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__is_left"), col("__tie").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+    // backward: right rows sort BEFORE left at equal ts (inclusive) with
+    // the greatest tiebreak last — the running `last` over the preceding
+    // frame picks it. forward mirrors: left first at equal ts, greatest
+    // tiebreak right FIRST in the following frame, picked by `first`.
+    val matched = direction match {
+      case "backward" =>
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("__ts"), col("__is_left"), col("__tie").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last(col("__payload"), ignoreNulls = true).over(w)
+      case "forward" =>
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("__ts"), col("__is_left").desc,
+            col("__tie").desc_nulls_last)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        first(col("__payload"), ignoreNulls = true).over(w)
+    }
+    val withMatch = merged.withColumn("__match", matched)
+    val gated = tolerance match {
+      case None => withMatch
+      case Some(tol) =>
+        val delta =
+          if (direction == "backward")
+            col("__ts") - col("__match").getField("ts")
+          else col("__match").getField("ts") - col("__ts")
+        withMatch.withColumn("__match",
+          when(delta <= lit(tol), col("__match")))
+    }
     val carried = col("__match").getField("ts").as(s"${prefix}ts") +:
       payload.map(p => col("__match").getField(p).as(s"$prefix$p"))
-    merged.filter(col("__is_left") === 1)
+    gated.filter(col("__is_left") === 1)
       .select(left.columns.map(col) ++ carried: _*)
   }
 }
