@@ -142,6 +142,35 @@ class PropertySuite extends SparkSpec {
     assert(cuts == Seq(124997L, 324997L, 624997L, 624998L))
   }
 
+  test("zorder key equals the driver replica for random domains and values") {
+    import graft.operators.Layout
+    val gen = for {
+      lo <- Gen.choose(-1000000L, 1000000L)
+      width <- Gen.choose(1L, 1000000L)
+      bits <- Gen.choose(2, 12)
+      n <- Gen.choose(1, 12)
+      vs <- Gen.listOfN(n, Gen.choose(0L, width))
+      ws <- Gen.listOfN(n, Gen.choose(0L, width))
+    } yield (lo, lo + width, bits, vs.map(_ + lo), ws.map(_ + lo))
+    forAll(gen, n = 8) { case (lo, hi, bits, xs, ys) =>
+      val df = toDf(spark)("x" -> xs, "y" -> ys).df
+      val key = Layout.zorderKey(Seq(
+        Layout.quantize(col("x"), lo, hi, bits),
+        Layout.quantize(col("y"), lo, hi, bits)), bits)
+      val got = df.select(col("x"), col("y"), key.as("z")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def q(v: Long) = (v - lo) * (1L << bits) / (hi - lo + 1)
+      val want = xs.zip(ys).map { case (x, y) =>
+        val (qx, qy) = (q(x), q(y))
+        val z = (0 until bits).map { j =>
+          (((qx >> j) & 1L) << (j * 2)) | (((qy >> j) & 1L) << (j * 2 + 1))
+        }.foldLeft(0L)(_ | _)
+        (x, y, z)
+      }.toSet
+      assert(got == want, s"domain [$lo,$hi] bits=$bits")
+    }
+  }
+
   test("ungrouped whole-column lift equals driver-side arithmetic") {
     // the broadcast-lift rewrite (mutate/filter of x - mean(x) etc.) must
     // agree with computing the scalar on the driver, for any frame
