@@ -931,6 +931,26 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // per-domain corpus accounting (web-curation staple): URLs
+      // synthesized from source/lang/doc_id, host + path split out with
+      // parse_url (codegen'd), rolled up per host — the shape of a
+      // crawl-mix report or domain blocklist join
+      "q_domains" -> ((s: SparkSession, dir: String) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id"))
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"), url.as("__u"))
+            .select(col("doc_id"), col("n_chars"),
+              parse_url(col("__u"), lit("HOST")).as("host"),
+              parse_url(col("__u"), lit("PATH")).as("path"))
+            .groupBy(col("host"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"),
+              min(col("path")).as("first_path")))
+          .arrange("host").df
+      }),
+
       // Unicode NFC canonical composition (the cross-source dedup
       // precondition): decomposed sequences injected in-expression so
       // the normalizer provably fires; both engines run the same
@@ -1338,6 +1358,21 @@ object Queries {
       """SELECT doc_id, lang, source, n_chars,
         |  md5(text) AS text_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || source || '.example.com/' || lang || '/' || doc_id
+        |      AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path
+        |  FROM u)
+        |SELECT host, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars, MIN(path) AS first_path
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
 
     "q_nfc" ->
       """WITH n AS (
