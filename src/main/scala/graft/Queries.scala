@@ -931,6 +931,14 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // cross-document exact substring duplication: per doc, how many
+      // of its word-5-gram windows appear in any OTHER document
+      "q_substring_dup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.substringDupStats(Tables.df(s, dir, "documents"),
+            "text", "doc_id", n = 5))
+          .arrange("doc_id").df),
+
       // per-domain corpus accounting (web-curation staple): URLs
       // synthesized from source/lang/doc_id, host + path split out with
       // parse_url (codegen'd), rolled up per host — the shape of a
@@ -1358,6 +1366,24 @@ object Queries {
       """SELECT doc_id, lang, source, n_chars,
         |  md5(text) AS text_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i+1:i+5], ' ')) END)) AS g
+        |  FROM d),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 12))::BIGINT AS hh
+        |      FROM w),
+        |f AS (SELECT hh, COUNT(*) AS df FROM h GROUP BY hh)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+        |  SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |FROM h JOIN f USING (hh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_domains" ->
       """WITH u AS (

@@ -362,6 +362,38 @@ object Dedup {
     }
   }
 
+  /** Cross-document exact substring duplication (RefinedWeb-style exact
+    * window dedup, the within-corpus twin of [[decontaminate]]): for each
+    * document, how many of its word `n`-gram windows also appear in ANY
+    * other document. High shared-window counts flag boilerplate and
+    * near-verbatim syndication that MinHash's whole-document similarity
+    * misses. Returns (idCol, n_windows, n_shared) — callers threshold
+    * `n_shared / n_windows` per policy.
+    *
+    * Scale shape: windows are hash48-compressed and exploded DISTINCT
+    * per doc; one groupBy over window hashes counts how many distinct
+    * docs carry each (a window is "shared" iff its doc-frequency > 1 —
+    * no pairwise blowup, no bucketCap needed since nothing is ever
+    * joined doc-to-doc, so a boilerplate window in 10^6 docs costs one
+    * counter, not 10^12 pairs); the flags fold back per doc. All
+    * shuffles move compact (hash, id) longs; the window set's hash
+    * partitioning is reused between the count and the join (exchange
+    * reuse), then one final shuffle on the doc id. */
+  def substringDupStats(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 8): DataFrame = {
+    val windows = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(wordShinglesFromTokens(col("__tk"), n))).as("__sh"))
+      .select(col(idCol), hash48(col("__sh")).as("__h"))
+    val docFreq = windows.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+    windows.join(docFreq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Edit-distance similarity join: candidate pairs share at least one
     * character n-gram (bucket join with skew cap — the retrieved
     * string-similarity-join literature's filter-verify shape), verified

@@ -124,6 +124,22 @@ class PipelineOpsSuite extends SparkSpec {
       == Seq(11L, 13L))
   }
 
+  test("substringDupStats counts windows shared with ANY other document") {
+    val docs = toDf(spark)(
+      "id" -> Seq(1, 2, 3),
+      "text" -> Seq(
+        "a b c d e f",      // windows: [a b c], [b c d], [c d e], [d e f]
+        "x y z b c d",      // shares [b c d] with doc 1
+        "totally different here")).df // < n? 3 tokens = n → one window
+    val got = Dedup.substringDupStats(docs, "text", "id", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L),   // 4 windows, [b c d] shared
+      (2L, 4L, 1L),
+      (3L, 1L, 0L)))
+  }
+
   test("exactIncrementalAgainstFps consumes a materialized fingerprint table") {
     val corpus = toDf(spark)(
       "doc_id" -> Seq(1, 2),
