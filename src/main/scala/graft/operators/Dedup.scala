@@ -375,23 +375,47 @@ object Dedup {
     * docs carry each (a window is "shared" iff its doc-frequency > 1 —
     * no pairwise blowup, no bucketCap needed since nothing is ever
     * joined doc-to-doc, so a boilerplate window in 10^6 docs costs one
-    * counter, not 10^12 pairs); the flags fold back per doc. All
-    * shuffles move compact (hash, id) longs; the window set's hash
-    * partitioning is reused between the count and the join (exchange
-    * reuse), then one final shuffle on the doc id. */
+    * counter, not 10^12 pairs).
+    *
+    * Two-phase adaptive plan (same pattern as [[decontaminate]]):
+    * phase 1 computes each doc's sorted-distinct window hashes in ONE
+    * compiled kernel call ([[org.apache.spark.sql.graftshim.DistinctShingleHashes]]),
+    * explodes the compact longs once, and counts doc-frequency — the
+    * only shuffle. The SHARED subset (df > 1) is normally tiny relative
+    * to the corpus (shared windows are the exception); when it fits
+    * `maxSharedSet` it is collected sorted and phase 2 is a pure
+    * scan-local projection: `n_windows = size(hashes)`, `n_shared` = a
+    * codegen'd membership count against the embedded set — no join-back,
+    * no second shuffle. An oversized shared set falls back to the
+    * relational join-back + per-doc fold. */
   def substringDupStats(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 8): DataFrame = {
-    val windows = df
-      .select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .select(col(idCol),
-        explode(array_distinct(wordShinglesFromTokens(col("__tk"), n))).as("__sh"))
-      .select(col(idCol), hash48(col("__sh")).as("__h"))
-    val docFreq = windows.groupBy(col("__h"))
+                        n: Int = 8, maxSharedSet: Int = 4000000): DataFrame = {
+    import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim, SortedMembershipCount}
+    val hashesCol = Shim.toColumn(DistinctShingleHashes(
+      Shim.toExpression(col(textCol)), n))
+    val withHashes = df.select(col(idCol), hashesCol.as("__hs"))
+    val shared = withHashes
+      .select(explode(col("__hs")).as("__h"))
+      .groupBy(col("__h"))
       .agg(count(lit(1)).as("__df"))
-    windows.join(docFreq, Seq("__h"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .filter(col("__df") > 1)
+      .select(col("__h"))
+    val head = shared.limit(maxSharedSet + 1).collect()
+    if (head.length <= maxSharedSet) {
+      val sorted = head.map(_.getLong(0))
+      java.util.Arrays.sort(sorted)
+      withHashes.select(col(idCol),
+        size(col("__hs")).cast("long").as("n_windows"),
+        Shim.toColumn(SortedMembershipCount(
+          Shim.toExpression(col("__hs")), sorted)).as("n_shared"))
+    } else {
+      val windows = withHashes.select(col(idCol), explode(col("__hs")).as("__h"))
+      val docFreq = windows.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      windows.join(docFreq, Seq("__h"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+    }
   }
 
   /** Edit-distance similarity join: candidate pairs share at least one

@@ -156,6 +156,53 @@ object GraftHash {
     new GenericArrayData(Array(grams.length.toLong, distinct, best))
   }
 
+  /** Sorted DISTINCT hash48 values of the word n-shingles of `text` —
+    * shingle construction as in [[anyShingleIn]]. */
+  def distinctShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
+    val ts = tokens(text)
+    val sb = new java.lang.StringBuilder
+    def windowHash(start: Int, len: Int): Long = {
+      sb.setLength(0)
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(ts(start + i))
+        i += 1
+      }
+      hash48(sb.toString.getBytes("UTF-8"))
+    }
+    val out =
+      if (ts.length < n) Array(windowHash(0, ts.length))
+      else {
+        val raw = new Array[Long](ts.length - n + 1)
+        var pos = 0
+        while (pos <= ts.length - n) { raw(pos) = windowHash(pos, n); pos += 1 }
+        raw
+      }
+    java.util.Arrays.sort(out)
+    // dedup in place on the sorted array
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** How many elements of `arr` (long array) are present in `sorted`. */
+  def countSortedIn(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                    sorted: Array[Long]): Long = {
+    var cnt = 0L
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** True iff any word `n`-shingle of `text` hash48-hashes into `sorted`
     * (ascending). Shingle construction matches the Column pipeline
     * (`wordShinglesFromTokens`): fewer than `n` tokens → ONE shingle of
@@ -272,6 +319,56 @@ case class FeatureHashText(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
+  }
+}
+
+/** Codegen'd sorted-distinct word-n-shingle hash48 array from raw text —
+  * the reusable "windows of this document" projection (substring-dup
+  * stats, decontamination variants). Same [[MinHashSig]] design. */
+case class DistinctShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "distinct_shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingleHashes =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.distinctShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.distinctShingleHashes($text, $n);")
+  }
+}
+
+/** Codegen'd membership count: how many elements of a long-array column
+  * are in the plan-embedded sorted set. Pairs with
+  * [[DistinctShingleHashes]] to turn join-backs against a counted set
+  * into a scan-local projection. */
+case class SortedMembershipCount(child: Expression, sorted: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_membership_count"
+
+  override protected def withNewChildInternal(newChild: Expression): SortedMembershipCount =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.countSortedIn(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $gh.countSortedIn($arr, $sRef);")
   }
 }
 

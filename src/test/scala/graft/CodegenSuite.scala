@@ -59,6 +59,16 @@ class CodegenSuite extends SparkSpec {
           org.apache.spark.sql.graftshim.NfcNormalize(
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("n"))
       assert(nfc.limit(3).collect().length == 3)
+      val smc = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.SortedMembershipCount(
+            org.apache.spark.sql.graftshim.Shim.toExpression(
+              org.apache.spark.sql.graftshim.Shim.toColumn(
+                org.apache.spark.sql.graftshim.DistinctShingleHashes(
+                  org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
+                  5))),
+            Array(1L, 2L, 3L))).as("c"))
+      assert(smc.limit(3).collect().length == 3)
       val rep = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.NgramStats(

@@ -140,6 +140,24 @@ class PipelineOpsSuite extends SparkSpec {
       (3L, 1L, 0L)))
   }
 
+  test("substringDupStats fast path: scan-local phase 2, parity with join fallback") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val fast = Dedup.substringDupStats(docs, "text", "doc_id", n = 5)
+    val slow = Dedup.substringDupStats(docs, "text", "doc_id", n = 5,
+      maxSharedSet = 0) // any non-empty shared set overflows → join path
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (a, b) = (rows(fast), rows(slow))
+    assert(a == b, "fast/fallback divergence")
+    assert(a.exists(_._3 > 0), "fixture should contain shared windows")
+    // phase 2 of the fast path joins and shuffles nothing
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fast path still joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"fast path shuffles:\n$plan")
+    assert(plan.contains("sorted_membership_count"), plan)
+  }
+
   test("exactIncrementalAgainstFps consumes a materialized fingerprint table") {
     val corpus = toDf(spark)(
       "doc_id" -> Seq(1, 2),
