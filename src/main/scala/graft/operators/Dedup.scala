@@ -362,6 +362,31 @@ object Dedup {
     }
   }
 
+  /** Bloom-filter decontamination — the memory tier above
+    * [[decontaminate]]'s exact fast path: when the bench shingle set is
+    * too large even to embed as sorted longs (hundreds of millions of
+    * shingles), build a Bloom filter over the shingle hashes (one
+    * distributed aggregate, ~17 bits/element at fpp=1e-3) and filter the
+    * corpus with a codegen'd probe. Semantics trade: NO false negatives
+    * (every truly contaminated document is dropped — the guarantee that
+    * matters for decontamination), clean documents are over-dropped at
+    * ~`fpp` per distinct shingle probed until first hit. Stateless
+    * projection — runs on streams like the exact path. */
+  def decontaminateBloom(df: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int = 8,
+                         expectedShingles: Long = 10000000L,
+                         fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.graftshim.{AnyShingleInBloom, Shim}
+    val benchHashes = bench
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
+      .select(hash48(col("__sh")).as("__h"))
+    val bloom = benchHashes.stat.bloomFilter("__h", expectedShingles, fpp)
+    val dirty = Shim.toColumn(AnyShingleInBloom(
+      Shim.toExpression(col(textCol)), n, bloom))
+    df.filter(coalesce(!dirty, lit(true)))
+  }
+
   /** Cross-document exact substring duplication (RefinedWeb-style exact
     * window dedup, the within-corpus twin of [[decontaminate]]): for each
     * document, how many of its word `n`-gram windows also appear in ANY

@@ -203,6 +203,35 @@ object GraftHash {
     cnt
   }
 
+  /** Bloom variant of [[anyShingleIn]]: probes a
+    * `org.apache.spark.util.sketch.BloomFilter` instead of a sorted
+    * array. No false negatives (a truly contaminated document always
+    * hits); false positives drop clean documents at the filter's fpp. */
+  def anyShingleInBloom(text: UTF8String, n: Int,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val ts = tokens(text)
+    val sb = new java.lang.StringBuilder
+    def windowHash(start: Int, len: Int): Long = {
+      sb.setLength(0)
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(ts(start + i))
+        i += 1
+      }
+      hash48(sb.toString.getBytes("UTF-8"))
+    }
+    if (ts.length < n) bloom.mightContainLong(windowHash(0, ts.length))
+    else {
+      var pos = 0
+      while (pos <= ts.length - n) {
+        if (bloom.mightContainLong(windowHash(pos, n))) return true
+        pos += 1
+      }
+      false
+    }
+  }
+
   /** True iff any word `n`-shingle of `text` hash48-hashes into `sorted`
     * (ascending). Shingle construction matches the Column pipeline
     * (`wordShinglesFromTokens`): fewer than `n` tokens → ONE shingle of
@@ -319,6 +348,33 @@ case class FeatureHashText(child: Expression, dim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.featureHash($text, $dim);")
+  }
+}
+
+/** Codegen'd Bloom-probed shingle membership — [[AnyShingleInSet]] with a
+  * `BloomFilter` in place of the sorted array, for bench shingle sets too
+  * large to embed exactly (a 100M-shingle set is ~800 MB as longs but
+  * ~170 MB as a 0.1%-fpp Bloom). Guarantees no false negatives. */
+case class AnyShingleInBloom(child: Expression, n: Int,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_shingle_in_bloom"
+
+  override protected def withNewChildInternal(newChild: Expression): AnyShingleInBloom =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.anyShingleInBloom(input.asInstanceOf[UTF8String], n, bloom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.anyShingleInBloom($text, $n, $bRef);")
   }
 }
 

@@ -124,6 +124,26 @@ class PipelineOpsSuite extends SparkSpec {
       == Seq(11L, 13L))
   }
 
+  test("decontaminateBloom: no false negatives, over-drop bounded by fpp") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 5))
+    val bloom = ids(Dedup.decontaminateBloom(corpus, bench, "text", "doc_id",
+      n = 5, expectedShingles = 100000L, fpp = 0.001))
+    // survivors of the bloom path ⊆ exact survivors (never keeps a truly
+    // contaminated doc), and the over-drop is tiny at this fpp
+    assert(bloom.subsetOf(exact), "bloom kept a contaminated doc (false negative)")
+    assert((exact.size - bloom.size) <= math.max(2, exact.size / 100),
+      s"over-drop too large: exact=${exact.size} bloom=${bloom.size}")
+    // stateless projection: no join, no shuffle
+    val plan = Dedup.decontaminateBloom(corpus, bench, "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("substringDupStats counts windows shared with ANY other document") {
     val docs = toDf(spark)(
       "id" -> Seq(1, 2, 3),

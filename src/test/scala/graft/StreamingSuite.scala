@@ -95,6 +95,32 @@ class StreamingSuite extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static enrichment join: broadcast dim onto an unbounded stream") {
+    // the classic enrichment shape: per-event user attributes joined in
+    // from a static dimension — stream-static joins need no watermark
+    // and no state (each micro-batch hash-joins against the broadcast)
+    val inDir = Paths.get("/tmp/graft_stream_events")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    val dim = spark.range(0, 1000).toDF("user_id")
+      .withColumn("tier", when(col("user_id") % 3 === 0, "gold").otherwise("std"))
+    val enriched = stream.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("tier").count()
+    val query = enriched.writeStream.format("memory").queryName("graft_enrich")
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val got = spark.table("graft_enrich").collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$sfDir/events.parquet")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("tier").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(got == want && got.values.sum > 0)
+  }
+
   test("session_window streaming matches batch Sessionize semantics") {
     import graft.operators.Sessionize
     val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
