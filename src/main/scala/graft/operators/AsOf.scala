@@ -54,24 +54,22 @@ object AsOf {
       .withColumn("__tie", lit(null).cast("long"))
       .withColumn("__is_left", lit(1))
     val merged = l.unionByName(r, allowMissingColumns = true)
-    // backward: right rows sort BEFORE left at equal ts (inclusive) with
-    // the greatest tiebreak last — the running `last` over the preceding
-    // frame picks it. forward mirrors: left first at equal ts, greatest
-    // tiebreak right FIRST in the following frame, picked by `first`.
-    val matched = direction match {
-      case "backward" =>
-        val w = Window.partitionBy(keyCols: _*)
-          .orderBy(col("__ts"), col("__is_left"), col("__tie").asc_nulls_last)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        last(col("__payload"), ignoreNulls = true).over(w)
-      case "forward" =>
-        val w = Window.partitionBy(keyCols: _*)
-          .orderBy(col("__ts"), col("__is_left").desc,
-            col("__tie").desc_nulls_last)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        first(col("__payload"), ignoreNulls = true).over(w)
-    }
-    val withMatch = merged.withColumn("__match", matched)
+    // Both directions are the SAME running `last` over the preceding
+    // frame — forward just traverses time descending. (A
+    // (currentRow, unboundedFollowing) frame with first() would be
+    // semantically equivalent but Spark evaluates unbounded-following
+    // frames by rescanning to the partition end for EVERY row — O(n²)
+    // per key group, a quadratic cliff on hot keys. The preceding-frame
+    // running aggregate is O(n).) In either traversal, right rows sort
+    // before left at equal ts (inclusive match) and the greatest
+    // tiebreak lands immediately before the left row, winning `last`.
+    val timeOrd =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(timeOrd, col("__is_left"), col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withMatch = merged.withColumn("__match",
+      last(col("__payload"), ignoreNulls = true).over(w))
     val gated = tolerance match {
       case None => withMatch
       case Some(tol) =>

@@ -325,17 +325,22 @@ object Dedup {
     * With duplicate or null ids they would diverge: the fast path
     * filters per ROW by text, the fallback drops per ID (all rows of a
     * contaminated id) and a null id never matches the anti-join key. */
-  def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
-                    idCol: String, n: Int = 8,
-                    maxSetShingles: Int = 2000000): DataFrame = {
-    // token arrays aliased in their own projection BEFORE the explode:
-    // the shingle transform is a higher-order function (no CSE), so an
-    // inline tokens() would re-split the text once per shingle
-    val benchShingles = bench
+  /** Bench-side word-n-gram hash48 projection shared by the
+    * decontamination tiers. Token arrays aliased in their own projection
+    * BEFORE the explode: the shingle transform is a higher-order
+    * function (no CSE), so an inline tokens() would re-split the text
+    * once per shingle. */
+  private def benchShingleHashes(bench: DataFrame, textCol: String,
+                                 n: Int): DataFrame =
+    bench
       .select(tokens(col(textCol)).as("__tk"))
       .select(explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
       .select(hash48(col("__sh")).as("__h"))
-      .distinct()
+
+  def decontaminate(df: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8,
+                    maxSetShingles: Int = 2000000): DataFrame = {
+    val benchShingles = benchShingleHashes(bench, textCol, n).distinct()
     // one bounded action decides the strategy: grab at most cap+1 hashes
     val head = benchShingles.limit(maxSetShingles + 1).collect()
     if (head.length <= maxSetShingles) {
@@ -377,11 +382,8 @@ object Dedup {
                          expectedShingles: Long = 10000000L,
                          fpp: Double = 0.001): DataFrame = {
     import org.apache.spark.sql.graftshim.{AnyShingleInBloom, Shim}
-    val benchHashes = bench
-      .select(tokens(col(textCol)).as("__tk"))
-      .select(explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
-      .select(hash48(col("__sh")).as("__h"))
-    val bloom = benchHashes.stat.bloomFilter("__h", expectedShingles, fpp)
+    val bloom = benchShingleHashes(bench, textCol, n)
+      .stat.bloomFilter("__h", expectedShingles, fpp)
     val dirty = Shim.toColumn(AnyShingleInBloom(
       Shim.toExpression(col(textCol)), n, bloom))
     df.filter(coalesce(!dirty, lit(true)))
@@ -412,13 +414,16 @@ object Dedup {
     * scan-local projection: `n_windows = size(hashes)`, `n_shared` = a
     * codegen'd membership count against the embedded set — no join-back,
     * no second shuffle. An oversized shared set falls back to the
-    * relational join-back + per-doc fold. */
+    * relational join-back + per-doc fold. Null-text rows are dropped on
+    * BOTH paths (a null document has no windows; the fallback's explode
+    * would drop it implicitly — the filter keeps the paths identical). */
   def substringDupStats(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 8, maxSharedSet: Int = 4000000): DataFrame = {
     import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim, SortedMembershipCount}
     val hashesCol = Shim.toColumn(DistinctShingleHashes(
       Shim.toExpression(col(textCol)), n))
-    val withHashes = df.select(col(idCol), hashesCol.as("__hs"))
+    val withHashes = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), hashesCol.as("__hs"))
     val shared = withHashes
       .select(explode(col("__hs")).as("__h"))
       .groupBy(col("__h"))

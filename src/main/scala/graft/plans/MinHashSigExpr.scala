@@ -157,28 +157,11 @@ object GraftHash {
   }
 
   /** Sorted DISTINCT hash48 values of the word n-shingles of `text` —
-    * shingle construction as in [[anyShingleIn]]. */
+    * same construction contract ([[scanWindowHashes]]). */
   def distinctShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
-    val ts = tokens(text)
-    val sb = new java.lang.StringBuilder
-    def windowHash(start: Int, len: Int): Long = {
-      sb.setLength(0)
-      var i = 0
-      while (i < len) {
-        if (i > 0) sb.append(' ')
-        sb.append(ts(start + i))
-        i += 1
-      }
-      hash48(sb.toString.getBytes("UTF-8"))
-    }
-    val out =
-      if (ts.length < n) Array(windowHash(0, ts.length))
-      else {
-        val raw = new Array[Long](ts.length - n + 1)
-        var pos = 0
-        while (pos <= ts.length - n) { raw(pos) = windowHash(pos, n); pos += 1 }
-        raw
-      }
+    val b = new scala.collection.mutable.ArrayBuilder.ofLong
+    scanWindowHashes(text, n) { h => b += h; false }
+    val out = b.result()
     java.util.Arrays.sort(out)
     // dedup in place on the sorted array
     var w = 0
@@ -203,12 +186,14 @@ object GraftHash {
     cnt
   }
 
-  /** Bloom variant of [[anyShingleIn]]: probes a
-    * `org.apache.spark.util.sketch.BloomFilter` instead of a sorted
-    * array. No false negatives (a truly contaminated document always
-    * hits); false positives drop clean documents at the filter's fpp. */
-  def anyShingleInBloom(text: UTF8String, n: Int,
-                        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+  /** THE shingle-construction contract, shared by every window kernel
+    * (membership, Bloom, distinct-hash collection) and parity-pinned
+    * against the Column pipeline (`wordShinglesFromTokens`): fewer than
+    * `n` tokens → ONE shingle of all tokens space-joined; else every
+    * contiguous window of `n`, each hashed with [[hash48]]. Feeds each
+    * hash to `f`; stops early and returns true on the first `f` that
+    * returns true. */
+  private def scanWindowHashes(text: UTF8String, n: Int)(f: Long => Boolean): Boolean = {
     val ts = tokens(text)
     val sb = new java.lang.StringBuilder
     def windowHash(start: Int, len: Int): Long = {
@@ -221,16 +206,24 @@ object GraftHash {
       }
       hash48(sb.toString.getBytes("UTF-8"))
     }
-    if (ts.length < n) bloom.mightContainLong(windowHash(0, ts.length))
+    if (ts.length < n) f(windowHash(0, ts.length))
     else {
       var pos = 0
       while (pos <= ts.length - n) {
-        if (bloom.mightContainLong(windowHash(pos, n))) return true
+        if (f(windowHash(pos, n))) return true
         pos += 1
       }
       false
     }
   }
+
+  /** Bloom variant of [[anyShingleIn]]: probes a
+    * `org.apache.spark.util.sketch.BloomFilter` instead of a sorted
+    * array. No false negatives (a truly contaminated document always
+    * hits); false positives drop clean documents at the filter's fpp. */
+  def anyShingleInBloom(text: UTF8String, n: Int,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): Boolean =
+    scanWindowHashes(text, n)(bloom.mightContainLong)
 
   /** True iff any word `n`-shingle of `text` hash48-hashes into `sorted`
     * (ascending). Shingle construction matches the Column pipeline
@@ -238,31 +231,9 @@ object GraftHash {
     * all tokens space-joined; else every contiguous window of `n`.
     * Short-circuits on the first hit — a contaminated document stops at
     * its first dirty shingle instead of hashing the whole text. */
-  def anyShingleIn(text: UTF8String, n: Int, sorted: Array[Long]): Boolean = {
-    val ts = tokens(text)
-    val sb = new java.lang.StringBuilder
-    def windowHash(start: Int, len: Int): Long = {
-      sb.setLength(0)
-      var i = 0
-      while (i < len) {
-        if (i > 0) sb.append(' ')
-        sb.append(ts(start + i))
-        i += 1
-      }
-      hash48(sb.toString.getBytes("UTF-8"))
-    }
-    if (ts.length < n)
-      java.util.Arrays.binarySearch(sorted, windowHash(0, ts.length)) >= 0
-    else {
-      var pos = 0
-      while (pos <= ts.length - n) {
-        if (java.util.Arrays.binarySearch(sorted, windowHash(pos, n)) >= 0)
-          return true
-        pos += 1
-      }
-      false
-    }
-  }
+  def anyShingleIn(text: UTF8String, n: Int, sorted: Array[Long]): Boolean =
+    scanWindowHashes(text, n)(h =>
+      java.util.Arrays.binarySearch(sorted, h) >= 0)
 
   /** 48-bit SimHash from raw text (token hashes NOT folded mod p —
     * matching the Column-API formulation it replaces). */
