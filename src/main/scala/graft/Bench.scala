@@ -60,9 +60,19 @@ object Bench {
       s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":${series(_._2, dec)},"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"warm run2; total=cold run1 (r1-r4 series)"}"""
     // the driver parses the LAST ~2000 stdout chars: if the query map has
     // grown past the budget at centisecond precision, degrade to
-    // deciseconds rather than overflow the parse window (full precision
-    // is in bench_detail.json either way)
-    val line = { val l = mkLine(2); if (l.length <= 1950) l else mkLine(1) }
+    // deciseconds, then whole seconds, and as a last resort truncate the
+    // map to the slowest queries that fit — the line must NEVER overflow
+    // the parse window (full precision is in bench_detail.json either way)
+    def mkTrunc(k: Int): String = {
+      val top = results.toSeq.sortBy(-_._2._2).take(k)
+      val qs = top.map { case (n, v) => "\"" + n + "\":" + fmt(v._2, 1) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs,"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"slowest $k of ${results.size} (truncated)"}"""
+    }
+    val line = Iterator(mkLine(2), mkLine(1), mkLine(0))
+      .find(_.length <= 1950)
+      .getOrElse((results.size to 0 by -1).iterator.map(mkTrunc)
+        .find(_.length <= 1950).get)
     // full precision for local analysis (not part of the driver contract)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
       s"""{"queries_warm":${series(_._2, 6)},"queries_cold":${series(_._1, 6)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"}\n""")

@@ -37,11 +37,35 @@ object Queries {
 
   /** Scratch dir for a roundtrip query, unique per (format, sf dir, JVM):
     * a fixed path would let a concurrent Verify (sf0.01) and Bench
-    * (sf0.1) overwrite each other's roundtrip mid-read. */
+    * (sf0.1) overwrite each other's roundtrip mid-read. Registered for
+    * recursive deletion at JVM exit (the read side is lazy, so the dir
+    * must outlive the query's last action — exit is the earliest safe
+    * point) to stop /tmp accumulating one dir per bench/verify run. */
+  private val scratchDirs =
+    java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[String]())
+  private lazy val scratchCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { d =>
+        // belt-and-braces: never walk outside our own scratch namespace
+        if (d.startsWith("/tmp/graft_")) {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }
+      }
+    }))
+  }
   private def roundtripDir(fmt: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val pid = ProcessHandle.current().pid()
-    s"/tmp/graft_${fmt}_roundtrip_${tag}_$pid"
+    val dir = s"/tmp/graft_${fmt}_roundtrip_${tag}_$pid"
+    scratchCleanupHook
+    scratchDirs.add(dir)
+    dir
   }
 
   lazy val all: Map[String, Q] = core ++ relational ++ pipeline

@@ -43,10 +43,23 @@ object AsOf {
                tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"joinAsOf: direction must be backward|forward, got $direction")
+    // the matched timestamp rides inside the payload struct under a
+    // collision-proof internal name: a payload column literally named
+    // "ts" would otherwise create duplicate struct fields and make
+    // getField ambiguous
+    val TsField = "__asof_ts"
+    require(!payload.contains(TsField),
+      s"joinAsOf: payload column name $TsField is reserved")
+    // a payload column named "ts" would collide with the carried
+    // match-timestamp OUTPUT column (both become s"${prefix}ts");
+    // rename it on the right side before joining
+    require(!payload.contains("ts"),
+      "joinAsOf: payload column 'ts' collides with the carried " +
+        s"match-timestamp column '${prefix}ts' — rename it first")
     val keyCols = keys.map(col)
     val r = right.select(
       keyCols :+ col(rightTs).as("__ts") :+
-        struct((col(rightTs).as("ts") +: payload.map(col)): _*).as("__payload") :+
+        struct((col(rightTs).as(TsField) +: payload.map(col)): _*).as("__payload") :+
         rightTieBreak.as("__tie"): _*)
       .withColumn("__is_left", lit(0))
     val l = left
@@ -75,12 +88,12 @@ object AsOf {
       case Some(tol) =>
         val delta =
           if (direction == "backward")
-            col("__ts") - col("__match").getField("ts")
-          else col("__match").getField("ts") - col("__ts")
+            col("__ts") - col("__match").getField(TsField)
+          else col("__match").getField(TsField) - col("__ts")
         withMatch.withColumn("__match",
           when(delta <= lit(tol), col("__match")))
     }
-    val carried = col("__match").getField("ts").as(s"${prefix}ts") +:
+    val carried = col("__match").getField(TsField).as(s"${prefix}ts") +:
       payload.map(p => col("__match").getField(p).as(s"$prefix$p"))
     gated.filter(col("__is_left") === 1)
       .select(left.columns.map(col) ++ carried: _*)

@@ -21,6 +21,16 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Bounded driver-side probe: collect at most `cap + 1` values of a
+    * single long column as a primitive `Array[Long]` (8 bytes/element
+    * retained — 16 MB at cap 2M — not boxed `Row`s, whose 10-20x
+    * wrapper overhead would make the same probe cost hundreds of MB).
+    * Per-element boxing during decode is transient. */
+  private def probeLongs(df: DataFrame, c: String, cap: Int): Array[Long] = {
+    val enc = org.apache.spark.sql.Encoders.scalaLong
+    df.select(col(c)).limit(cap + 1).as(enc).collect()
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup on the md5 of normalized text: keeps the row with the
@@ -342,10 +352,10 @@ object Dedup {
                     maxSetShingles: Int = 2000000): DataFrame = {
     val benchShingles = benchShingleHashes(bench, textCol, n).distinct()
     // one bounded action decides the strategy: grab at most cap+1 hashes
-    val head = benchShingles.limit(maxSetShingles + 1).collect()
+    val head = probeLongs(benchShingles, "__h", maxSetShingles)
     if (head.length <= maxSetShingles) {
       import org.apache.spark.sql.graftshim.{AnyShingleInSet, Shim}
-      val sorted = head.map(_.getLong(0))
+      val sorted = head
       java.util.Arrays.sort(sorted)
       val dirty = Shim.toColumn(AnyShingleInSet(
         Shim.toExpression(col(textCol)), n, sorted))
@@ -430,9 +440,9 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1)
       .select(col("__h"))
-    val head = shared.limit(maxSharedSet + 1).collect()
+    val head = probeLongs(shared, "__h", maxSharedSet)
     if (head.length <= maxSharedSet) {
-      val sorted = head.map(_.getLong(0))
+      val sorted = head
       java.util.Arrays.sort(sorted)
       withHashes.select(col(idCol),
         size(col("__hs")).cast("long").as("n_windows"),

@@ -30,7 +30,14 @@ object Sampling {
     * rational value but on EITHER side, so floor is off by one for
     * ~1% of exact-millionth fractions (249e-6 → 248). Nearest-integer
     * is exact for every n/Mod as long as Mod stays well under 2^26
-    * (product error << 0.5) — property-tested over all million cuts. */
+    * (product error << 0.5) — property-tested over all million cuts.
+    *
+    * COMPAT NOTE: releases before the rint fix used `floor`, which was
+    * off by one for ~1% of exact-millionth fractions. For those
+    * fractions, splits/samples persisted under the old arithmetic do
+    * not replay bit-identically — membership can shift by one bucket
+    * (≤ 1e-6 of rows). Exact-replay of legacy splits needs the legacy
+    * floor cut; new pipelines get the corrected exact cuts. */
   private[graft] def cutFor(fraction: Double): Long =
     math.rint(fraction * Mod).toLong
 

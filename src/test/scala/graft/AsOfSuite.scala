@@ -129,4 +129,18 @@ class AsOfSuite extends SparkSpec {
       .head()
     assert(r.getAs[Long]("asof_pay") == 71L)
   }
+
+  test("joinAsOf rejects a payload column literally named ts") {
+    // regression: the internal match struct used to name its time field
+    // "ts", so a payload column "ts" silently made getField("ts")
+    // ambiguous; it would also collide with the carried asof_ts output
+    // column, so it is rejected up front with a clear message
+    val left = toDf(spark)("k" -> Seq("a"), "lts" -> Seq(10), "lid" -> Seq(1)).df
+    val right = toDf(spark)(
+      "k" -> Seq("a"), "rts" -> Seq(7), "ts" -> Seq(777)).df
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts", Seq("ts"))
+    }
+    assert(e.getMessage.contains("rename"))
+  }
 }
