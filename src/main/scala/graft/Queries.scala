@@ -344,6 +344,26 @@ object Queries {
         .select("event_id", "user_id", "value", "next_value")
         .arrange("event_id").df),
 
+    // window rank family (beyond-reference; no distributed analogue of the
+    // reference's sort+zip-index ranking). rank/dense_rank/percent_rank/
+    // cume_dist over a tie-bearing order are tie-stable; ntile takes the
+    // unique (quantity, orderkey, linenumber) order. percent_rank/cume_dist
+    // are single divisions of exact ints — bit-identical cross-engine.
+    "q_window_ranks" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        lineitem(s, dir)
+          .withRanks(Seq(col("l_quantity")), partitionBy = Seq("l_returnflag"))
+          .withNtile("tile", 10,
+            Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+            partitionBy = Seq("l_returnflag"))
+          .df.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"),
+            col("rnk").cast("long").as("rnk"),
+            col("drnk").cast("long").as("drnk"),
+            col("prnk"), col("cdist"),
+            col("tile").cast("long").as("tile")))
+        .arrange("l_orderkey", "l_linenumber").df),
+
     // dropNaN on a derived NaN column (dataframe.nim:2467-2493)
     "q_dropnan" -> ((s: SparkSession, dir: String) =>
       lineitem(s, dir)
@@ -1054,7 +1074,32 @@ object Queries {
         graft.api.DataTable(
           li.select(col("l_orderkey"), col("l_linenumber"), key.as("zkey")))
           .arrange("l_orderkey", "l_linenumber").df
-      })
+      }),
+
+      // quality-weighted deterministic sampling: keep-probability rises
+      // with document length (clamped [0,1]); per-row cut vs hash bucket,
+      // zero shuffle, exactly replayed by the DuckDB oracle
+      "q_weighted_sample" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.weightedHashSample(Tables.df(s, dir, "documents"),
+            "doc_id", col("n_chars") / lit(2000.0))
+            .select(col("doc_id"), col("n_chars")))
+          .arrange("doc_id").df),
+
+      // per-source quality dashboard: ROLLUP grouping emits detail rows,
+      // per-source subtotals, and a grand total in ONE partially-aggregated
+      // pass (no per-level union of scans); grouping_id disambiguates the
+      // levels. Integer-only aggregates — exact in any reduction order.
+      "q_quality_rollup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(Tables.df(s, dir, "documents"))
+          .rollupBy("source", "lang")
+          .summarize(
+            "n_docs" -> count(lit(1)),
+            "sum_chars" -> sum(col("n_chars")),
+            "max_chars" -> max(col("n_chars")),
+            "n_short" -> sum(when(col("n_chars") < lit(200), lit(1L)).otherwise(lit(0L))),
+            "gid" -> grouping_id())
+          .arrange("gid", "source", "lang").df)
     )
   }
 
@@ -1448,7 +1493,23 @@ object Queries {
     "q_hourly_uniques" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  COUNT(DISTINCT user_id)::BIGINT AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substring(md5('graft_wsample_42_' || doc_id), 1, 12))::BIGINT
+        |        % 1000000
+        |      < round(least(1.0, greatest(0.0, n_chars / 2000.0)) * 1000000, 0)::BIGINT
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_rollup" ->
+      """SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  MAX(n_chars)::BIGINT AS max_chars,
+        |  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+        |  GROUPING(source, lang)::BIGINT AS gid
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
   )
 
   private val coreOracles: Map[String, String] = Map(
@@ -1644,6 +1705,19 @@ object Queries {
       """SELECT event_id, user_id, value,
         |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(10) OVER wu AS tile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+        |  wu AS (PARTITION BY l_returnflag
+        |         ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_dropnan" ->
       """SELECT l_orderkey, l_linenumber, l_discount AS maybe_nan

@@ -20,6 +20,17 @@ case object CcRename extends CommonColumnMerge
 case object CcLeft extends CommonColumnMerge
 case object CcDrop extends CommonColumnMerge
 
+/** How [[DataTable.summarize]] expands the group keys. [[FlatGrouping]] is
+  * the reference's semantics (one row per distinct key tuple); [[RollupGrouping]]
+  * / [[CubeGrouping]] additionally emit the hierarchical / all-subset
+  * grand-total rows (SQL `GROUP BY ROLLUP/CUBE`) — the shape a per-source
+  * quality dashboard wants, computed in ONE pass with partial aggregation
+  * instead of unioning per-level scans. Beyond-reference extension. */
+sealed trait GroupingMode
+case object FlatGrouping extends GroupingMode
+case object RollupGrouping extends GroupingMode
+case object CubeGrouping extends GroupingMode
+
 /** dplyr-style verb layer over a Spark `DataFrame`.
   *
   * Re-expresses the verb surface of SciNim/Datamancer
@@ -40,7 +51,8 @@ case object CcDrop extends CommonColumnMerge
   * verbs that need a row order take it explicitly (Spark has no physical row
   * order; SURVEY.md §7.5 risk 5).
   */
-final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
+final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
+                           groupMode: GroupingMode = FlatGrouping) {
 
   import DataTable._
 
@@ -318,9 +330,24 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
   /** Lazy grouping: records key names only, like the reference's `groupMap`
     * metadata (`group_by`, `dataframe.nim:2007-2035`). `add=true` extends an
     * existing grouping. */
-  def groupBy(keys: String*): DataTable = copy(groupKeys = keys)
+  def groupBy(keys: String*): DataTable =
+    copy(groupKeys = keys, groupMode = FlatGrouping)
   def groupByAdd(keys: String*): DataTable = copy(groupKeys = groupKeys ++ keys)
-  def ungroup: DataTable = copy(groupKeys = Nil)
+  def ungroup: DataTable = copy(groupKeys = Nil, groupMode = FlatGrouping)
+
+  /** Hierarchical grouping: [[summarize]] emits one row per key tuple PLUS
+    * per-prefix subtotal rows and a grand total (SQL `GROUP BY ROLLUP`),
+    * all in one partial-aggregated pass. Keys of aggregated-away levels are
+    * NULL; disambiguate with `grouping_id()` in the aggregate list. Only
+    * [[summarize]]/[[countRows]] honor the mode — aggregate lifting inside
+    * [[mutate]]/[[filter]] always treats the keys as a flat grouping. */
+  def rollupBy(keys: String*): DataTable =
+    copy(groupKeys = keys, groupMode = RollupGrouping)
+
+  /** Like [[rollupBy]] but emits subtotals for EVERY key subset
+    * (SQL `GROUP BY CUBE`). */
+  def cubeBy(keys: String*): DataTable =
+    copy(groupKeys = keys, groupMode = CubeGrouping)
 
   /** Reducing formulas → one row per group (ungrouped: one row total)
     * (`summarize`, `dataframe.nim:2037-2101`). Result is ordered by the
@@ -331,9 +358,15 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
     val aggCols = aggs.map { case (n, c) => c.as(n) }
     val out =
       if (groupKeys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-      else df.groupBy(groupKeys.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-        .orderBy(groupKeys.map(col): _*)
+      else {
+        val grouped = groupMode match {
+          case FlatGrouping => df.groupBy(groupKeys.map(col): _*)
+          case RollupGrouping => df.rollup(groupKeys.map(col): _*)
+          case CubeGrouping => df.cube(groupKeys.map(col): _*)
+        }
+        grouped.agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(groupKeys.map(col): _*)
+      }
     DataTable(out)
   }
 
@@ -551,6 +584,35 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil) {
                partitionBy: Seq[String] = Nil, default: Any = null): DataTable = {
     val w = windowFor(partitionBy, order)
     withDf(df.withColumn(name, lead(c, n, default).over(w)))
+  }
+
+  /** Rank family over an explicit order (beyond-reference extension; the
+    * reference has no window ranks — users rank by sorting and zipping an
+    * index, which has no distributed analogue). `rank`/`dense_rank`/
+    * `percent_rank`/`cume_dist` are TIE-STABLE: with a non-unique order
+    * they still produce deterministic values, so `order` need not be a
+    * total order. `ntile` is NOT tie-stable (it splits ties by physical
+    * position); [[withNtile]] therefore demands the caller assert the
+    * order is unique. percent_rank/cume_dist are single divisions of
+    * exact integers — bit-identical across engines (oracle-safe). */
+  def withRanks(order: Seq[Column], partitionBy: Seq[String] = Nil,
+                rankName: String = "rnk", denseName: String = "drnk",
+                pctName: String = "prnk", cumeName: String = "cdist"): DataTable = {
+    val w = windowFor(partitionBy, order)
+    withDf(df
+      .withColumn(rankName, rank().over(w))
+      .withColumn(denseName, dense_rank().over(w))
+      .withColumn(pctName, percent_rank().over(w))
+      .withColumn(cumeName, cume_dist().over(w)))
+  }
+
+  /** `ntile(n)` bucket assignment over a UNIQUE order (see [[withRanks]]:
+    * ntile splits ties arbitrarily, so a non-unique order is
+    * nondeterministic — the caller asserts uniqueness). */
+  def withNtile(name: String, n: Int, uniqueOrder: Seq[Column],
+                partitionBy: Seq[String] = Nil): DataTable = {
+    val w = windowFor(partitionBy, uniqueOrder)
+    withDf(df.withColumn(name, ntile(n).over(w)))
   }
 
   // ------------------------------------------------------------- sampling

@@ -70,6 +70,20 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Per-row weighted deterministic sampling: keep a row with probability
+    * `weight` (a Column in [0,1] — e.g. a quality score, so high-quality
+    * documents are oversampled). The row's cut is `rint(weight * 1e6)`
+    * computed PER ROW, compared against the row's hash bucket — still a
+    * pure scan-local predicate (zero shuffle, prunes onto the scan), and
+    * exactly replayable cross-engine as long as `weight` itself is
+    * deterministic. Same 1e-6 rate resolution as [[hashSample]]. */
+  def weightedHashSample(df: DataFrame, idCol: String, weight: Column,
+                         seed: Long = 42L): DataFrame = {
+    val cut = round(least(lit(1.0), greatest(lit(0.0), weight)) * lit(Mod.toDouble), 0)
+      .cast("long")
+    df.filter(hashBucket(col(idCol), "wsample", seed) < cut)
+  }
+
   /** Stratified (per-stratum-rate) deterministic sampling: each stratum
     * value keeps its own fraction — the language/source rebalancing step
     * of corpus mixing. Strata absent from `rates` keep `defaultRate`. */
