@@ -548,7 +548,7 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Bm25, Dedup, Layout, Multimodal, Pack, RangeJoin, Sampling, Similarity}
+    import graft.operators.{Blocklist, Bm25, Dedup, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
     Map(
 
       // deterministic hash sampling: reproducible 10% of the corpus,
@@ -1099,7 +1099,33 @@ object Queries {
             "max_chars" -> max(col("n_chars")),
             "n_short" -> sum(when(col("n_chars") < lit(200), lit(1L)).otherwise(lit(0L))),
             "gid" -> grouping_id())
-          .arrange("gid", "source", "lang").df)
+          .arrange("gid", "source", "lang").df),
+
+      // blocklist gate: drop every document from a deny-listed source. The
+      // deny-list is derived from the data itself (sources that ever
+      // emitted a sub-60-char fragment — "spam-ridden domains"), so DuckDB
+      // replays both the list and the anti-join exactly. Plan: the list is
+      // dimension-sized → broadcast LeftAnti, corpus never shuffles.
+      "q_blocklist" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        graft.api.DataTable(
+          Blocklist.filterBlocklist(docs, deny, "source")
+            .select("doc_id", "source", "n_chars"))
+          .arrange("doc_id").df
+      }),
+
+      // per-(source,lang) z-score outlier screen over integer n_chars:
+      // exact decimal sums → fixed IEEE derivation, so z is bit-identical
+      // cross-engine (the operator's exactness contract, oracle-proven);
+      // singleton (source,lang) groups exist in the data and exercise the
+      // degenerate-group z=0 guard on both engines.
+      "q_outliers" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Outliers.zscoreOutliers(Tables.df(s, dir, "documents"),
+            col("n_chars"), Seq("source", "lang"), threshold = 1.5)
+            .select("doc_id", "source", "lang", "n_chars", "z"))
+          .arrange("doc_id").df)
     )
   }
 
@@ -1509,7 +1535,35 @@ object Queries {
         |  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
         |  GROUPING(source, lang)::BIGINT AS gid
         |FROM documents GROUP BY ROLLUP(source, lang)
-        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+        |SELECT doc_id, source, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Outliers.withZscore's exact op sequence: integer-exact group
+    // sums cast to double (values << 2^53, so every cast is exact), then
+    // the same divide/sqrt chain — correctly-rounded IEEE ops on identical
+    // inputs give identical bits; degenerate groups guard to 0.0 BEFORE
+    // the threshold filter on both engines
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT source, lang,
+        |    COUNT(*)::DOUBLE AS n,
+        |    SUM(n_chars)::DOUBLE AS s,
+        |    SUM(n_chars * n_chars)::DOUBLE AS q
+        |  FROM documents GROUP BY source, lang),
+        |scored AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |    CASE WHEN st.n > 1.0 AND (st.q - st.s*st.s/st.n) > 0.0
+        |         THEN (d.n_chars::DOUBLE - st.s/st.n)
+        |              / sqrt((st.q - st.s*st.s/st.n) / (st.n - 1.0))
+        |         ELSE 0.0 END AS z
+        |  FROM documents d JOIN st USING (source, lang))
+        |SELECT * FROM scored WHERE abs(z) > 1.5
+        |ORDER BY doc_id""".stripMargin
   )
 
   private val coreOracles: Map[String, String] = Map(

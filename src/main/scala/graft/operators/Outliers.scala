@@ -15,33 +15,55 @@ import org.apache.spark.sql.functions._
   * fits with >10^4 headroom, where a raw long sum would silently wrap).
   * Mean/variance/z are then derived from those exact integers with a fixed
   * IEEE op sequence, so every engine computes identical doubles — no
-  * epsilon needed downstream.
+  * epsilon needed downstream. Proven by the `q_outliers` oracle row.
+  *
+  * Degenerate groups: a singleton group (n = 1) or a zero-variance group
+  * (every value equal) has no dispersion to score against, so z is defined
+  * as 0.0 there — NOT the NaN that raw 0/0 would produce, which Spark's
+  * NaN-greater-than-everything ordering would otherwise flag as an outlier
+  * on every row of a constant group, the opposite of the right answer.
+  *
+  * NULL group keys are first-class: stats aggregation keeps the NULL
+  * group, and the stats join is null-safe (`<=>`), so null-keyed rows are
+  * scored within their own group instead of silently vanishing (an inner
+  * equi-join would drop them — cf. Blocklist's NULL rationale).
   *
   * Scale shape: one partial-aggregated shuffle to the per-group stats
   * table (rows = #groups, tiny), broadcast back onto the scan — the value
-  * column never shuffles. */
+  * column never shuffles (plan-asserted in OutliersSuite). */
 object Outliers {
 
-  /** Append `mean`/`std`/`z` for `scaledValue` (an integral-typed column)
-    * within each `groups` partition; sample (n-1) variance. */
+  /** Append `zName` — the z-score of `scaledValue` (an integral-typed
+    * column) within its `groups` partition; sample (n-1) variance;
+    * 0.0 for degenerate (singleton / zero-variance) groups. */
   def withZscore(df: DataFrame, scaledValue: Column, groups: Seq[String],
                  zName: String = "z"): DataFrame = {
     require(groups.nonEmpty, "withZscore: need at least one group column")
     val v = scaledValue.cast("decimal(38,0)")
+    val statKey = (g: String) => s"__g_$g"
     val stats = df.groupBy(groups.map(col): _*).agg(
       count(lit(1)).cast("double").as("__n_d"),
       sum(v).cast("double").as("__s_d"),
       sum(v * v).cast("double").as("__q_d"))
-    val joined = df.join(broadcast(stats), groups)
+    // rename the stats-side keys so the self-derived join resolves
+    // unambiguously, then match null-safely (NULL keys form a real group)
+    val statsKeyed = groups.foldLeft(stats)((d, g) => d.withColumnRenamed(g, statKey(g)))
+    val joined = df.join(broadcast(statsKeyed),
+      groups.map(g => col(g) <=> col(statKey(g))).reduce(_ && _))
     val mean = col("__s_d") / col("__n_d")
-    val varr = (col("__q_d") - col("__s_d") * col("__s_d") / col("__n_d")) /
-      (col("__n_d") - lit(1.0))
+    // (q - s*s/n) is the exact-integer-derived sum of squared deviations;
+    // guard it BEFORE dividing so constant groups never reach 0/0
+    val ssd = col("__q_d") - col("__s_d") * col("__s_d") / col("__n_d")
+    val varr = ssd / (col("__n_d") - lit(1.0))
+    val z = when(col("__n_d") > lit(1.0) && ssd > lit(0.0),
+      (scaledValue.cast("double") - mean) / sqrt(varr)).otherwise(lit(0.0))
     joined
-      .withColumn(zName, (scaledValue.cast("double") - mean) / sqrt(varr))
-      .drop("__n_d", "__s_d", "__q_d")
+      .withColumn(zName, z)
+      .drop(groups.map(statKey) :+ "__n_d" :+ "__s_d" :+ "__q_d": _*)
   }
 
-  /** Rows whose |z| exceeds `threshold` within their group. */
+  /** Rows whose |z| exceeds `threshold` within their group (degenerate
+    * groups score 0.0, so they never flag). */
   def zscoreOutliers(df: DataFrame, scaledValue: Column, groups: Seq[String],
                      threshold: Double, zName: String = "z"): DataFrame =
     withZscore(df, scaledValue, groups, zName)
