@@ -1101,6 +1101,20 @@ object Queries {
             "gid" -> grouping_id())
           .arrange("gid", "source", "lang").df),
 
+      // CUBE counterpart of q_quality_rollup: subtotals for EVERY key
+      // subset — (source,lang), (source), (lang), () — in one
+      // partially-aggregated pass; grouping_id disambiguates which keys
+      // were aggregated away. countRows exercises the GroupingMode
+      // dispatch shared with summarize. Integer counts — exact anywhere.
+      "q_cube" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(Tables.df(s, dir, "documents"))
+          .cubeBy("source", "lang")
+          .summarize(
+            "n_docs" -> count(lit(1)),
+            "sum_chars" -> sum(col("n_chars")),
+            "gid" -> grouping_id())
+          .arrange("gid", "source", "lang").df),
+
       // blocklist gate: drop every document from a deny-listed source. The
       // deny-list is derived from the data itself (sources that ever
       // emitted a sub-60-char fragment — "spam-ridden domains"), so DuckDB
@@ -1535,6 +1549,13 @@ object Queries {
         |  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
         |  GROUPING(source, lang)::BIGINT AS gid
         |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  GROUPING(source, lang)::BIGINT AS gid
+        |FROM documents GROUP BY CUBE(source, lang)
         |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
     "q_blocklist" ->

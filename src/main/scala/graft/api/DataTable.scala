@@ -370,11 +370,17 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     DataTable(out)
   }
 
-  /** Group sizes (`count`, `dataframe.nim:2103-2138`). */
-  def countRows(cols: Seq[String], name: String = "n"): DataTable =
-    DataTable(
-      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(name))
-        .orderBy(cols.map(col): _*))
+  /** Group sizes (`count`, `dataframe.nim:2103-2138`). Honors the grouping
+    * mode like [[summarize]]: under [[rollupBy]]/[[cubeBy]] the counts
+    * include the subtotal and grand-total rows. */
+  def countRows(cols: Seq[String], name: String = "n"): DataTable = {
+    val grouped = groupMode match {
+      case FlatGrouping => df.groupBy(cols.map(col): _*)
+      case RollupGrouping => df.rollup(cols.map(col): _*)
+      case CubeGrouping => df.cube(cols.map(col): _*)
+    }
+    DataTable(grouped.agg(count(lit(1)).as(name)).orderBy(cols.map(col): _*))
+  }
 
   /** Distributed analogue of the reference's `groups` iterator
     * (`dataframe.nim:1178-1240`): apply `f(keyRow, rowsOfGroup)` to every

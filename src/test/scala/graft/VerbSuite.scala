@@ -269,6 +269,22 @@ class VerbSuite extends SparkSpec {
     assert(colLongs(r, "n") == Seq(20L, 10L, 30L, 10L, 30L))
   }
 
+  test("countRows honors rollup/cube grouping mode (subtotal + grand-total rows)") {
+    val df = toDf(spark)("a" -> Seq("x", "x", "y"), "b" -> Seq(1, 2, 2))
+    // flat: 3 key pairs
+    assert(df.countRows(Seq("a", "b")).df.count() == 3L)
+    // rollup: + 2 per-a subtotals + 1 grand total
+    val ru = df.rollupBy("a", "b").countRows(Seq("a", "b"))
+    assert(ru.df.count() == 6L)
+    assert(ru.df.filter(col("a").isNull && col("b").isNull)
+      .head.getAs[Long]("n") == 3L)
+    // cube: + 2 per-b subtotals on top of rollup's 6
+    val cu = df.cubeBy("a", "b").countRows(Seq("a", "b"))
+    assert(cu.df.count() == 8L)
+    assert(cu.df.filter(col("a").isNull && col("b") === 2)
+      .head.getAs[Long]("n") == 2L)
+  }
+
   test("grouped mutate: x - mean(x) per group (testDf.nim:1704+ mutate on grouped)") {
     val df = toDf(spark)("g" -> Seq("a", "a", "b", "b"), "x" -> Seq(1.0, 3.0, 10.0, 20.0))
     val r = df.groupBy("g").mutate("dev" -> (col("x") - avg(col("x")))).ungroup
