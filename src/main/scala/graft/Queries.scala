@@ -349,20 +349,45 @@ object Queries {
     // cume_dist over a tie-bearing order are tie-stable; ntile takes the
     // unique (quantity, orderkey, linenumber) order. percent_rank/cume_dist
     // are single divisions of exact ints — bit-identical cross-engine.
+    // Partition key is l_partkey (high cardinality) so window parallelism
+    // scales with the data — a 3-value key like l_returnflag would funnel
+    // the whole table into 3 sort tasks at any cluster size. For ranks
+    // over the WHOLE table (no partition key at all) see q_global_rank.
     "q_window_ranks" -> ((s: SparkSession, dir: String) =>
       graft.api.DataTable(
         lineitem(s, dir)
-          .withRanks(Seq(col("l_quantity")), partitionBy = Seq("l_returnflag"))
+          .withRanks(Seq(col("l_quantity")), partitionBy = Seq("l_partkey"))
           .withNtile("tile", 10,
             Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
-            partitionBy = Seq("l_returnflag"))
+            partitionBy = Seq("l_partkey"))
           .df.select(col("l_orderkey"), col("l_linenumber"),
-            col("l_returnflag"), col("l_quantity"),
+            col("l_partkey"), col("l_quantity"),
             col("rnk").cast("long").as("rnk"),
             col("drnk").cast("long").as("drnk"),
             col("prnk"), col("cdist"),
             col("tile").cast("long").as("tile")))
-        .arrange("l_orderkey", "l_linenumber").df),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — extend to the unique (ok, ln, pk, qty) so row order
+        // is total and both engines emit identical sequences
+        .arrange("l_orderkey", "l_linenumber", "l_partkey", "l_quantity").df),
+
+    // whole-table rank family WITHOUT a single-partition window: the
+    // two-pass range-partition pattern (GlobalRank.withGlobalRanks) —
+    // local ranks per range partition + broadcast offsets. rank/dense_rank
+    // are exact integers; percent_rank/cume_dist are single divisions of
+    // exact integers, so the doubles replay bit-identically in DuckDB's
+    // one-partition window even though the Spark plan never has one.
+    "q_global_rank" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.operators.GlobalRank.withGlobalRanks(
+          lineitem(s, dir).df, Seq(col("l_quantity")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("rnk").cast("long").as("rnk"),
+            col("drnk").cast("long").as("drnk"),
+            col("prnk"), col("cdist")))
+        // ties on (ok, ln) exist; adding l_quantity makes every projected
+        // column identical within any remaining tie, so order is immaterial
+        .arrange("l_orderkey", "l_linenumber", "l_quantity").df),
 
     // dropNaN on a derived NaN column (dataframe.nim:2467-2493)
     "q_dropnan" -> ((s: SparkSession, dir: String) =>
@@ -1782,17 +1807,30 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_window_ranks" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |  rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk,
         |  percent_rank() OVER w AS prnk,
         |  cume_dist() OVER w AS cdist,
         |  ntile(10) OVER wu AS tile
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
-        |  wu AS (PARTITION BY l_returnflag
+        |WINDOW w AS (PARTITION BY l_partkey ORDER BY l_quantity),
+        |  wu AS (PARTITION BY l_partkey
         |         ORDER BY l_quantity, l_orderkey, l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    // DuckDB ranks in one partition; the Spark side must produce the SAME
+    // numbers from its two-pass range-partitioned plan — that equivalence
+    // is exactly what this row proves
+    "q_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM lineitem
+        |WINDOW w AS (ORDER BY l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_dropnan" ->
       """SELECT l_orderkey, l_linenumber, l_discount AS maybe_nan

@@ -30,7 +30,16 @@ import org.apache.spark.sql.functions._
   * low-card partition key). The order keys are exchanged twice (the
   * stats pass and the rank pass are separate jobs); both exchanges are
   * full-width, and at 100 TB the alternative — one partition sorting
-  * everything — is not an alternative. */
+  * everything — is not an alternative.
+  *
+  * Cross-job alignment: pass 1's offsets are only valid if pass 2 lands
+  * every row in the same range partition. That holds because Spark's
+  * range boundaries come from reservoir sampling seeded per input
+  * partition index (deterministic) over a deterministic source, so the
+  * two jobs derive identical boundaries; callers feeding a
+  * NON-deterministic source (e.g. a fresh `rand()` column) must
+  * checkpoint/persist it first — same contract as every deterministic
+  * sampler in this library. */
 object GlobalRank {
 
   /** Append global `rnk`/`drnk`/`prnk`/`cdist` over `order`. Tie-stable:
@@ -54,6 +63,15 @@ object GlobalRank {
         r.getAs[Long]("__rows"), r.getAs[Long]("__keys")))
       .sortBy(_._1)
     val total = stats.map(_._2).sum
+    // empty input: no stats rows → typedLit of an empty map has no value
+    // type to infer; short-circuit with the same (empty) schema
+    if (total == 0L)
+      return df
+        .withColumn(rankName, lit(null).cast("long"))
+        .withColumn(denseName, lit(null).cast("long"))
+        .withColumn(pctName, lit(null).cast("double"))
+        .withColumn(cumeName, lit(null).cast("double"))
+        .filter(lit(false))
     val rowOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._2).init).toMap
     val keyOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._3).init).toMap
 
