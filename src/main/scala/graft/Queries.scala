@@ -331,10 +331,17 @@ object Queries {
         .select("o_orderkey", "o_totalprice")
         .arrange("o_orderkey").df),
 
-    // deterministic shuffle + sample (dataframe.nim:2497-2521) — rows-only
-    // check: RNG differs across engines by design.
+    // shuffle + sample-head (dataframe.nim:2497-2521), demoed through the
+    // deterministic hashShuffle total order (Sampling.scala) instead of
+    // the reference's process-local RNG so the head-100 replays exactly
+    // in DuckDB and the row is hash-checked like every other query.
+    // (RNG randomHead/shuffleRows stay suite-covered — ApiSuite.)
     "q_sample" -> ((s: SparkSession, dir: String) =>
-      orders(s, dir).randomHead(100, seed = 42).select("o_orderkey").df),
+      graft.api.DataTable(
+        graft.operators.Sampling.hashShuffle(orders(s, dir).df, "o_orderkey")
+          .limit(100)
+          .select(col("o_orderkey")))
+        .arrange("o_orderkey").df),
 
     // lead over explicit order (column.nim:1177-1213; the lag twin)
     "q_lead" -> ((s: SparkSession, dir: String) =>
@@ -1787,6 +1794,15 @@ object Queries {
       """SELECT * FROM (
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  ORDER BY o_orderkey DESC LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY ('0x' || substring(md5('graft_shuffle_42_' || o_orderkey), 1, 12))::BIGINT
+        |             % 1000000,
+        |           o_orderkey
+        |  LIMIT 100)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_value_mixed" ->

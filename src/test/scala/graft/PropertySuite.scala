@@ -142,6 +142,45 @@ class PropertySuite extends SparkSpec {
     assert(cuts == Seq(124997L, 324997L, 624997L, 624998L))
   }
 
+  test("weightedHashSample cut at exact .5 boundaries: HALF_UP, engine-agreeing (Sampling.scala:80)") {
+    // The per-row cut is round(clamp(weight)*1e6, 0). At weight = n/2e6
+    // with odd n the product is exactly x.5 (x.5 is dyadic — exactly
+    // representable), so the rounding MODE decides membership. Spark's
+    // `round` is HALF_UP; DuckDB's `round` on DOUBLE is half-away-from-
+    // zero — identical on the clamped non-negative domain. Off the exact
+    // boundary both engines evaluate the SAME IEEE double with the same
+    // formula, so the deciding input is structurally identical and the
+    // mode never disagrees: parity is by construction, pinned here
+    // against the decimal HALF_UP definition for the boundary sweep and
+    // its nextUp/nextDown neighborhoods.
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    val odd = (1L to 99L by 2) ++ Seq(999999L, 1199999L, 1999999L)
+    val weights = odd.flatMap { n =>
+      val w = n.toDouble / 2000000.0
+      Seq(w, Math.nextUp(w), Math.nextDown(w))
+    } ++ Seq(0.0, 1.0, -0.25, 1.75) // clamp edges
+    val wdf = toDf(spark)(
+      "id" -> weights.indices.map(_.toLong),
+      "w" -> weights).df
+    val got = wdf.select(col("id"),
+      round(least(lit(1.0), greatest(lit(0.0), col("w"))) * lit(1000000.0), 0)
+        .cast("long").as("cut"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    weights.zipWithIndex.foreach { case (w, i) =>
+      val x = math.min(1.0, math.max(0.0, w)) * 1000000.0
+      val want = new JBig(x).setScale(0, RoundingMode.HALF_UP).longValueExact()
+      assert(got(i.toLong) == want, s"w=$w x=$x: got ${got(i.toLong)}, want $want")
+    }
+    // exact boundary spot-check: 3.5 → 4 (HALF_UP), one ulp below → 3
+    val b = 7.0 / 2000000.0
+    assert(got(weights.indexOf(b).toLong) == 4L)
+    assert(got(weights.indexOf(Math.nextDown(b)).toLong) == 3L)
+    // the oracle must keep replaying the exact same formula text — if
+    // this drifts, q_weighted_sample's hash match is luck, not design
+    assert(Queries.oracles("q_weighted_sample")
+      .contains("round(least(1.0, greatest(0.0, n_chars / 2000.0)) * 1000000, 0)"))
+  }
+
   test("zorder key equals the driver replica for random domains and values") {
     import graft.operators.Layout
     val gen = for {

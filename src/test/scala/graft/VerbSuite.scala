@@ -562,6 +562,19 @@ class VerbSuite extends SparkSpec {
     assert(r1.sorted == (1L to 50L))
   }
 
+  test("randomHead samples n distinct source rows, deterministic per seed (dataframe.nim:2514-2521)") {
+    val df = toDf(spark)("x" -> (1 to 50))
+    val r1 = colLongs(df.randomHead(10, seed = 7), "x")
+    val r2 = colLongs(df.randomHead(10, seed = 7), "x")
+    assert(r1 == r2)
+    assert(r1.length == 10 && r1.distinct.length == 10)
+    assert(r1.forall(v => v >= 1 && v <= 50))
+    // a different seed draws a different head (50!/(40!) >> collision odds)
+    assert(colLongs(df.randomHead(10, seed = 8), "x") != r1)
+    // n >= rows degenerates to a full permutation
+    assert(colLongs(df.randomHead(99, seed = 7), "x").sorted == (1L to 50L))
+  }
+
   test("select refuses to drop group keys (dataframe.nim:1403-1443)") {
     val df = toDf(spark)("g" -> Seq("a"), "v" -> Seq(1)).groupBy("g")
     intercept[IllegalArgumentException] { df.select("v") }
