@@ -405,6 +405,31 @@ class VerbSuite extends SparkSpec {
     assert(colSeq(r, "y") == Seq(null, null, 9.5))
   }
 
+  test("constant-column concat algebra: widening matches reference promotion (testDf.nim:68-131)") {
+    // The reference's colConstant `add` algebra: equal constants stay a
+    // single value; unequal same-type constants concatenate natively;
+    // int+float promotes to float. Here constants are scalar-broadcast
+    // lit()s and concat is unionByName — Catalyst's set-op widening is
+    // the promotion rule. (Reference's int+string → colObject is the
+    // one divergence: set-op widening resolves int|string to LONG and
+    // ANSI cast then fails loudly at runtime on non-numeric strings —
+    // never a silent stringify; mixed-type frames belong in the Value
+    // struct column, SURVEY §1.2, exercised in ValueSuite.)
+    def const(n: Int, v: Any) = toDf(spark)("rid" -> (0 until n), "c" -> v)
+    // equal constants, 40+60 rows → one distinct value over 100 rows
+    val eq = const(40, 12).bindRows(const(60, 12))
+    assert(eq.df.count() == 100 && colLongs(eq, "c").toSet == Set(12L))
+    // unequal same-type constants → both survive, segment lengths exact
+    val uneq = const(40, 12).bindRows(const(60, 14))
+    val byV = uneq.df.groupBy("c").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV == Map(12L -> 40L, 14L -> 60L))
+    // int + float constants → widened to double (reference: colFloat)
+    val mixed = const(40, 12).bindRows(const(60, 14.0))
+    assert(mixed.df.schema("c").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(colDoubles(mixed, "c").toSet == Set(12.0, 14.0))
+  }
+
   test("concat strict requires matching schema (dataframe.nim:1042-1082)") {
     val a = toDf(spark)("x" -> Seq(1))
     val b = toDf(spark)("x" -> Seq(2))
