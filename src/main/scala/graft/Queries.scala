@@ -258,6 +258,23 @@ object Queries {
       big.intersect(open).arrange("o_orderkey").df
     }),
 
+    // multiset set ops (beyond-reference; SQL EXCEPT ALL / INTERSECT ALL):
+    // per-row MULTIPLICITY arithmetic — o_custkey repeats across orders,
+    // so the result keeps max(0, m-n) / min(m, n) copies per key. Plan is
+    // one count-aggregate per side + a replicate generate, never an m×n
+    // self-join of duplicates (which explodes on boilerplate-heavy data).
+    "q_except_all" -> ((s: SparkSession, dir: String) => {
+      val all = orders(s, dir).select("o_custkey")
+      val big = orders(s, dir).filter(col("o_totalprice") > 150000).select("o_custkey")
+      all.setDiffAll(big).arrange("o_custkey").df
+    }),
+
+    "q_intersect_all" -> ((s: SparkSession, dir: String) => {
+      val a = orders(s, dir).filter(col("o_totalprice") > 100000).select("o_custkey")
+      val b = orders(s, dir).filter(col("o_orderstatus") === "O").select("o_custkey")
+      a.intersectAll(b).arrange("o_custkey").df
+    }),
+
     // unique keep-first under explicit order (dataframe.nim:2370-2422)
     "q_unique_first" -> ((s: SparkSession, dir: String) =>
       lineitem(s, dir)
@@ -1147,6 +1164,19 @@ object Queries {
             "gid" -> grouping_id())
           .arrange("gid", "source", "lang").df),
 
+      // explicit GROUPING SETS: by-source and by-lang marginals with NO
+      // (source, lang) detail level and NO grand total — a shape neither
+      // rollup nor cube can express; still ONE Expand + partial-agg pass
+      // (plan-asserted in VerbSuite). gid says which marginal a row is.
+      "q_grouping_sets" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(Tables.df(s, dir, "documents"))
+          .groupingSetsBy(Seq(Seq("source"), Seq("lang")), "source", "lang")
+          .summarize(
+            "n_docs" -> count(lit(1)),
+            "sum_chars" -> sum(col("n_chars")),
+            "gid" -> grouping_id())
+          .arrange("gid", "source", "lang").df),
+
       // blocklist gate: drop every document from a deny-listed source. The
       // deny-list is derived from the data itself (sources that ever
       // emitted a sub-60-char fragment — "spam-ridden domains"), so DuckDB
@@ -1590,6 +1620,13 @@ object Queries {
         |FROM documents GROUP BY CUBE(source, lang)
         |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  GROUPING(source, lang)::BIGINT AS gid
+        |FROM documents GROUP BY GROUPING SETS ((source), (lang))
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
     "q_blocklist" ->
       """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
         |SELECT doc_id, source, n_chars FROM documents d
@@ -1739,6 +1776,18 @@ object Queries {
         |INTERSECT
         |SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_unique_first" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (

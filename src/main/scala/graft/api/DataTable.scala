@@ -30,6 +30,11 @@ sealed trait GroupingMode
 case object FlatGrouping extends GroupingMode
 case object RollupGrouping extends GroupingMode
 case object CubeGrouping extends GroupingMode
+/** Explicit `GROUP BY GROUPING SETS`: exactly the named key subsets, for
+  * shapes rollup/cube can't express (e.g. by-source AND by-language
+  * marginals with no (source, language) detail level). Still ONE
+  * Expand + partial-aggregate pass. `sets` are subsets of the group keys. */
+final case class GroupingSetsGrouping(sets: Seq[Seq[String]]) extends GroupingMode
 
 /** dplyr-style verb layer over a Spark `DataFrame`.
   *
@@ -349,6 +354,18 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
   def cubeBy(keys: String*): DataTable =
     copy(groupKeys = keys, groupMode = CubeGrouping)
 
+  /** Explicit grouping sets (SQL `GROUP BY GROUPING SETS`): aggregate at
+    * exactly the named key subsets — shapes rollup/cube can't express.
+    * `keys` is the full key universe (column order of the result);
+    * every set must draw from it. */
+  def groupingSetsBy(sets: Seq[Seq[String]], keys: String*): DataTable = {
+    val universe = keys.toSet
+    require(sets.nonEmpty, "groupingSetsBy: need at least one set")
+    sets.foreach(s => require(s.forall(universe),
+      s"groupingSetsBy: set $s not within keys $keys"))
+    copy(groupKeys = keys, groupMode = GroupingSetsGrouping(sets))
+  }
+
   /** Reducing formulas → one row per group (ungrouped: one row total)
     * (`summarize`, `dataframe.nim:2037-2101`). Result is ordered by the
     * group keys ascending, matching the reference's sort-based `groups`
@@ -363,6 +380,8 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
           case FlatGrouping => df.groupBy(groupKeys.map(col): _*)
           case RollupGrouping => df.rollup(groupKeys.map(col): _*)
           case CubeGrouping => df.cube(groupKeys.map(col): _*)
+          case GroupingSetsGrouping(sets) =>
+            df.groupingSets(sets.map(_.map(col)), groupKeys.map(col): _*)
         }
         grouped.agg(aggCols.head, aggCols.tail: _*)
           .orderBy(groupKeys.map(col): _*)
@@ -378,6 +397,8 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
       case FlatGrouping => df.groupBy(cols.map(col): _*)
       case RollupGrouping => df.rollup(cols.map(col): _*)
       case CubeGrouping => df.cube(cols.map(col): _*)
+      case GroupingSetsGrouping(sets) =>
+        df.groupingSets(sets.map(_.map(col)), cols.map(col): _*)
     }
     DataTable(grouped.agg(count(lit(1)).as(name)).orderBy(cols.map(col): _*))
   }
@@ -521,6 +542,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     else DataTable(df.except(other.df).union(other.df.except(df)))
 
   def intersect(other: DataTable): DataTable = DataTable(df.intersect(other.df))
+
+  /** Multiset variants (SQL `EXCEPT ALL` / `INTERSECT ALL`): per-row
+    * MULTIPLICITY arithmetic instead of set semantics — a row appearing
+    * m times left and n times right survives max(0, m-n) times in
+    * [[setDiffAll]] and min(m, n) times in [[intersectAll]]. The plan is
+    * one count-aggregate per side + a replicate generate, NOT a join of
+    * duplicates (which explodes m×n on skewed rows) — safe on corpora
+    * where near-identical boilerplate rows repeat millions of times. */
+  def setDiffAll(other: DataTable): DataTable = DataTable(df.exceptAll(other.df))
+  def intersectAll(other: DataTable): DataTable = DataTable(df.intersectAll(other.df))
 
   /** Distinct rows by a subset of columns, keeping all columns
     * (`unique`, `dataframe.nim:2370-2422`). Which row survives per key is

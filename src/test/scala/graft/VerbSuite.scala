@@ -405,6 +405,50 @@ class VerbSuite extends SparkSpec {
     assert(colSeq(r, "y") == Seq(null, null, 9.5))
   }
 
+  test("groupingSets: exact named subsets, one Expand pass, no union of scans") {
+    val df = toDf(spark)(
+      "s" -> Seq("a", "a", "b", "b", "b"),
+      "l" -> Seq("en", "de", "en", "en", "de"),
+      "n" -> Seq(1, 2, 3, 4, 5))
+    val r = df.groupingSetsBy(Seq(Seq("s"), Seq("l")), "s", "l")
+      .summarize("total" -> sum(col("n")), "gid" -> grouping_id())
+    val rows = r.df.collect().map(x =>
+      (x.getAs[String]("s"), x.getAs[String]("l"), x.getAs[Long]("total"), x.getAs[Long]("gid")))
+    // exactly the two marginals: by-source (l aggregated, gid=01b) and
+    // by-lang (s aggregated, gid=10b) — no detail level, no grand total
+    assert(rows.toSet == Set(
+      ("a", null, 3L, 1L), ("b", null, 12L, 1L),
+      (null, "en", 8L, 2L), (null, "de", 7L, 2L)))
+    // ONE Expand node, ONE scan — not a per-set union of aggregates
+    val plan = r.df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    assert(!plan.contains("Union"), s"plan:\n$plan")
+    // countRows dispatches on the same mode
+    val c = df.groupingSetsBy(Seq(Seq("s")), "s", "l").countRows(Seq("s", "l"))
+    assert(c.df.collect().map(x => (x.getAs[String]("s"), x.getAs[Long]("n"))).toSet ==
+      Set(("a", 2L), ("b", 3L)))
+    // sets outside the key universe refuse
+    intercept[IllegalArgumentException] {
+      df.groupingSetsBy(Seq(Seq("nope")), "s", "l")
+    }
+  }
+
+  test("setDiffAll/intersectAll: multiset multiplicity arithmetic, no m×n join") {
+    val a = toDf(spark)("x" -> Seq(1, 1, 1, 2, 2, 3))
+    val b = toDf(spark)("x" -> Seq(1, 2, 2, 2, 4))
+    // except all: max(0, m-n) → 1:(3-1)=2, 2:(2-3)=0, 3:(1-0)=1
+    assert(colLongs(a.setDiffAll(b).arrange("x"), "x") == Seq(1L, 1L, 3L))
+    // intersect all: min(m, n) → 1:1, 2:2
+    assert(colLongs(a.intersectAll(b).arrange("x"), "x") == Seq(1L, 2L, 2L))
+    // plan: count-aggregate + replicate generate, never a join of the
+    // duplicate rows themselves
+    val plan = a.setDiffAll(b).df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") || plan.contains("replicaterows"),
+      s"expected replicate-rows shape:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin") &&
+      !plan.toLowerCase.contains("broadcasthashjoin"), s"plan:\n$plan")
+  }
+
   test("constant-column concat algebra: widening matches reference promotion (testDf.nim:68-131)") {
     // The reference's colConstant `add` algebra: equal constants stay a
     // single value; unequal same-type constants concatenate natively;
