@@ -368,6 +368,32 @@ object Queries {
         .select("event_id", "user_id", "value", "next_value")
         .arrange("event_id").df),
 
+    // rolling trailing-frame aggregate (beyond-reference): per-user sum of
+    // the last 3 events under a total (ts, event_id) order. Cents-exact
+    // per the money house rule so the 3-element frame sums identically in
+    // any engine; state bounded by the frame, one shuffle on user_id.
+    "q_rolling" -> ((s: SparkSession, dir: String) =>
+      Tables(s, dir, "events")
+        .withRolling("roll_cents",
+          sum(round(col("value") * 100.0, 0).cast("long")), 3,
+          uniqueOrder = Seq(col("ts"), col("event_id")),
+          partitionBy = Seq("user_id"))
+        .select("event_id", "user_id", "roll_cents")
+        .arrange("event_id").df),
+
+    // arg-min/arg-max aggregates (beyond-reference): the customer on the
+    // lowest/highest order key per status — min_by/max_by carry a payload
+    // column to the extremum. o_orderkey is unique, so the pick is total.
+    "q_argminmax" -> ((s: SparkSession, dir: String) =>
+      orders(s, dir)
+        .groupBy("o_orderstatus")
+        .summarize(
+          "first_cust" -> min_by(col("o_custkey"), col("o_orderkey")),
+          "last_cust" -> max_by(col("o_custkey"), col("o_orderkey")),
+          "min_key" -> min(col("o_orderkey")),
+          "max_key" -> max(col("o_orderkey")))
+        .arrange("o_orderstatus").df),
+
     // window rank family (beyond-reference; no distributed analogue of the
     // reference's sort+zip-index ranking). rank/dense_rank/percent_rank/
     // cume_dist over a tie-bearing order are tie-stable; ntile takes the
@@ -1870,6 +1896,22 @@ object Queries {
       """SELECT event_id, user_id, value,
         |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_argminmax" ->
+      """SELECT o_orderstatus,
+        |  arg_min(o_custkey, o_orderkey) AS first_cust,
+        |  arg_max(o_custkey, o_orderkey) AS last_cust,
+        |  MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_window_ranks" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

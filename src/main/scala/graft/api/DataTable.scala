@@ -652,6 +652,23 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     withDf(df.withColumn(name, ntile(n).over(w)))
   }
 
+  /** Rolling (trailing-frame) aggregate: `agg` evaluated over ROWS
+    * BETWEEN n-1 PRECEDING AND CURRENT ROW per partition under an
+    * explicit order — the per-entity trailing metric of an event
+    * pipeline ("sum of this user's last n events"). One shuffle on the
+    * partition keys; WindowExec streams each frame, state bounded by n.
+    * Determinism caveat mirrors [[withNtile]]: with a NON-unique order,
+    * which rows share a frame is ambiguous, so the caller asserts the
+    * order is total within each partition. For cross-engine exactness
+    * use order-insensitive-exact aggregates (integer sums/min/max/count
+    * — the float house rule, Queries.scala scaladoc). */
+  def withRolling(name: String, agg: Column, n: Int, uniqueOrder: Seq[Column],
+                  partitionBy: Seq[String] = Nil): DataTable = {
+    require(n > 0, "withRolling: frame must cover at least the current row")
+    val w = windowFor(partitionBy, uniqueOrder).rowsBetween(-(n - 1).toLong, 0L)
+    withDf(df.withColumn(name, agg.over(w)))
+  }
+
   // ------------------------------------------------------------- sampling
 
   /** Deterministic shuffle (`shuffle`, `dataframe.nim:2497-2512`). */

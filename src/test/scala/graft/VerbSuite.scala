@@ -405,6 +405,34 @@ class VerbSuite extends SparkSpec {
     assert(colSeq(r, "y") == Seq(null, null, 9.5))
   }
 
+  test("withRolling: trailing frame sums, partition isolation, short-head frames") {
+    val df = toDf(spark)(
+      "g" -> Seq("a", "a", "a", "a", "b", "b"),
+      "i" -> Seq(1, 2, 3, 4, 1, 2),
+      "v" -> Seq(10, 20, 30, 40, 100, 200))
+    val r = df.withRolling("roll", sum(col("v")), 3,
+      uniqueOrder = Seq(col("i")), partitionBy = Seq("g"))
+      .arrange("g", "i")
+    // head frames are short (1 then 2 rows); partitions never mix
+    assert(colLongs(r, "roll") == Seq(10L, 30L, 60L, 90L, 100L, 300L))
+    intercept[IllegalArgumentException] {
+      df.withRolling("roll", sum(col("v")), 0, Seq(col("i")))
+    }
+  }
+
+  test("argmin/argmax summarize carries payload to the extremum (min_by/max_by)") {
+    val df = toDf(spark)(
+      "g" -> Seq("a", "a", "a", "b", "b"),
+      "k" -> Seq(3, 1, 2, 9, 8),
+      "payload" -> Seq(30, 10, 20, 90, 80))
+    val r = df.groupBy("g").summarize(
+      "lo" -> min_by(col("payload"), col("k")),
+      "hi" -> max_by(col("payload"), col("k")))
+    assert(r.df.collect().map(x =>
+      (x.getAs[String]("g"), x.getAs[Long]("lo"), x.getAs[Long]("hi"))).toSet ==
+      Set(("a", 10L, 30L), ("b", 80L, 90L)))
+  }
+
   test("groupingSets: exact named subsets, one Expand pass, no union of scans") {
     val df = toDf(spark)(
       "s" -> Seq("a", "a", "b", "b", "b"),
