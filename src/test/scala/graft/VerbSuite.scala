@@ -459,6 +459,14 @@ class VerbSuite extends SparkSpec {
     intercept[IllegalArgumentException] {
       df.groupingSetsBy(Seq(Seq("nope")), "s", "l")
     }
+    // the empty set () is the grand total — detail + total, no marginals
+    val gt = df.groupingSetsBy(Seq(Seq("s", "l"), Seq()), "s", "l")
+      .summarize("total" -> sum(col("n")), "gid" -> grouping_id())
+    val gtRows = gt.df.collect().map(x =>
+      (x.getAs[String]("s"), x.getAs[String]("l"), x.getAs[Long]("total"), x.getAs[Long]("gid")))
+    assert(gtRows.count(_._4 == 3L) == 1)             // one grand-total row
+    assert(gtRows.filter(_._4 == 3L).head._3 == 15L)  // sums everything
+    assert(gtRows.count(_._4 == 0L) == 4)             // all (s,l) detail rows
   }
 
   test("setDiffAll/intersectAll: multiset multiplicity arithmetic, no m×n join") {
