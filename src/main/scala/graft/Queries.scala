@@ -381,6 +381,21 @@ object Queries {
         .select("event_id", "user_id", "roll_cents")
         .arrange("event_id").df),
 
+    // running (cumulative) aggregate — the prefix twin of q_rolling:
+    // per-user cumulative cents and event count under the same total
+    // order. Integer-exact prefix sums replay bit-identically.
+    "q_running" -> ((s: SparkSession, dir: String) =>
+      Tables(s, dir, "events")
+        .withRunning("cum_cents",
+          sum(round(col("value") * 100.0, 0).cast("long")),
+          uniqueOrder = Seq(col("ts"), col("event_id")),
+          partitionBy = Seq("user_id"))
+        .withRunning("cum_n", count(lit(1)),
+          uniqueOrder = Seq(col("ts"), col("event_id")),
+          partitionBy = Seq("user_id"))
+        .select("event_id", "user_id", "cum_cents", "cum_n")
+        .arrange("event_id").df),
+
     // arg-min/arg-max aggregates (beyond-reference): the customer on the
     // lowest/highest order key per status — min_by/max_by carry a payload
     // column to the extremum. o_orderkey is unique, so the pick is total.
@@ -1903,6 +1918,15 @@ object Queries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_running" ->
+      """SELECT event_id, user_id,
+        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER w AS cum_cents,
+        |  COUNT(*) OVER w AS cum_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_argminmax" ->
       """SELECT o_orderstatus,

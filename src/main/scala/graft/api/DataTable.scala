@@ -669,6 +669,19 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     withDf(df.withColumn(name, agg.over(w)))
   }
 
+  /** Running (cumulative) aggregate: `agg` over ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND CURRENT ROW — the prefix twin of [[withRolling]]
+    * (dplyr `cumsum` et al.; absent from the reference, whose formula
+    * layer would reach for seqmath's cumsum over a materialized column).
+    * Same total-order contract; WindowExec keeps running state per
+    * partition, O(1) memory per frame step. */
+  def withRunning(name: String, agg: Column, uniqueOrder: Seq[Column],
+                  partitionBy: Seq[String] = Nil): DataTable = {
+    val w = windowFor(partitionBy, uniqueOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withDf(df.withColumn(name, agg.over(w)))
+  }
+
   // ------------------------------------------------------------- sampling
 
   /** Deterministic shuffle (`shuffle`, `dataframe.nim:2497-2512`). */

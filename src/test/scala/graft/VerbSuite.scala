@@ -420,6 +420,20 @@ class VerbSuite extends SparkSpec {
     }
   }
 
+  test("withRunning: cumulative prefix equals rolling with unbounded frame") {
+    val df = toDf(spark)(
+      "g" -> Seq("a", "a", "a", "b", "b"),
+      "i" -> Seq(1, 2, 3, 1, 2),
+      "v" -> Seq(10, 20, 30, 100, 200))
+    val r = df.withRunning("cum", sum(col("v")),
+      uniqueOrder = Seq(col("i")), partitionBy = Seq("g")).arrange("g", "i")
+    assert(colLongs(r, "cum") == Seq(10L, 30L, 60L, 100L, 300L))
+    // prefix of the whole partition == rolling with a frame >= its size
+    val roll = df.withRolling("cum", sum(col("v")), 99,
+      uniqueOrder = Seq(col("i")), partitionBy = Seq("g")).arrange("g", "i")
+    assert(colLongs(roll, "cum") == colLongs(r, "cum"))
+  }
+
   test("argmin/argmax summarize carries payload to the extremum (min_by/max_by)") {
     val df = toDf(spark)(
       "g" -> Seq("a", "a", "a", "b", "b"),
