@@ -381,6 +381,20 @@ object Queries {
         .select("event_id", "user_id", "roll_cents")
         .arrange("event_id").df),
 
+    // time-based trailing frame (RANGE, not ROWS): cents within the
+    // user's trailing hour by clock — frames shrink over gaps and need
+    // no tie-break (RANGE includes all order-value peers). Micros on
+    // both engines (ts div 1000 ↔ epoch_us, the established mapping).
+    "q_rolling_time" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000")))
+        .withRollingRange("hour_cents",
+          sum(round(col("value") * 100.0, 0).cast("long")),
+          col("ts_us"), 3600L * 1000000L,
+          partitionBy = Seq("user_id"))
+        .select("event_id", "user_id", "hour_cents")
+        .arrange("event_id").df),
+
     // running (cumulative) aggregate — the prefix twin of q_rolling:
     // per-user cumulative cents and event count under the same total
     // order. Integer-exact prefix sums replay bit-identically.
@@ -1917,6 +1931,13 @@ object Queries {
         |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rolling_time" ->
+      """SELECT event_id, user_id,
+        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_running" ->

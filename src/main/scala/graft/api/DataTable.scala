@@ -682,6 +682,20 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     withDf(df.withColumn(name, agg.over(w)))
   }
 
+  /** Time/value-based trailing frame: RANGE BETWEEN `preceding` AND
+    * CURRENT ROW over a NUMERIC order column (e.g. epoch micros) —
+    * "the user's last hour" by clock, not by event count. Unlike the
+    * ROWS frames above, RANGE includes ALL order-value peers, so the
+    * frame is deterministic under ties with no tie-break needed, and
+    * gaps in the order value shrink the frame naturally. `preceding`
+    * is in the order column's units. */
+  def withRollingRange(name: String, agg: Column, orderValue: Column,
+                       preceding: Long, partitionBy: Seq[String] = Nil): DataTable = {
+    require(preceding >= 0, "withRollingRange: preceding must be non-negative")
+    val w = windowFor(partitionBy, Seq(orderValue)).rangeBetween(-preceding, 0L)
+    withDf(df.withColumn(name, agg.over(w)))
+  }
+
   // ------------------------------------------------------------- sampling
 
   /** Deterministic shuffle (`shuffle`, `dataframe.nim:2497-2512`). */

@@ -420,6 +420,22 @@ class VerbSuite extends SparkSpec {
     }
   }
 
+  test("withRollingRange: value-based frames, tie peers included, gaps shrink frames") {
+    val df = toDf(spark)(
+      "g" -> Seq("a", "a", "a", "a", "a"),
+      "t" -> Seq(0, 5, 5, 8, 100),
+      "v" -> Seq(1, 10, 100, 1000, 10000))
+    val r = df.withRollingRange("s10", sum(col("v")), col("t"), 10,
+      partitionBy = Seq("g")).arrange("t", "v")
+    // t=0: {0}; t=5 (both tie rows): {0,5,5}=111 — RANGE includes peers
+    // regardless of which row is current; t=8: {0,5,5,8}=1111; t=100:
+    // the gap evicts everything → {100} alone
+    assert(colLongs(r, "s10") == Seq(1L, 111L, 111L, 1111L, 10000L))
+    intercept[IllegalArgumentException] {
+      df.withRollingRange("x", sum(col("v")), col("t"), -1)
+    }
+  }
+
   test("withRunning: cumulative prefix equals rolling with unbounded frame") {
     val df = toDf(spark)(
       "g" -> Seq("a", "a", "a", "b", "b"),
