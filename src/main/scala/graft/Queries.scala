@@ -381,6 +381,16 @@ object Queries {
         .select("event_id", "user_id", "roll_cents")
         .arrange("event_id").df),
 
+    // attribution interval join — the BATCH execution of the
+    // stream-stream join transform (streaming/Streaming.scala
+    // attributionJoin; streaming twin parity-pinned in StreamingSuite):
+    // purchases paired with the same user's clicks from the trailing
+    // 30 min. Batch plan: hash join on user_id + range filter.
+    "q_attribution" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.streaming.Streaming.attributionJoin(Tables.df(s, dir, "events")))
+        .arrange("user_id", "click_id", "purchase_id").df),
+
     // time-based trailing frame (RANGE, not ROWS): cents within the
     // user's trailing hour by clock — frames shrink over gaps and need
     // no tie-break (RANGE includes all order-value peers). Micros on
@@ -1932,6 +1942,16 @@ object Queries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.us <= p.us AND c.us > p.us - 1800000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_rolling_time" ->
       """SELECT event_id, user_id,

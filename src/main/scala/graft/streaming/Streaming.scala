@@ -239,4 +239,34 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Stream-STREAM interval join (attribution): every purchase paired
+    * with the same user's clicks from the trailing `boundSec` window —
+    * the canonical two-stream join Structured Streaming supports that
+    * stream-static enrichment can't express. Both sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets the state store evict each
+    * side once the other's watermark passes the bound — bounded state
+    * on two unbounded feeds. On a BATCH frame the same transform plans
+    * an ordinary hash join + range filter, which is the oracle parity
+    * path (`q_attribution`). Self-joining one source stream filtered
+    * two ways is the supported pattern for same-feed event types.
+    * Input needs `user_id`, `event_type`, `event_id`, `ts` (ns long). */
+  def attributionJoin(events: DataFrame, boundSec: Long = 1800L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    def side(t: String, idAs: String, tsAs: String) = {
+      val s0 = base.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts_utc").as(tsAs))
+      if (s0.isStreaming) s0.withWatermark(tsAs, watermark) else s0
+    }
+    val clicks = side("click", "click_id", "click_ts")
+    val buys = side("purchase", "purchase_id", "purchase_ts")
+    clicks.join(buys,
+      clicks("user_id") === buys("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr(s"INTERVAL $boundSec SECONDS"),
+      "inner")
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"))
+  }
 }

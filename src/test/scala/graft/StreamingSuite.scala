@@ -155,6 +155,26 @@ class StreamingSuite extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val inDir = Paths.get("/tmp/graft_stream_events")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    val query = Streaming.attributionJoin(stream)
+      .writeStream.format("memory").queryName("graft_attr")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val got = spark.table("graft_attr")
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    val want = Streaming.attributionJoin(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running counts match batch groupBy (custom keyed state)") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
