@@ -976,7 +976,7 @@ object Queries {
         graft.api.DataTable(
           graft.streaming.Streaming.statefulSessions(
             Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
-            gapUs = 30L * 60 * 1000000L).toDF
+            gapUs = 30L * 60 * 1000000L).toDF()
             .select(col("user_id"), col("session_start_us"),
               col("n_events"), col("dur_us")))
           .arrange("user_id", "session_start_us").df),
@@ -1179,7 +1179,7 @@ object Queries {
         val li = lineitem(s, dir).df
         val st = li.agg(
           min(col("l_partkey")), max(col("l_partkey")),
-          min(col("l_suppkey")), max(col("l_suppkey"))).head
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
         val bits = 8
         val key = Layout.zorderKey(Seq(
           Layout.quantize(col("l_partkey"), st.getLong(0), st.getLong(1), bits),

@@ -481,7 +481,7 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
                       saltBuckets: Int = 16): DataTable = {
     val common = df.columns.toSet.intersect(other.df.columns.toSet).diff(by.toSet).toSeq
     val salt = "__graft_salt"
-    val l = df.withColumn(salt, pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val l = df.withColumn(salt, pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val r = other.df.drop(common: _*)
       .withColumn(salt, explode(array((0 until saltBuckets).map(lit): _*)))
     DataTable(l.join(r, by :+ salt, "inner").drop(salt))
@@ -723,8 +723,8 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     * `dataframe.nim:385-405`). */
   def sameAs(other: DataTable): Boolean =
     df.columns.sorted.sameElements(other.df.columns.sorted) &&
-      df.exceptAll(other.df.select(df.columns.map(col): _*)).isEmpty &&
-      other.df.select(df.columns.map(col): _*).exceptAll(df).isEmpty
+      df.exceptAll(other.df.select(df.columns.toIndexedSeq.map(col): _*)).isEmpty &&
+      other.df.select(df.columns.toIndexedSeq.map(col): _*).exceptAll(df).isEmpty
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 

@@ -96,6 +96,6 @@ object AsOf {
     val carried = col("__match").getField(TsField).as(s"${prefix}ts") +:
       payload.map(p => col("__match").getField(p).as(s"$prefix$p"))
     gated.filter(col("__is_left") === 1)
-      .select(left.columns.map(col) ++ carried: _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ carried: _*)
   }
 }

@@ -48,7 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("org.apache.spark.sql.graftshim", null, name, usage, "")
+    // 11-arg constructor: the 5-arg form is deprecated since 3.0
+    new ExpressionInfo("org.apache.spark.sql.graftshim", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private[graftshim] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot", info("vec_dot", "vec_dot(a, b) - single-pass dot product"),
