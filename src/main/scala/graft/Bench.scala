@@ -32,21 +32,25 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
-    // Each query is timed three times in the same JVM: one cold run (pays
+    // Each query is timed four times in the same JVM: one cold run (pays
     // JIT + codegen-cache + OS page-cache cost, swings 4-6x with machine
-    // load) and two warm runs, reported as their MIN. Same-JVM run-order/
-    // GC jitter of +/-1-2s per query polluted r8/r9 cross-round series
-    // with phantom "regressions" that reverted untouched; min-of-2 is the
-    // cheapest estimator that a single GC pause or compile stall cannot
-    // inflate. NOTE: rounds r1-r4 reported single-shot cold numbers only,
-    // so per-query comparisons against those rounds must use the
-    // "queries_cold" series in bench_detail.json, not "queries".
+    // load) and three warm runs, reported as their MIN. Same-JVM
+    // run-order/GC jitter of +/-1-2s per query polluted r8/r9
+    // cross-round series with phantom "regressions" that reverted
+    // untouched; min-of-2 fixed the median case (5.9% cross-run diff)
+    // but two consecutive shots can still co-land in a slow phase
+    // (2.09 vs 0.63 on the same query across r10 runs) — the third shot
+    // bounds that tail. NOTE: rounds r1-r4 reported single-shot cold
+    // numbers only, so per-query comparisons against those rounds must
+    // use the "queries_cold" series in bench_detail.json, not "queries".
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val cold = timeOnce(name, fn)
-      val w1 = if (cold < 0) -1.0 else timeOnce(name, fn)
-      val w2 = if (w1 < 0) -1.0 else timeOnce(name, fn)
-      // min of the two warm shots; any failed run (-1) propagates as failed
-      name -> (cold, math.min(w1, w2))
+      // any failed run (-1) propagates through min as failed
+      val warm = (1 to 3).foldLeft(Double.MaxValue) { (best, _) =>
+        if (cold < 0 || best < 0) -1.0
+        else math.min(best, timeOnce(name, fn))
+      }
+      name -> (cold, warm)
     }
     val line = BenchFormat.line(results, sfDir)
     // full precision for local analysis (not part of the driver contract):

@@ -43,8 +43,8 @@ object BenchFormat {
           s""","rest":{"n":${rest.size},"sum":${fmt(restSum, 2)}}"""
         }
       val note =
-        if (rest.isEmpty) "warm=min2; total=cold run1 (r1-r4 series)"
-        else s"warm=min2; slowest $k of ${results.size} shown; total=cold run1 (r1-r4 series)"
+        if (rest.isEmpty) "warm=min3; total=cold run1 (r1-r4 series)"
+        else s"warm=min3; slowest $k of ${results.size} shown; total=cold run1 (r1-r4 series)"
       s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs$restPart,"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"$note"}"""
     }
     // k=0 is a ~170-char floor, so the downward scan always terminates
