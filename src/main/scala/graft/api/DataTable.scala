@@ -23,9 +23,11 @@ case object CcDrop extends CommonColumnMerge
 /** How [[DataTable.summarize]] expands the group keys. [[FlatGrouping]] is
   * the reference's semantics (one row per distinct key tuple); [[RollupGrouping]]
   * / [[CubeGrouping]] additionally emit the hierarchical / all-subset
-  * grand-total rows (SQL `GROUP BY ROLLUP/CUBE`) — the shape a per-source
-  * quality dashboard wants, computed in ONE pass with partial aggregation
-  * instead of unioning per-level scans. Beyond-reference extension. */
+  * grand-total rows (SQL `GROUP BY ROLLUP/CUBE`), and
+  * [[GroupingSetsGrouping]] aggregates at exactly the named subsets —
+  * the shape a per-source quality dashboard wants, computed in ONE pass
+  * with partial aggregation instead of unioning per-level scans.
+  * Beyond-reference extensions. */
 sealed trait GroupingMode
 case object FlatGrouping extends GroupingMode
 case object RollupGrouping extends GroupingMode
