@@ -1256,6 +1256,18 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // the audit complement of q_blocklist: rows that ARE blocked
+      // (LeftSemi twin, same broadcast shape) — what the curation report
+      // shows before dropping them.
+      "q_blocklist_audit" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        graft.api.DataTable(
+          Blocklist.matchBlocklist(docs, deny, "source")
+            .select("doc_id", "source", "n_chars"))
+          .arrange("doc_id").df
+      }),
+
       // per-(source,lang) z-score outlier screen over integer n_chars:
       // exact decimal sums → fixed IEEE derivation, so z is bit-identical
       // cross-engine (the operator's exactness contract, oracle-proven);
@@ -1696,6 +1708,12 @@ object Queries {
       """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
         |SELECT doc_id, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist_audit" ->
+      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+        |SELECT doc_id, source, n_chars FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Outliers.withZscore's exact op sequence: integer-exact group
