@@ -29,7 +29,13 @@ object Bench {
             false
         }
       // a failed query must not masquerade as a fast one
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // The noop write consumed the result fully, so the plain
+      // withGlobalRanks snapshots pinned by this run are safe to drop —
+      // without this, the 4 shots of q_global_rank pin 4 cached copies
+      // of the keyed table in one JVM. Outside the timed span.
+      graft.operators.GlobalRank.releaseSnapshots()
+      dt
     }
 
     // Each query is timed four times in the same JVM: one cold run (pays
@@ -54,7 +60,8 @@ object Bench {
     }
     val line = BenchFormat.line(results, sfDir)
     // full precision for local analysis (not part of the driver contract):
-    // both warm shots kept so the jitter between them stays measurable
+    // per-query cold shot + min of the three warm shots (individual warm
+    // shots are not recorded)
     def series(pick: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + BenchFormat.fmt(pick(v), 6) }
         .mkString("{", ",", "}")

@@ -47,7 +47,9 @@ object BenchFormat {
         else s"warm=min3; slowest $k of ${results.size} shown; total=cold run1 (r1-r4 series)"
       s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs$restPart,"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"$note"}"""
     }
-    // k=0 is a ~170-char floor, so the downward scan always terminates
-    (results.size to 0 by -1).iterator.map(mk).find(_.length <= budget).get
+    // k=0 is a ~170-char floor; if the budget is below even that, emit
+    // the k=0 line anyway (an over-budget line beats an exception)
+    (results.size to 0 by -1).iterator.map(mk).find(_.length <= budget)
+      .getOrElse(mk(0))
   }
 }

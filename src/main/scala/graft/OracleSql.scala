@@ -19,6 +19,17 @@ object OracleSql {
   private def h48(e: String): String =
     s"('0x' || substring(md5($e), 1, 12))::BIGINT"
 
+  /** Cents SUM with the ::BIGINT discipline built in. DuckDB types a
+    * SUM(BIGINT) — window or grouped — as HUGEINT (INT128); the driver's
+    * result hash is type-sensitive, so against Spark's LONG the bare sum
+    * fails hash_match even when every value is bit-identical. The outer
+    * CAST pins the portable type. `over` is "" for grouped aggregates, or
+    * the full window clause ("OVER (...)" / "OVER w") for window sums. */
+  def centsSum(expr: String, over: String = ""): String = {
+    val o = if (over.isEmpty) "" else s" $over"
+    s"CAST(SUM(CAST(round($expr * 100.0, 0) AS BIGINT))$o AS BIGINT)"
+  }
+
   /** Exact double literal that DuckDB parses back to the same IEEE value
     * (Java shortest round-trip repr). */
   private def dlit(d: Double): String = {

@@ -235,6 +235,30 @@ object Queries {
         .selectCols(col("o_custkey").as("c_custkey"), col("c_name"))
         .arrange("c_custkey").df),
 
+    // full outer join — the one join type where null-fill happens on BOTH
+    // sides (engines diverge exactly there). Every synthetic custkey has
+    // orders, so the customer side is cut to c_custkey <= 500 AND every
+    // 5th key is shifted +1000000 (disjoint from all o_custkey) to force
+    // BOTH unmatched populations: orders with custkey > 500 or a shifted
+    // key (left-only, null c_name) and the shifted customers (right-only,
+    // null o_orderkey). USING-key semantics coalesce the key — same in
+    // Spark (join on Seq) and SQL COALESCE. No broadcast: Spark can't
+    // BroadcastHashJoin a full outer's stream side, and at scale both
+    // sides are big anyway — sort-merge on the key is the right plan.
+    "q_full_join" -> ((s: SparkSession, dir: String) =>
+      orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+        .join(customer(s, dir)
+                .rename("o_custkey" -> "c_custkey")
+                .filter(col("o_custkey") <= 500)
+                .selectCols(
+                  when(col("o_custkey") % 5 === 0, col("o_custkey") + 1000000)
+                    .otherwise(col("o_custkey")).as("o_custkey"),
+                  col("c_name")),
+          by = Seq("o_custkey"), how = "full")
+        .selectCols(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("c_name"))
+        .arrange("custkey", "o_orderkey").df),
+
     // bind_rows by name with null fill + provenance id (dataframe.nim:926-1040)
     "q_bind_rows" -> ((s: SparkSession, dir: String) => {
       val a = customer(s, dir).select("c_custkey", "c_name")
@@ -1839,6 +1863,18 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_full_join" ->
+      """SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+        |  o_orderkey, o_totalprice, c_name
+        |FROM orders
+        |FULL JOIN (SELECT CASE WHEN c_custkey % 5 = 0
+        |                       THEN c_custkey + 1000000
+        |                       ELSE c_custkey END AS c_custkey,
+        |                  c_name
+        |           FROM customer WHERE c_custkey <= 500) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+
     "q_bind_rows" ->
       """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal, 'a' AS src
         |FROM customer
@@ -1955,10 +1991,9 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_rolling" ->
-      """SELECT event_id, user_id,
-        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_cents
+      s"""SELECT event_id, user_id,
+        |  ${OracleSql.centsSum("value",
+             "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS roll_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_attribution" ->
@@ -1972,15 +2007,14 @@ object Queries {
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_rolling_time" ->
-      """SELECT event_id, user_id,
-        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER (
-        |    PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_cents
+      s"""SELECT event_id, user_id,
+        |  ${OracleSql.centsSum("value",
+             "OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")} AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_running" ->
-      """SELECT event_id, user_id,
-        |  SUM(CAST(round(value * 100.0, 0) AS BIGINT)) OVER w AS cum_cents,
+      s"""SELECT event_id, user_id,
+        |  ${OracleSql.centsSum("value", "OVER w")} AS cum_cents,
         |  COUNT(*) OVER w AS cum_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

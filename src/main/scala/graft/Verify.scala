@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // the write consumed the result; drop any snapshot pinned by a
+        // plain withGlobalRanks so one dump doesn't cache the keyed table
+        graft.operators.GlobalRank.releaseSnapshots()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

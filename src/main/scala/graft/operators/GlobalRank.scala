@@ -66,11 +66,45 @@ object GlobalRank {
 
   /** Append global `rnk`/`drnk`/`prnk`/`cdist` over `order`. Tie-stable:
     * a non-unique order still yields deterministic values (ntile is
-    * excluded here for exactly that reason — see DataTable.withNtile). */
+    * excluded here for exactly that reason — see DataTable.withNtile).
+    *
+    * The returned plan reads through a MEMORY_AND_DISK snapshot that must
+    * stay cached while the plan can still be executed (range boundaries
+    * are job-specific — see the alignment scaladoc on [[build]]), so this
+    * variant cannot self-release. The snapshot is tracked; call
+    * [[releaseSnapshots]] once the consuming action is done, or use
+    * [[withGlobalRanksManaged]] for scoped use. Without either, each call
+    * pins one keyed-table copy until session end. */
   def withGlobalRanks(df: DataFrame, order: Seq[Column],
                       rankName: String = "rnk", denseName: String = "drnk",
-                      pctName: String = "prnk", cumeName: String = "cdist"): DataFrame =
-    build(df, order, rankName, denseName, pctName, cumeName)._1
+                      pctName: String = "prnk", cumeName: String = "cdist"): DataFrame = {
+    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    snap.foreach(s => liveSnapshots.synchronized { liveSnapshots += s })
+    ranked
+  }
+
+  /** Snapshots pinned by plain [[withGlobalRanks]] calls, oldest first. */
+  private val liveSnapshots =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Count of snapshots currently pinned by plain [[withGlobalRanks]]
+    * calls (monitoring / tests). */
+  def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
+
+  /** Unpersist every snapshot pinned by plain [[withGlobalRanks]] calls.
+    * ONLY safe when no DataFrame previously returned by the plain variant
+    * will be executed again: a re-execution after release re-derives the
+    * range partitioning with fresh job-specific boundaries, and a
+    * same-pid-set misalignment corrupts ranks SILENTLY (the loud guard
+    * only catches pids missing from the stats map). Bench/Verify call
+    * this between queries — each consumes its result fully before moving
+    * on. Returns the number released. */
+  def releaseSnapshots(): Int = liveSnapshots.synchronized {
+    val n = liveSnapshots.size
+    liveSnapshots.foreach(_.unpersist(blocking = false))
+    liveSnapshots.clear()
+    n
+  }
 
   /** Core: returns (ranked plan, the persisted snapshot it reads through
     * — None only on the empty-input short-circuit). */

@@ -221,4 +221,46 @@ class PipelineOpsSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("attribution join under heavy user skew stays an equi hash join (AQE-splittable)") {
+    // One hot user owns >50% of both sides. The scale posture depends on
+    // the batch plan staying an EQUI join keyed on user_id — that is the
+    // shape AQE's skew-join splitting can rebalance at 100x — with the
+    // time bound as a post-join filter, never a nested-loop/cartesian
+    // whose hot-key task AQE cannot split. (A salted fallback exists as
+    // innerJoinSalted if AQE were unavailable; attribution keeps the
+    // plain equi join because OptimizeSkewedJoin handles it for free.)
+    val n = 400
+    val users = (0 until n).map(i => if (i % 2 == 0) "hot" else s"u${i % 7}")
+    val events = toDf(spark)(
+      "user_id" -> users,
+      "event_type" -> (0 until n).map(i => if (i % 3 == 0) "purchase" else "click"),
+      "event_id" -> (0 until n).map(_.toLong),
+      "ts" -> (0 until n).map(i => i.toLong * 60L * 1000000000L) // ns, 1/min
+    ).df
+    val joined = graft.streaming.Streaming.attributionJoin(events, boundSec = 1800L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // equi join keyed on user_id: SMJ or shuffled hash, either is
+    // AQE-skew-splittable; broadcast would also be fine at test size but
+    // the key point is the join node carries user_id as an equi key
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).getOrElse(fail(s"no hash join in:\n$plan"))
+    assert(joinLine.contains("user_id"), joinLine)
+    // brute-force parity on the skewed fixture: every (click, purchase)
+    // pair of one user within the trailing 1800s, inclusive lower edge
+    val rows = users.zipWithIndex.map { case (u, i) =>
+      (u, if (i % 3 == 0) "purchase" else "click", i.toLong, i.toLong * 60L)
+    }
+    val want = (for {
+      (cu, ct, cid, cts) <- rows if ct == "click"
+      (pu, pt, pid, pts) <- rows if pt == "purchase"
+      if cu == pu && cts <= pts && cts > pts - 1800L
+    } yield (cu, cid, pid)).sorted
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want)
+  }
 }

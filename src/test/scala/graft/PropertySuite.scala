@@ -142,6 +142,33 @@ class PropertySuite extends SparkSpec {
     assert(cuts == Seq(124997L, 324997L, 624997L, 624998L))
   }
 
+  test("withRollingRange frame membership equals brute force at exact boundaries and ties") {
+    // Order values on a lattice of step 5 with preceding=10, so two
+    // hazards are the COMMON case: order-value ties (peer rows must all
+    // join the frame) and rows landing exactly at orderValue - preceding
+    // (the closed lower edge — a half-open frame, or DuckDB disagreeing
+    // on RANGE edge inclusion, flips these rows). Brute force is the
+    // closed-interval fold over all rows.
+    val genTV: Gen[(List[Long], List[Long])] = for {
+      n <- Gen.choose(1, 14)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 8L).map(_ * 5L))
+      vs <- Gen.listOfN(n, Gen.choose(-9L, 9L))
+    } yield (ts, vs)
+    forAll(genTV, n = 12) { case (ts, vs) =>
+      val df = toDf(spark)("t" -> ts, "v" -> vs)
+      val r = df.withRollingRange("s", sum(col("v")), col("t"), 10L)
+      val rows = ts.zip(vs)
+      val want = rows.map { case (t, v) =>
+        (t, v, rows.collect { case (t2, v2) if t2 >= t - 10L && t2 <= t => v2 }.sum)
+      }.sorted
+      // (t, v) duplicates get identical frames, so sorting the full
+      // triple makes the comparison deterministic under any tie order
+      val got = r.df.select("t", "v", "s").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toList.sorted
+      assert(got == want, s"ts=$ts vs=$vs")
+    }
+  }
+
   test("weightedHashSample cut at exact .5 boundaries: HALF_UP, engine-agreeing (Sampling.scala:80)") {
     // The per-row cut is round(clamp(weight)*1e6, 0). At weight = n/2e6
     // with odd n the product is exactly x.5 (x.5 is dyadic — exactly

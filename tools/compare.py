@@ -14,6 +14,35 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB result types with no engine-portable twin: the driver's hash is
+# type-sensitive, so an oracle emitting any of these fails hash_match even
+# when every value is identical (r10: window SUM(BIGINT) -> HUGEINT broke
+# q_rolling/q_running/q_rolling_time while this script said OK). Declared
+# types are checked BEFORE fetchdf(), which silently coerces HUGEINT to
+# float64 and hides the drift.
+NON_PORTABLE = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+                "USMALLINT", "UTINYINT", "INT128", "UINT")
+
+
+def type_drift(s, d, duck_types):
+    """Return a human-readable drift description, or None if the result
+    types are portable and consistent between the two engines."""
+    for c, t in zip(d.columns, duck_types):
+        tu = str(t).upper()
+        if any(tu.startswith(x) for x in NON_PORTABLE):
+            return f"oracle col={c} non-portable duckdb type {t}"
+    for c in s.columns:
+        a, b = s[c].dtype, d[c].dtype
+        if a.kind != b.kind:
+            return f"col={c} dtype kind spark={a} duck={b}"
+        # Integer width drift is driver-tolerated (q_value_mixed: spark
+        # int64 vs duck int32 was hash-green in CORRECTNESS_r10); float
+        # width is not known-safe, so keep it strict. datetime64 unit
+        # (ns vs us) is a pandas artifact, not an engine type.
+        if a.kind == "f" and a.itemsize != b.itemsize:
+            return f"col={c} dtype width spark={a} duck={b}"
+    return None
+
 
 def load_spark(outdir, name):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -43,7 +72,9 @@ def main():
             n_skip += 1
             continue
         try:
-            duck = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            duck_types = list(rel.types)
+            duck = rel.fetchdf()
         except Exception as e:
             print(f"{name:24s} ORACLE_ERR {str(e)[:120]}")
             n_fail += 1
@@ -62,6 +93,13 @@ def main():
             continue
         if len(s) != len(d):
             print(f"{name:24s} ROWS_MISMATCH spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        # Reorder duck_types to the name-sorted column order used below.
+        duck_types = [duck_types[list(duck.columns).index(c)] for c in d.columns]
+        drift = type_drift(s, d, duck_types)
+        if drift:
+            print(f"{name:24s} TYPE_MISMATCH {drift}")
             n_fail += 1
             continue
         bad = None
