@@ -686,7 +686,7 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Blocklist, Bm25, Dedup, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+    import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
     Map(
 
       // deterministic hash sampling: reproducible 10% of the corpus,
@@ -741,6 +741,41 @@ object Queries {
           .selectCols(col("doc_id"),
             tokenCount(col("text")).cast("long").as("n_tokens"),
             bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+          .arrange("doc_id").df),
+
+      // cross-document line dedup (boilerplate removal). The synthetic
+      // corpus is single-line word soup, so multi-line docs are
+      // synthesized first: a newline every 8 tokens — aligned 8-token
+      // chunks DO repeat across documents (the near-dup population), so
+      // the frequent-"line" strip path is genuinely exercised. Both
+      // engines build the lines with identical integer slicing.
+      "q_line_dedup" -> ((s: SparkSession, dir: String) => {
+        val ml = Tables.df(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+          .select(col("doc_id"),
+            array_join(
+              transform(
+                sequence(lit(0), ((size(col("__ts")) - 1) / lit(8)).cast("int")),
+                i => array_join(slice(col("__ts"), i * 8 + 1, 8), " ")),
+              "\n").as("text"))
+        graft.api.DataTable(
+          Dedup.dedupLines(ml, "text", "doc_id", minDocFreq = 2))
+          .arrange("doc_id").df
+      }),
+
+      // inverted index: posting lists for the mid-frequency vocabulary
+      // (df in [3, 100] — hapax and stop-token cuts)
+      "q_postings" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.postings(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minDf = 3L, maxDf = 100L))
+          .arrange("token").df),
+
+      // unigram-LM surprisal quality signal (micro-nat integer sums;
+      // per-value ln parity only — see Corpus.lmScore scaladoc)
+      "q_lm_score" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.lmScore(Tables.df(s, dir, "documents"), "text", "doc_id"))
           .arrange("doc_id").df),
 
       // quality scoring: length/stopword/punctuation stats; ratios are

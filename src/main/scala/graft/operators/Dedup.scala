@@ -458,6 +458,47 @@ object Dedup {
     }
   }
 
+  /** Cross-document line-level dedup — the boilerplate-removal pass of a
+    * web-scale curation pipeline (navigation/footer/cookie-banner lines
+    * repeat across many pages; lines whose document frequency reaches
+    * `minDocFreq` are stripped from every document). Two logical phases:
+    * (1) one shuffle aggregates each distinct line's document frequency
+    * (map-side partial aggregation first, so the shuffle carries
+    * distinct (line, doc) pairs, not raw line instances); (2) the
+    * exploded lines join that frequency table on the line value and each
+    * document reassembles its surviving lines in original order (second
+    * shuffle, on `idCol`). Output: (idCol, clean_text, n_kept,
+    * n_dropped); a document whose every line is boilerplate stays in the
+    * output with clean_text = ''. The frequent-line set is data-dependent
+    * and unbounded, so it is NEVER collected or broadcast — the join
+    * stays relational. At extreme scale the join key can be narrowed to
+    * hash48(line) (documented collision trade; same plan shape); the
+    * string key is kept here for bit-exact cross-engine replay. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 minDocFreq: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"dedupLines: minDocFreq >= 2, got $minDocFreq")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    // doc frequency: a line repeated WITHIN one document counts once
+    val freq = lines.groupBy("__line")
+      .agg(count_distinct(col(idCol)).as("__df"))
+    val keep = col("__df") < minDocFreq
+    lines.join(freq, Seq("__line"))
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips the nulls when() emits for dropped lines;
+        // array_sort on (pos, line) structs restores original order
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep,
+              struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as("clean_text"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Edit-distance similarity join: candidate pairs share at least one
     * character n-gram (bucket join with skew cap — the retrieved
     * string-similarity-join literature's filter-verify shape), verified
