@@ -756,19 +756,21 @@ object Queries {
             array_join(
               transform(
                 sequence(lit(0), ((size(col("__ts")) - 1) / lit(8)).cast("int")),
-                i => array_join(slice(col("__ts"), i * 8 + 1, 8), " ")),
+                i => array_join(slice(col("__ts"), i * 8 + 1, lit(8)), " ")),
               "\n").as("text"))
         graft.api.DataTable(
           Dedup.dedupLines(ml, "text", "doc_id", minDocFreq = 2))
           .arrange("doc_id").df
       }),
 
-      // inverted index: posting lists for the mid-frequency vocabulary
-      // (df in [3, 100] — hapax and stop-token cuts)
+      // inverted index: posting lists for the mid-frequency vocabulary.
+      // df in [3, 395]: at sf0.01 both cuts bite (4 stop-tokens sit above
+      // 395, the synthetic vocabulary's rare token stays in) — the
+      // bounds are corpus-absolute by design, like a real stopword cut
       "q_postings" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Corpus.postings(Tables.df(s, dir, "documents"),
-            "text", "doc_id", minDf = 3L, maxDf = 100L))
+            "text", "doc_id", minDf = 3L, maxDf = 395L))
           .arrange("token").df),
 
       // unigram-LM surprisal quality signal (micro-nat integer sums;
@@ -1500,6 +1502,59 @@ object Queries {
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cross-document line dedup: DuckDB rebuilds the same newline-every-8-
+    // tokens documents with integer slicing, then replays the doc-freq
+    // strip; zipped unnests pair each line with its position
+    "q_line_dedup" ->
+      """WITH ml AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, ((len(ts)-1)//8)+1),
+        |        i -> array_to_string(list_slice(ts, i*8+1, i*8+8), ' ')),
+        |      chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        |lines AS (
+        |  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml)),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE df < 2),
+        |    chr(10)), '') AS clean_text,
+        |  (COUNT(*) FILTER (WHERE df < 2))::BIGINT AS n_kept,
+        |  (COUNT(*) FILTER (WHERE df >= 2))::BIGINT AS n_dropped
+        |FROM lines JOIN freq USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // inverted index; same [minDf, maxDf] vocabulary cut as the query
+    "q_postings" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)),
+        |v AS (SELECT token, COUNT(*)::BIGINT AS df FROM pairs GROUP BY token
+        |      HAVING COUNT(*) BETWEEN 3 AND 395)
+        |SELECT token, df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS posting
+        |FROM pairs JOIN v USING (token)
+        |GROUP BY token, df
+        |ORDER BY token""".stripMargin,
+
+    // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE
+    // the sum (order-insensitive integer aggregate; per-value ln parity is
+    // the only float contract — Corpus.lmScore scaladoc)
+    "q_lm_score" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM inst GROUP BY t),
+        |tot AS (SELECT SUM(c) AS n FROM cnt)
+        |SELECT doc_id,
+        |  COUNT(*)::BIGINT AS n_tokens,
+        |  (SUM(CAST(round(-ln(c::DOUBLE / n::DOUBLE) * 1000000.0, 0) AS BIGINT)))::BIGINT
+        |    AS surprisal_micro
+        |FROM inst JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

@@ -10,7 +10,7 @@ import graft.functions.TextFunctions._
   *
   * Both operators are pure DataFrame transforms in the house style: one
   * shuffle per logical phase, partial aggregation ahead of every
-  * exchange, no driver-side collects, no UDFs.
+  * exchange, bounded driver-side state, no UDFs.
   */
 object Corpus {
 
@@ -21,24 +21,32 @@ object Corpus {
     * `minDf`/`maxDf` bound the emitted vocabulary — the classic
     * stopword/hapax cut that keeps posting lists usable at scale.
     *
-    * Plan: explode → distinct (token, doc) pairs [shuffle 1, map-side
-    * partial dedup] → groupBy token [shuffle 2] with count + sorted
-    * collect. The collect_list is per-token and bounded by `maxDf` docs
-    * after the filter — an uncapped megatoken ("the" at 100 TB) would
-    * build a giant list, which is exactly why maxDf exists; pick it so
-    * df*8 bytes fits an executor's row budget. */
+    * Plan — TWO-PHASE so posting lists are only ever materialized for
+    * the surviving vocabulary: (1) distinct (token, doc) pairs [shuffle
+    * 1, map-side partial dedup] → per-token `df` count → filter to
+    * [minDf, maxDf]; (2) the pairs join that filtered vocabulary on
+    * token (exchange reusable — same key as phase 1; the vocabulary side
+    * is one row per surviving token, so AQE may broadcast it) and ONLY
+    * the survivors' doc ids are collected. A stop-token above `maxDf` is
+    * cut at the count stage and never builds a list — the aggregation
+    * buffer for collect_list is bounded by `maxDf` ids per token by
+    * construction; pick maxDf so df*8 bytes fits an executor's row
+    * budget. */
   def postings(df: DataFrame, textCol: String, idCol: String,
                minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
     val pairs = df
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
       .distinct()
-    pairs.groupBy("token")
-      .agg(count(lit(1)).as("df"),
+    val vocab = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    pairs.join(vocab, Seq("token"))
+      .groupBy("token")
+      .agg(max(col("df")).as("df"),
         array_join(
           transform(array_sort(collect_list(col("__id"))),
             x => x.cast("string")),
           ",").as("posting"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
   }
 
   /** Unigram language-model surprisal — the CCNet-style quality signal:
@@ -58,21 +66,36 @@ object Corpus {
     *
     * Plan: token counts [shuffle 1, partial agg]; the total is ONE
     * scalar aggregate broadcast back (BM25-stats pattern, never a
-    * window); instances join their token's count [shuffle 2 — at scale
-    * this is the big exchange, and a head vocabulary is the standard
-    * broadcast optimization, kept relational here for unbounded
-    * vocabularies]; per-doc integer sum [shuffle 3 on idCol]. */
-  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val inst = df.select(col(idCol).as("__id"),
+    * window). The instances⋈counts join is the skew hazard at scale —
+    * token frequency is Zipfian, so a plain shuffle join concentrates
+    * "the" on one reducer. HEAD/TAIL HYBRID: the top-`headVocab` tokens
+    * by count (a bounded TakeOrdered — `headVocab` rows of (string,
+    * long), trivially broadcastable) join instances via broadcast-hash
+    * [no shuffle of instances], and only the TAIL instances — whose
+    * per-key frequency is bounded above by the head cutoff — shuffle
+    * relationally [shuffle 2, skew-bounded]. Per-doc integer sum
+    * [shuffle 3 on idCol]. Results are byte-identical to the plain join
+    * for any `headVocab` (the hybrid changes the route, not the
+    * arithmetic). */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+              headVocab: Int = 65536): DataFrame = {
+    val inst = df.select(col(idCol),
       explode(tokens(col(textCol))).as("__t"))
     val cnt = inst.groupBy("__t").agg(count(lit(1)).as("__c"))
     val total = cnt.agg(sum("__c").as("__n"))
-    inst.join(cnt, Seq("__t"))
+    // head: bounded top-K by frequency (ties broken on token for
+    // determinism); TakeOrderedAndProject, never a full sort
+    val head = cnt.orderBy(col("__c").desc, col("__t")).limit(headVocab)
+    val headInst = inst.join(broadcast(head), Seq("__t"))
+    val tailInst = inst
+      .join(broadcast(head.select("__t")), Seq("__t"), "left_anti")
+      .join(cnt, Seq("__t"))
+    headInst.unionByName(tailInst)
       .crossJoin(broadcast(total))
-      .select(col("__id"),
+      .select(col(idCol),
         round(-log(col("__c").cast("double") / col("__n").cast("double"))
           * lit(1000000.0), 0).cast("long").as("__s"))
-      .groupBy(col("__id"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__s")).as("surprisal_micro"))
   }
 }

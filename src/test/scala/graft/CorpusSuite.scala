@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{toDf, DataTable}
+import graft.operators.{Corpus, Dedup}
+
+/** Corpus-layer operators: cross-document line dedup (boilerplate strip),
+  * inverted-index posting lists, unigram-LM surprisal. */
+class CorpusSuite extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    toDf(spark)("doc_id" -> rows.map(_._1), "text" -> rows.map(_._2)).df
+
+  // ------------------------------------------------------- dedupLines
+
+  test("dedupLines strips cross-doc boilerplate, keeps unique lines") {
+    val out = DataTable(Dedup.dedupLines(docs(
+      1L -> "FOOTER\nunique one\nFOOTER",
+      2L -> "FOOTER\nunique two",
+      3L -> "FOOTER\nFOOTER"), "text", "doc_id"))
+      .arrange("doc_id")
+    assert(colStrings(out, "clean_text") ==
+      Seq("unique one", "unique two", ""))
+    assert(colLongs(out, "n_kept") == Seq(1L, 1L, 0L))
+    // BOTH instances of a dropped line count as dropped rows
+    assert(colLongs(out, "n_dropped") == Seq(2L, 1L, 2L))
+  }
+
+  test("dedupLines: within-doc repeats count once toward doc frequency") {
+    // "twice" appears twice but only in doc 1 → df = 1 → kept, both copies
+    val out = DataTable(Dedup.dedupLines(docs(
+      1L -> "twice\ntwice\nunique",
+      2L -> "other"), "text", "doc_id")).arrange("doc_id")
+    assert(colStrings(out, "clean_text") == Seq("twice\ntwice\nunique", "other"))
+    assert(colLongs(out, "n_dropped") == Seq(0L, 0L))
+  }
+
+  test("dedupLines restores original line order, not sort order") {
+    val out = DataTable(Dedup.dedupLines(docs(
+      1L -> "z\na\nm", 2L -> "q"), "text", "doc_id")).arrange("doc_id")
+    assert(colStrings(out, "clean_text") == Seq("z\na\nm", "q"))
+  }
+
+  // --------------------------------------------------------- postings
+
+  test("postings applies min/max df cuts and sorts posting lists") {
+    // dfs over distinct (token, doc): x=3, y=2, z=1 (in-doc repeat), w=1
+    val out = DataTable(Corpus.postings(docs(
+      1L -> "x y z z", 2L -> "y x", 3L -> "x w"),
+      "text", "doc_id", minDf = 2L, maxDf = 2L)).arrange("token")
+    assert(colStrings(out, "token") == Seq("y"))   // x cut high, z/w cut low
+    assert(colLongs(out, "df") == Seq(2L))
+    assert(colStrings(out, "posting") == Seq("1,2"))
+  }
+
+  test("postings: posting ids are numerically sorted and comma-joined") {
+    val out = DataTable(Corpus.postings(docs(
+      10L -> "t", 2L -> "t", 1L -> "t"), "text", "doc_id", minDf = 1L))
+    assert(colStrings(out, "posting") == Seq("1,2,10"))
+  }
+
+  test("postings plan is two-phase: collect_list sits above the df cut") {
+    // The vocabulary filter must run on the count-only aggregate and the
+    // posting-list aggregate must consume the FILTERED join — a plan with
+    // Filter as the root (old single-phase shape) builds every stop-token's
+    // full list only to discard it. Top-down print order: the outer
+    // Aggregate (collect_list) must appear before any Filter.
+    val plan = Corpus.postings(docs(1L -> "x y", 2L -> "x"),
+      "text", "doc_id", minDf = 1L, maxDf = 1L)
+      .queryExecution.optimizedPlan.toString
+    val agg = plan.indexOf("collect_list")
+    val filt = plan.indexOf("Filter")
+    assert(agg >= 0 && filt >= 0, s"expected aggregate+filter in:\n$plan")
+    assert(agg < filt, s"collect_list below the df filter (single-phase):\n$plan")
+    assert(plan.contains("Join"), s"expected pairs-vocabulary join:\n$plan")
+  }
+
+  // ---------------------------------------------------------- lmScore
+
+  test("lmScore matches hand-computed micro-nat surprisal") {
+    // counts: a=3 b=2 c=1, total=6
+    val out = DataTable(Corpus.lmScore(docs(
+      1L -> "a a b", 2L -> "b c", 3L -> "a"), "text", "doc_id"))
+      .arrange("doc_id")
+    def micro(p: Double): Long = math.round(-math.log(p) * 1e6)
+    val a = micro(3.0 / 6); val b = micro(2.0 / 6); val c = micro(1.0 / 6)
+    assert(colLongs(out, "n_tokens") == Seq(3L, 2L, 1L))
+    assert(colLongs(out, "surprisal_micro") ==
+      Seq(2 * a + b, b + c, a))
+  }
+
+  test("lmScore head/tail hybrid is route-only: results identical for any headVocab") {
+    val d = docs(1L -> "the the the the rare", 2L -> "the word", 3L -> "the")
+    def run(k: Int) = DataTable(Corpus.lmScore(d, "text", "doc_id", headVocab = k))
+      .arrange("doc_id")
+    val full = run(65536)  // everything via broadcast head
+    val split = run(1)     // only "the" in head; tail joins relationally
+    assert(colLongs(full, "surprisal_micro") == colLongs(split, "surprisal_micro"))
+    assert(colLongs(full, "n_tokens") == colLongs(split, "n_tokens"))
+  }
+
+  test("lmScore plan: head vocabulary joins by broadcast, never a full shuffle of instances on token") {
+    val plan = Corpus.lmScore(docs(1L -> "a b", 2L -> "a"), "text", "doc_id")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast route for the head vocabulary:\n$plan")
+  }
+}

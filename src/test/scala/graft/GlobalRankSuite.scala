@@ -132,6 +132,23 @@ class GlobalRankSuite extends SparkSpec {
     assert((after -- before).isEmpty, s"leaked cached RDDs: ${after -- before}")
   }
 
+  test("bench-loop shape: N plain invocations + releaseSnapshots leave zero live snapshots") {
+    // Bench/Verify run each query (a plain withGlobalRanks call), consume
+    // the result fully, then call releaseSnapshots() — after the loop no
+    // snapshot may stay pinned and no cached RDD may leak.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GlobalRank.releaseSnapshots() // isolate from any earlier plain calls
+    (1 to 3).foreach { _ =>
+      val ranked = GlobalRank.withGlobalRanks(tied, Seq(col("v")))
+      assert(ranked.count() == 400L) // consume before release
+      GlobalRank.releaseSnapshots()
+    }
+    assert(GlobalRank.liveSnapshotCount == 0)
+    assert(GlobalRank.releaseSnapshots() == 0) // nothing left to release
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked cached RDDs: ${after -- before}")
+  }
+
   test("misalignment guard is wired: offset lookup raises instead of nulling") {
     // Real misalignment cannot be provoked from a deterministic source
     // (that's the point), so pin the guard's presence in the plan: the
