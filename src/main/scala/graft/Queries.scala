@@ -780,6 +780,35 @@ object Queries {
           Corpus.lmScore(Tables.df(s, dir, "documents"), "text", "doc_id"))
           .arrange("doc_id").df),
 
+      // bigram conditional surprisal (second-order LM quality signal;
+      // same micro-nat replay contract)
+      "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.lmScoreBigram(Tables.df(s, dir, "documents"), "text", "doc_id"))
+          .arrange("doc_id").df),
+
+      // winnowing fingerprints (MOSS): k=5 char grams, window w=4 —
+      // staged through aliased columns so gram hashing runs once
+      "q_winnow" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), normalizeText(col("text")).as("__nrm"))
+            .select(col("doc_id"), gramHashes(col("__nrm"), 5).as("__hs"))
+            .select(col("doc_id"), winnowFromHashes(col("__hs"), 4).as("__fps"))
+            .select(col("doc_id"),
+              size(col("__fps")).cast("long").as("n_fp"),
+              array_join(transform(col("__fps"), x => x.cast("string")), ",")
+                .as("fps")))
+          .arrange("doc_id").df),
+
+      // global-quantile quality gate: top quartile of the corpus by size
+      "q_quantile_gate" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.quantileGate(
+            Tables.df(s, dir, "documents").select("doc_id", "n_chars"),
+            "n_chars", 0.75))
+          .arrange("doc_id").df),
+
       // quality scoring: length/stopword/punctuation stats; ratios are
       // computed once and the composite score reads the aliased columns
       "q_quality" -> ((s: SparkSession, dir: String) =>

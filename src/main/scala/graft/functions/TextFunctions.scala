@@ -69,6 +69,37 @@ object TextFunctions {
         i => s.substr(i + 1, lit(n))))
   }
 
+  /** hash48 of every char k-gram of an ALREADY-normalized text column —
+    * stage 1 of winnowing. Alias the result before feeding
+    * [[winnowFromHashes]] (same no-CSE rule as [[wordShingles]]: HOF
+    * lambdas re-evaluate non-attribute inputs per element). */
+  def gramHashes(nrm: Column, k: Int): Column =
+    transform(
+      when(length(nrm) <= k, array(nrm))
+        .otherwise(transform(sequence(lit(0), length(nrm) - k),
+          i => nrm.substr(i + 1, lit(k)))),
+      g => hash48(g))
+
+  /** Winnowing fingerprint selection (the MOSS algorithm: Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03) — stage 2: the minimum hash of every
+    * `w`-consecutive-hash window, deduplicated and sorted. Any substring
+    * of length >= k + w - 1 shared by two documents contributes at least
+    * one common fingerprint, while only ~2/(w+1) of all gram hashes are
+    * kept — the standard local, position-robust document fingerprint.
+    * Scan-local per row: no shuffle anywhere; hashes shorter than one
+    * window collapse to their single minimum. */
+  def winnowFromHashes(hs: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w))))))
+
+  /** One-call winnowing over raw text (normalize → gram hashes → window
+    * minima). Convenience for literals/tests; in a query, stage the
+    * normalized text and the hash array through aliased columns (see
+    * [[gramHashes]]) so the hashing never re-runs per window. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    winnowFromHashes(gramHashes(normalizeText(c), k), w)
+
   /** Number of tokens present in `words` (duplicates counted). */
   def stopwordCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => array_contains(array(words.map(lit): _*), t)))

@@ -83,19 +83,75 @@ object Corpus {
       explode(tokens(col(textCol))).as("__t"))
     val cnt = inst.groupBy("__t").agg(count(lit(1)).as("__c"))
     val total = cnt.agg(sum("__c").as("__n"))
-    // head: bounded top-K by frequency (ties broken on token for
-    // determinism); TakeOrderedAndProject, never a full sort
-    val head = cnt.orderBy(col("__c").desc, col("__t")).limit(headVocab)
-    val headInst = inst.join(broadcast(head), Seq("__t"))
-    val tailInst = inst
-      .join(broadcast(head.select("__t")), Seq("__t"), "left_anti")
-      .join(cnt, Seq("__t"))
-    headInst.unionByName(tailInst)
+    headTailJoin(inst, cnt, Seq("__t"), col("__c"), headVocab)
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(-log(col("__c").cast("double") / col("__n").cast("double"))
           * lit(1000000.0), 0).cast("long").as("__s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__s")).as("surprisal_micro"))
+  }
+
+  /** Bigram conditional surprisal — the second-order twin of [[lmScore]]:
+    * score each document by Σ round(-ln p(w_i | w_{i-1}) · 1e6) over its
+    * token transitions, where p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — counts
+    * from THIS corpus, so every scored transition was seen (no smoothing
+    * / backoff). Repetitive word-soup has predictable transitions and
+    * scores low; natural prose scores higher — a sharper quality signal
+    * than the unigram score, same micro-nat integer replay contract.
+    *
+    * Output: (idCol, n_bigrams, surprisal2_micro); a single-token (or
+    * empty) document stays in the output with (0, 0).
+    *
+    * Plan: bigram instances are built SCAN-LOCAL from each row's token
+    * array (zip-shifted transform — no window, no per-doc shuffle);
+    * c(w1,w2) is one partial-agged shuffle of distinct bigrams; context
+    * totals reduce that vocabulary-sized table again on w1 [tiny]; the
+    * conditional-probability table (one row per distinct bigram) joins
+    * back count-side — never instance-side — so the only instance-scale
+    * exchange is the [[headTailJoin]] on (w1,w2): top-K bigrams ride the
+    * broadcast, the Zipf tail shuffles with per-key frequency bounded by
+    * the head cutoff. Final per-doc integer sum shuffles on idCol. */
+  def lmScoreBigram(df: DataFrame, textCol: String, idCol: String,
+                    headVocab: Int = 65536): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val inst = toks
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0)))))
+        .as("__b"))
+      .select(col(idCol), col("__b.0").as("__w1"), col("__b.1").as("__w2"))
+    val c2 = inst.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val cctx = c2.groupBy("__w1").agg(sum("__c2").as("__cc"))
+    val prob = c2.join(cctx, Seq("__w1"))
+    val scored = headTailJoin(inst, prob, Seq("__w1", "__w2"), col("__c2"),
+      headVocab)
+      .select(col(idCol),
+        round(-log(col("__c2").cast("double") / col("__cc").cast("double"))
+          * lit(1000000.0), 0).cast("long").as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("surprisal2_micro"))
+    // docs with < 2 tokens produce no bigram instances — restore them
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "surprisal2_micro"))
+  }
+
+  /** Zipf-skew-safe instances⋈counts join: the top-`headVocab` count rows
+    * (a bounded TakeOrdered — ties at the cutoff broken on the key
+    * columns for determinism) join by broadcast-hash, so the hot keys
+    * never shuffle; the remaining TAIL instances — per-key frequency
+    * bounded above by the head cutoff count — join relationally. Route
+    * only: the output is byte-identical to `inst.join(cnt, keys)` for
+    * any `headVocab`. */
+  private def headTailJoin(inst: DataFrame, cnt: DataFrame,
+                           keys: Seq[String], countCol: Column,
+                           headVocab: Int): DataFrame = {
+    val head = cnt.orderBy(countCol.desc +: keys.map(col(_).asc): _*)
+      .limit(headVocab)
+    val headInst = inst.join(broadcast(head), keys)
+    val tailInst = inst
+      .join(broadcast(head.select(keys.map(col): _*)), keys, "left_anti")
+      .join(cnt, keys)
+    headInst.unionByName(tailInst)
   }
 }

@@ -124,4 +124,25 @@ object Sampling {
     * — and, unlike `orderBy(rand())`, reproducible and engine-portable. */
   def hashShuffle(df: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
     df.orderBy(hashBucket(col(idCol), "shuffle", seed), col(idCol))
+
+  /** Global-quantile gate: keep rows whose `scoreCol` reaches the
+    * corpus's exact interpolated `q`-quantile ("top 25% by quality").
+    * The threshold is ONE scalar aggregate broadcast back onto the scan
+    * (BM25-stats pattern) — the corpus itself never shuffles, so the
+    * gate composes scan-local with whatever runs next. Spark's exact
+    * `percentile` buffers (value → count), so its state is bounded by
+    * the measure's DISTINCT values, not by rows: use integer-valued
+    * measures (lengths, token counts, micro-quantized scores — the
+    * house float rule already produces these) at 100 TB. The
+    * interpolation arithmetic matches DuckDB's `quantile_cont` exactly
+    * (hash-verified by q_percentiles), so threshold comparisons replay
+    * engine-portably. */
+  def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
+    val thr = df.agg(
+      expr(s"percentile($scoreCol, CAST($q AS DOUBLE))").as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol).cast("double") >= col("__thr"))
+      .drop("__thr")
+  }
 }
