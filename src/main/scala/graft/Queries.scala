@@ -1585,6 +1585,67 @@ object Queries {
         |FROM inst JOIN cnt USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // bigram conditional surprisal: p(w2|w1) = c(w1,w2)/c(w1,*), counts
+    // from this corpus; micro-nat quantization BEFORE the sum (same
+    // order-insensitive replay contract as q_lm_score); <2-token docs
+    // restored as (0, 0) via the left join, mirroring Corpus.lmScoreBigram
+    "q_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2),
+        |cc AS (SELECT w1, SUM(c2) AS cc FROM c2 GROUP BY w1),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        |    CAST(SUM(CAST(round(-ln(c2::DOUBLE / cc::DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS surprisal2_micro
+        |  FROM inst JOIN c2 USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  COALESCE(surprisal2_micro, 0)::BIGINT AS surprisal2_micro
+        |FROM documents LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // winnowing fingerprints: replay normalize → char-5-gram hash48 →
+    // w=4 window minima → distinct, sorted. hash48 is md5-derived so
+    // every fingerprint replays bit-exactly (OracleSql.h48 house pattern)
+    "q_winnow" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) <= 5
+        |      THEN [('0x' || substring(md5(s), 1, 12))::BIGINT]
+        |      ELSE list_transform(range(0, length(s) - 4),
+        |        i -> ('0x' || substring(md5(substring(s, i+1, 5)), 1, 12))::BIGINT)
+        |    END AS h
+        |  FROM nrm),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      range(1, greatest(len(h) - 3, 1) + 1),
+        |      j -> list_min(list_slice(h, j, j + 3))))) AS fps
+        |  FROM hs)
+        |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+        |  array_to_string(list_transform(fps, x -> x::VARCHAR), ',') AS fps
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // global-quantile gate: DuckDB's quantile_cont IS the interpolation
+    // Spark's exact percentile implements (Sampling.quantileGate scaladoc)
+    "q_quantile_gate" ->
+      """WITH thr AS (SELECT quantile_cont(n_chars, 0.75) AS t FROM documents)
+        |SELECT doc_id, n_chars
+        |FROM documents CROSS JOIN thr
+        |WHERE n_chars::DOUBLE >= t
+        |ORDER BY doc_id""".stripMargin,
+
     "q_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_m,

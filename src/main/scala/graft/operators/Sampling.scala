@@ -139,8 +139,23 @@ object Sampling {
     * engine-portably. */
   def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
+    val field = df.schema.fields.find(_.name == scoreCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"quantileGate: column '$scoreCol' not in ${df.columns.mkString(", ")}"))
+    // exact percentile state is bounded by DISTINCT measure values, not
+    // rows — only integral measures (lengths, counts, micro-quantized
+    // scores) keep that bound at 100 TB. A raw double score must be
+    // quantized by the caller first (the house float rule).
+    field.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"quantileGate: measure '$scoreCol' must be integral (exact percentile " +
+          s"buffers one entry per distinct value); got ${dt.simpleString} — " +
+          "micro-quantize the score to a long first")
+    }
     val thr = df.agg(
-      expr(s"percentile($scoreCol, CAST($q AS DOUBLE))").as("__thr"))
+      expr(s"percentile(`$scoreCol`, CAST($q AS DOUBLE))").as("__thr"))
     df.crossJoin(broadcast(thr))
       .filter(col(scoreCol).cast("double") >= col("__thr"))
       .drop("__thr")

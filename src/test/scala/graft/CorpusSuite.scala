@@ -63,16 +63,26 @@ class CorpusSuite extends SparkSpec {
     // The vocabulary filter must run on the count-only aggregate and the
     // posting-list aggregate must consume the FILTERED join — a plan with
     // Filter as the root (old single-phase shape) builds every stop-token's
-    // full list only to discard it. Top-down print order: the outer
-    // Aggregate (collect_list) must appear before any Filter.
+    // full list only to discard it. Structural check (not string offsets,
+    // which optimizer-inserted isnotnull Filters can flip): locate the
+    // Aggregate that computes collect_list and assert its SUBTREE contains
+    // both the pairs⋈vocabulary Join and a Filter on the df bounds.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
     val plan = Corpus.postings(docs(1L -> "x y", 2L -> "x"),
       "text", "doc_id", minDf = 1L, maxDf = 1L)
-      .queryExecution.optimizedPlan.toString
-    val agg = plan.indexOf("collect_list")
-    val filt = plan.indexOf("Filter")
-    assert(agg >= 0 && filt >= 0, s"expected aggregate+filter in:\n$plan")
-    assert(agg < filt, s"collect_list below the df filter (single-phase):\n$plan")
-    assert(plan.contains("Join"), s"expected pairs-vocabulary join:\n$plan")
+      .queryExecution.optimizedPlan
+    val listAgg = plan.collectFirst {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(listAgg.isDefined, s"no collect_list aggregate in:\n$plan")
+    val sub = listAgg.get.child
+    assert(sub.collectFirst { case j: Join => j }.isDefined,
+      s"posting-list aggregate does not consume a join:\n$plan")
+    val dfCut = sub.collect { case f: Filter => f }
+      .filter(_.condition.toString.contains("df"))
+    assert(dfCut.nonEmpty,
+      s"no df-bounds Filter below the posting-list aggregate:\n$plan")
   }
 
   // ---------------------------------------------------------- lmScore
@@ -104,5 +114,46 @@ class CorpusSuite extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast route for the head vocabulary:\n$plan")
+  }
+
+  // ---------------------------------------------------- lmScoreBigram
+
+  test("lmScoreBigram matches hand-computed conditional surprisal") {
+    // bigrams: doc1 (a,b)(b,a)(a,c), doc2 (a,b) → c2: (a,b)=2 (b,a)=1
+    // (a,c)=1; context totals: a=3, b=1 → p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3
+    val out = DataTable(Corpus.lmScoreBigram(docs(
+      1L -> "a b a c", 2L -> "a b", 3L -> "x"), "text", "doc_id"))
+      .arrange("doc_id")
+    def micro(p: Double): Long = math.round(-math.log(p) * 1e6)
+    assert(colLongs(out, "n_bigrams") == Seq(3L, 1L, 0L))
+    assert(colLongs(out, "surprisal2_micro") == Seq(
+      micro(2.0 / 3) + micro(1.0) + micro(1.0 / 3), // doc 1
+      micro(2.0 / 3),                               // doc 2
+      0L))                                          // doc 3: restore path
+  }
+
+  test("lmScoreBigram restores single-token and empty docs as (0, 0)") {
+    val out = DataTable(Corpus.lmScoreBigram(docs(
+      1L -> "only", 2L -> "", 3L -> "two tokens"), "text", "doc_id"))
+      .arrange("doc_id")
+    assert(colLongs(out, "n_bigrams") == Seq(0L, 0L, 1L))
+    assert(colLongs(out, "surprisal2_micro") == Seq(0L, 0L, 0L))
+  }
+
+  test("lmScoreBigram head/tail hybrid is route-only: identical for any headVocab") {
+    val d = docs(1L -> "the cat the cat the dog", 2L -> "the cat sat", 3L -> "a")
+    def run(k: Int) = DataTable(Corpus.lmScoreBigram(d, "text", "doc_id",
+      headVocab = k)).arrange("doc_id")
+    val full = run(65536) // every bigram rides the broadcast head
+    val split = run(1)    // only the hottest bigram in head; tail relational
+    assert(colLongs(full, "surprisal2_micro") == colLongs(split, "surprisal2_micro"))
+    assert(colLongs(full, "n_bigrams") == colLongs(split, "n_bigrams"))
+  }
+
+  test("lmScoreBigram plan: head bigrams join by broadcast") {
+    val plan = Corpus.lmScoreBigram(docs(1L -> "a b c", 2L -> "a b"),
+      "text", "doc_id").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast route for the head bigrams:\n$plan")
   }
 }

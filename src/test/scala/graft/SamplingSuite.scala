@@ -70,6 +70,54 @@ class SamplingSuite extends SparkSpec {
     assert(a.sorted == (0L until 500L).toSeq)
   }
 
+  test("quantileGate keeps the boundary row when the quantile is exact") {
+    // values 0..4, q=0.75 → rank (5-1)*0.75 = 3 exactly → threshold 3.0;
+    // the row AT the threshold is kept (>=, not >)
+    val df = toDf(spark)("id" -> (0 until 5), "v" -> (0 until 5)).df
+    val kept = Sampling.quantileGate(df, "v", 0.75)
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
+  test("quantileGate interpolates between values like quantile_cont") {
+    // values 1..8, q=0.75 → rank 7*0.75 = 5.25 → 6 + 0.25*(7-6) = 6.25;
+    // 6 falls below the interpolated threshold, 7 and 8 survive
+    val df = toDf(spark)("id" -> (1 to 8), "v" -> (1 to 8)).df
+    val kept = Sampling.quantileGate(df, "v", 0.75)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(7L, 8L))
+  }
+
+  test("quantileGate rejects non-integral measures and missing columns") {
+    val dbl = toDf(spark)("id" -> Seq(1, 2), "score" -> Seq(0.5, 0.9)).df
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.quantileGate(dbl, "score", 0.5)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.quantileGate(ids(3), "nope", 0.5)
+    }
+    assert(e2.getMessage.contains("not in"))
+  }
+
+  test("quantileGate handles identifier-hostile column names") {
+    val df = toDf(spark)("id" -> (0 until 4)).df
+      .withColumn("n chars", col("id") * 10)
+    val kept = Sampling.quantileGate(df, "n chars", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(20L, 30L)) // threshold 15.0
+  }
+
+  test("quantileGate plan: corpus side never shuffles (broadcast threshold)") {
+    // the only exchange is the scalar aggregate's SinglePartition gather;
+    // the gated scan must not hash-repartition
+    val plan = Sampling.quantileGate(ids(100), "id", 0.75)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus side must stay scan-local:\n$plan")
+    assert(plan.contains("Broadcast"), s"threshold must broadcast:\n$plan")
+  }
+
   test("chunkDocuments windows with stride overlap and keeps the tail") {
     val df = toDf(spark)(
       "id" -> Seq(1),

@@ -81,6 +81,55 @@ class TextSuite extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("winnowing: docs sharing a >= k+w-1 substring share a fingerprint") {
+    // MOSS guarantee (Schleimer et al., SIGMOD'03): with k=5, w=4 any
+    // shared substring of length >= 8 contributes >= 1 common fingerprint.
+    val shared = "commonblock" // 11 chars, normalized-stable
+    val df = toDf(spark)("id" -> Seq(1, 2, 3), "t" -> Seq(
+      s"xxxx $shared yyyy",
+      s"zz $shared qqqqqq",
+      "entirely different text")).df
+    val fps = df
+      .select(col("id"), normalizeText(col("t")).as("n"))
+      .select(col("id"), gramHashes(col("n"), 5).as("h"))
+      .select(col("id"), winnowFromHashes(col("h"), 4).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty,
+      "shared 11-char block must yield a common fingerprint")
+    assert((fps(0) intersect fps(2)).isEmpty,
+      "unrelated docs should not collide on this input")
+  }
+
+  test("winnowing keeps ~2/(w+1) of gram hashes and handles short docs") {
+    val long = ('a' to 'z').mkString + ('a' to 'z').mkString // 52 chars, k=5 → 48 grams
+    val df = toDf(spark)("id" -> Seq(1, 2), "t" -> Seq(long, "ab")).df
+      .select(col("id"), gramHashes(normalizeText(col("t")), 5).as("h"))
+      .select(col("id"), size(col("h")).as("nh"),
+        winnowFromHashes(col("h"), 4).as("f"), col("h"))
+      .orderBy("id").collect()
+    val (nh, fp) = (df(0).getInt(1), df(0).getSeq[Long](2))
+    assert(nh == 48)
+    assert(fp.length < nh / 2, "winnowing must select a small fraction")
+    assert(fp == fp.sorted && fp.distinct == fp, "sorted, deduplicated")
+    // doc shorter than k: one gram (the whole text), one fingerprint
+    val shortFp = df(1).getSeq[Long](2)
+    val shortHash = df(1).getSeq[Long](3)
+    assert(shortFp == shortHash && shortFp.length == 1)
+  }
+
+  test("winnowFingerprints convenience equals the staged pipeline") {
+    val df = toDf(spark)("id" -> Seq(1, 2), "t" -> Seq(
+      "The Quick   Brown Fox", "tiny")).df
+    val staged = df
+      .select(col("id"), normalizeText(col("t")).as("n"))
+      .select(col("id"), gramHashes(col("n"), 5).as("h"))
+      .select(col("id"), winnowFromHashes(col("h"), 4).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val oneCall = df.select(col("id"), winnowFingerprints(col("t"), 5, 4).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(staged.toSeq == oneCall.toSeq)
+  }
+
   test("type-token and top-token ratios") {
     val df = toDf(spark)("id" -> Seq(1), "t" -> Seq("a b a a c")).df
       .withColumn("toks", tokens(col("t")))
