@@ -78,30 +78,55 @@ object GlobalRank {
   def withGlobalRanks(df: DataFrame, order: Seq[Column],
                       rankName: String = "rnk", denseName: String = "drnk",
                       pctName: String = "prnk", cumeName: String = "cdist"): DataFrame = {
-    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
-    snap.foreach(s => liveSnapshots.synchronized { liveSnapshots += s })
+    val (ranked, release) =
+      withGlobalRanksReleasable(df, order, rankName, denseName, pctName, cumeName)
+    liveSnapshots.synchronized { liveSnapshots += release }
     ranked
   }
 
-  /** Snapshots pinned by plain [[withGlobalRanks]] calls, oldest first. */
+  /** Per-call-release twin of [[withGlobalRanks]]: returns the ranked
+    * frame plus an idempotent handle that unpersists ONLY this call's
+    * snapshot (true iff this invocation actually released it). Library
+    * code that can't use the [[withGlobalRanksManaged]] loan scope should
+    * prefer this over the process-wide [[releaseSnapshots]] wipe, which
+    * is only safe for a harness that owns every in-flight plain call.
+    * The same post-release rule applies: never execute the ranked plan
+    * again after releasing (see the alignment scaladoc on [[build]]). */
+  def withGlobalRanksReleasable(df: DataFrame, order: Seq[Column],
+                                rankName: String = "rnk", denseName: String = "drnk",
+                                pctName: String = "prnk", cumeName: String = "cdist")
+      : (DataFrame, () => Boolean) = {
+    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = () => {
+      val first = released.compareAndSet(false, true)
+      if (first) snap.foreach(_.unpersist(blocking = false))
+      first && snap.nonEmpty
+    }
+    (ranked, release)
+  }
+
+  /** Release handles pinned by plain [[withGlobalRanks]] calls, oldest
+    * first. */
   private val liveSnapshots =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scala.collection.mutable.ArrayBuffer.empty[() => Boolean]
 
   /** Count of snapshots currently pinned by plain [[withGlobalRanks]]
     * calls (monitoring / tests). */
   def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
 
   /** Unpersist every snapshot pinned by plain [[withGlobalRanks]] calls.
-    * ONLY safe when no DataFrame previously returned by the plain variant
-    * will be executed again: a re-execution after release re-derives the
+    * HARNESS-ONLY: safe only when the caller owns every in-flight plain
+    * call and no DataFrame previously returned by the plain variant will
+    * be executed again — a re-execution after release re-derives the
     * range partitioning with fresh job-specific boundaries, and a
     * same-pid-set misalignment corrupts ranks SILENTLY (the loud guard
     * only catches pids missing from the stats map). Bench/Verify call
     * this between queries — each consumes its result fully before moving
-    * on. Returns the number released. */
+    * on. Library paths must use [[withGlobalRanksManaged]] or
+    * [[withGlobalRanksReleasable]] instead. Returns the number released. */
   def releaseSnapshots(): Int = liveSnapshots.synchronized {
-    val n = liveSnapshots.size
-    liveSnapshots.foreach(_.unpersist(blocking = false))
+    val n = liveSnapshots.count(_())
     liveSnapshots.clear()
     n
   }

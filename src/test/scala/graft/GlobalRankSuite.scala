@@ -149,6 +149,28 @@ class GlobalRankSuite extends SparkSpec {
     assert((after -- before).isEmpty, s"leaked cached RDDs: ${after -- before}")
   }
 
+  test("releasable handle frees only its own snapshot, idempotently") {
+    // the per-call alternative to the process-wide wipe: two concurrent
+    // callers must not be able to unpersist each other's snapshot
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val live0 = GlobalRank.liveSnapshotCount
+    val (r1, rel1) = GlobalRank.withGlobalRanksReleasable(tied, Seq(col("v")))
+    val (r2, rel2) = GlobalRank.withGlobalRanksReleasable(uniq, Seq(col("v")))
+    assert(r1.count() == 400L && r2.count() == 1000L)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size == 2, s"expected 2 pinned snapshots, got $pinned")
+    assert(rel1())
+    assert(!rel1(), "second release must be a no-op")
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(remaining.size == 1, "releasing call 1 must not touch call 2")
+    // call 2 is untouched and still consumable
+    assert(r2.filter(col("rnk").isNull).count() == 0L)
+    assert(rel2())
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    // handle-managed snapshots never enter the plain-call registry
+    assert(GlobalRank.liveSnapshotCount == live0)
+  }
+
   test("misalignment guard is wired: offset lookup raises instead of nulling") {
     // Real misalignment cannot be provoked from a deterministic source
     // (that's the point), so pin the guard's presence in the plan: the
