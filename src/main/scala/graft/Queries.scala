@@ -801,6 +801,16 @@ object Queries {
                 .as("fps")))
           .arrange("doc_id").df),
 
+      // winnowing near-dup candidate pairs (MOSS): docs sharing >= 4
+      // fingerprints at k=12/w=8 — every shared substring of >= 19 chars
+      // forces a shared fingerprint, so surviving pairs carry long
+      // verbatim blocks (3.5k pairs at sf0.01; param sweep in PLANS.md)
+      "q_winnow_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.winnowCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L))
+          .arrange("id_a", "id_b").df),
+
       // global-quantile quality gate: top quartile of the corpus by size
       "q_quantile_gate" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -1636,6 +1646,34 @@ object Queries {
         |SELECT doc_id, len(fps)::BIGINT AS n_fp,
         |  array_to_string(list_transform(fps, x -> x::VARCHAR), ',') AS fps
         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // winnow pairs: same fingerprint replay as q_winnow at k=12/w=8, then
+    // the LSH bucket stage as a self-join restricted to [2, bucketCap]
+    // buckets, pair counts >= minShared
+    "q_winnow_pairs" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) <= 12
+        |      THEN [('0x' || substring(md5(s), 1, 12))::BIGINT]
+        |      ELSE list_transform(range(0, length(s) - 11),
+        |        i -> ('0x' || substring(md5(substring(s, i+1, 12)), 1, 12))::BIGINT)
+        |    END AS h
+        |  FROM nrm),
+        |fps AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(h) - 7, 1) + 1),
+        |      j -> list_min(list_slice(h, j, j + 7))))) AS fp
+        |  FROM hs),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+        |FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // global-quantile gate: DuckDB's quantile_cont IS the interpolation
     // Spark's exact percentile implements (Sampling.quantileGate scaladoc)

@@ -310,6 +310,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing (MOSS) near-dup candidate pairs — the LSH-style companion
+    * of [[minhashCandidates]] built on
+    * [[graft.functions.TextFunctions.winnowFromHashes]]: documents that
+    * share at least `minShared` winnow fingerprints (char-`k`-gram
+    * hashes, window `w`). MOSS's guarantee makes this the detector for
+    * COPIED SPANS: any shared substring of length >= k+w-1 forces a
+    * shared fingerprint, so heavy pairwise overlap means long verbatim
+    * blocks — a sharper signal than whole-document similarity for
+    * quote/boilerplate mining.
+    *
+    * Scale shape: fingerprints are scan-local per row and only ~2/(w+1)
+    * of the gram hashes survive winnowing, so the explode is sublinear
+    * in characters; the fingerprint groupBy is the one big shuffle;
+    * `bucketCap` bounds the quadratic in-bucket pair expansion (a
+    * fingerprint shared by half the corpus is boilerplate, not copying —
+    * same cap policy as every LSH stage here). The pair count aggregate
+    * is partial-agged, keys are (long, long). md5-derived hash48 keeps
+    * every stage DuckDB-replayable. Returns (id_a, id_b, n_shared),
+    * id_a < id_b. */
+  def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 5, w: Int = 4,
+                       bucketCap: Int = 64, minShared: Long = 2L): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__nrm"))
+      .select(col("id"), gramHashes(col("__nrm"), k).as("__hs"))
+      .select(col("id"), explode(winnowFromHashes(col("__hs"), w)).as("fp"))
+    val buckets = fps.groupBy("fp")
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+    buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
+        |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination: drop from `df` every document sharing at
     * least one word `n`-gram with a benchmark document — the exact
     * n-gram-overlap filter training pipelines run against held-out eval

@@ -156,4 +156,47 @@ class CorpusSuite extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast route for the head bigrams:\n$plan")
   }
+
+  // ------------------------------------------------- winnowCandidates
+
+  test("winnowCandidates finds the pair sharing a long verbatim block") {
+    // docs 1 and 2 share a 40-char block (>> k+w-1): several common
+    // fingerprints; doc 3 is unrelated
+    val block = "the quick brown fox jumps over the lazy dog"
+    val out = DataTable(Dedup.winnowCandidates(docs(
+      1L -> s"intro text $block closing words",
+      2L -> s"different opening $block other ending",
+      3L -> "completely unrelated content with nothing shared at all"),
+      "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 2L))
+      .arrange("id_a", "id_b")
+    assert(colLongs(out, "id_a") == Seq(1L))
+    assert(colLongs(out, "id_b") == Seq(2L))
+    assert(colLongs(out, "n_shared").head >= 2L)
+  }
+
+  test("winnowCandidates: bucketCap drops boilerplate fingerprints") {
+    // the same block in FOUR docs: with bucketCap=2 every shared
+    // fingerprint's bucket has 4 members > cap → no candidate pairs
+    // (boilerplate policy), while cap=64 reports all six pairs
+    val block = "shared boilerplate sentence repeated in every document"
+    val four = docs((1L to 4L).map(i => i -> s"doc $i says $block"): _*)
+    val capped = Dedup.winnowCandidates(four, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 2, minShared = 1L)
+    assert(capped.count() == 0L)
+    val open = Dedup.winnowCandidates(four, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = 2L)
+    assert(open.count() == 6L) // C(4,2)
+  }
+
+  test("winnowCandidates honors minShared") {
+    val block = "the quick brown fox jumps over the lazy dog"
+    val two = docs(1L -> s"a $block b", 2L -> s"c $block d")
+    val n = Dedup.winnowCandidates(two, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = 1L)
+      .collect()(0).getAs[Long]("n_shared")
+    assert(n >= 2L)
+    // a threshold above the observed share count must filter the pair out
+    assert(Dedup.winnowCandidates(two, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = n + 1).count() == 0L)
+  }
 }
