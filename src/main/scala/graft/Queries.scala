@@ -787,14 +787,13 @@ object Queries {
           Corpus.lmScoreBigram(Tables.df(s, dir, "documents"), "text", "doc_id"))
           .arrange("doc_id").df),
 
-      // winnowing fingerprints (MOSS): k=5 char grams, window w=4 —
-      // staged through aliased columns so gram hashing runs once
+      // winnowing fingerprints (MOSS): k=5 char grams, window w=4 — ONE
+      // codegen'd kernel call per row (WinnowText), aliased so the
+      // stringify projection reads the computed array
       "q_winnow" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           Tables.df(s, dir, "documents")
-            .select(col("doc_id"), normalizeText(col("text")).as("__nrm"))
-            .select(col("doc_id"), gramHashes(col("__nrm"), 5).as("__hs"))
-            .select(col("doc_id"), winnowFromHashes(col("__hs"), 4).as("__fps"))
+            .select(col("doc_id"), winnowFingerprints(col("text"), 5, 4).as("__fps"))
             .select(col("doc_id"),
               size(col("__fps")).cast("long").as("n_fp"),
               array_join(transform(col("__fps"), x => x.cast("string")), ",")

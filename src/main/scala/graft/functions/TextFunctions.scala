@@ -94,10 +94,19 @@ object TextFunctions {
       j => array_min(slice(hs, j, lit(w))))))
 
   /** One-call winnowing over raw text (normalize → gram hashes → window
-    * minima). Convenience for literals/tests; in a query, stage the
-    * normalized text and the hash array through aliased columns (see
-    * [[gramHashes]]) so the hashing never re-runs per window. */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    * minima) as ONE codegen'd kernel call (graftshim.WinnowText): the
+    * whole pipeline runs compiled inside the scan projection, pinned
+    * bit-identical to the staged HOF form ([[gramHashes]] →
+    * [[winnowFromHashes]]) in TextSuite. This is the hot-path spelling —
+    * the HOF stages remain as the reference semantics. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftshim.{Shim, WinnowText}
+    Shim.toColumn(WinnowText(Shim.toExpression(c), k, w))
+  }
+
+  /** Interpreted HOF formulation of [[winnowFingerprints]] (what the
+    * kernel replaced) — kept for the bit-identity pin. */
+  private[graft] def winnowFingerprintsHof(c: Column, k: Int, w: Int): Column =
     winnowFromHashes(gramHashes(normalizeText(c), k), w)
 
   /** Number of tokens present in `words` (duplicates counted). */

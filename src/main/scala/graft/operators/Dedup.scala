@@ -333,9 +333,8 @@ object Dedup {
                        k: Int = 5, w: Int = 4,
                        bucketCap: Int = 64, minShared: Long = 2L): DataFrame = {
     val fps = df
-      .select(col(idCol).as("id"), normalizeText(col(textCol)).as("__nrm"))
-      .select(col("id"), gramHashes(col("__nrm"), k).as("__hs"))
-      .select(col("id"), explode(winnowFromHashes(col("__hs"), w)).as("fp"))
+      .select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
     val buckets = fps.groupBy("fp")
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, bucketCap))

@@ -235,6 +235,76 @@ object GraftHash {
     scanWindowHashes(text, n)(h =>
       java.util.Arrays.binarySearch(sorted, h) >= 0)
 
+  /** [[hash48]] over a byte range — md5 of `bytes[off, off+len)` without
+    * slicing. */
+  def hash48Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val dig = d.digest()
+    ((dig(0) & 0xFFL) << 40) | ((dig(1) & 0xFFL) << 32) |
+      ((dig(2) & 0xFFL) << 24) | ((dig(3) & 0xFFL) << 16) |
+      ((dig(4) & 0xFFL) << 8) | (dig(5) & 0xFFL)
+  }
+
+  /** Winnowing fingerprints (MOSS) from raw text in one compiled pass:
+    * normalize (trim → lower → whitespace collapse, replicating
+    * `TextFunctions.normalizeText`'s `regexp_replace(lower(trim(c)),
+    * "\\s+", " ")` exactly — UTF8String.trim/toLowerCase are what
+    * StringTrim/Lower run, and the same java.util.regex pattern does the
+    * collapse), then char-`k`-gram hash48 (grams sliced by CODE POINT,
+    * matching Spark's `length`/`substr` and DuckDB's `substring`; each
+    * gram hashed over its UTF-8 byte range with zero per-gram
+    * allocation), `w`-window minima, distinct + sort. Bit-identical to
+    * the HOF formulation ([[graft.functions.TextFunctions]]) — pinned in
+    * TextSuite — and to the DuckDB oracle's md5 replay. */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = Ws.matcher(text.trim.toLowerCase.toString).replaceAll(" ")
+    val bytes = s.getBytes("UTF-8")
+    // byte offset of each code point (UTF-8 lead-byte scan)
+    val boffs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      boffs(n) = bi
+      val b = bytes(bi) & 0xFF
+      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      n += 1
+    }
+    boffs(n) = bytes.length
+    val hashes: Array[Long] =
+      if (n <= k) Array(hash48(bytes))
+      else {
+        val out = new Array[Long](n - k + 1)
+        var i = 0
+        while (i <= n - k) {
+          out(i) = hash48Range(bytes, boffs(i), boffs(i + k) - boffs(i))
+          i += 1
+        }
+        out
+      }
+    val g = hashes.length
+    val wins = math.max(g - w + 1, 1)
+    val mins = new Array[Long](wins)
+    var j = 0
+    while (j < wins) {
+      var m = hashes(j)
+      var t = j + 1
+      val end = math.min(j + w, g)
+      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+      mins(j) = m
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var wr = 0
+    var i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(wr) = mins(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, wr))
+  }
+
   /** 48-bit SimHash from raw text (token hashes NOT folded mod p —
     * matching the Column-API formulation it replaces). */
   def simhash48(text: UTF8String): Long = {
@@ -469,6 +539,31 @@ case class AnyShingleInSet(child: Expression, n: Int, sorted: Array[Long])
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text =>
       s"${ev.value} = $gh.anyShingleIn($text, $n, $sRef);")
+  }
+}
+
+/** Codegen'd winnowing fingerprints (MOSS) from the raw text column —
+  * same design as [[MinHashSig]]: one compiled kernel call (normalize →
+  * code-point k-grams → byte-range md5 → window minima → distinct+sort),
+  * projection stays inside whole-stage codegen. Replaces a four-stage
+  * interpreted HOF pipeline whose per-gram cost (substring + cast +
+  * md5 + hex-conv expression evals) dominated the corpus scan. */
+case class WinnowText(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowText =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.winnow($text, $k, $w);")
   }
 }
 

@@ -81,6 +81,9 @@ class CodegenSuite extends SparkSpec {
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
             5, Array(1L, 2L, 3L))).as("dirty"))
       assert(dirty.limit(3).collect().length == 3)
+      val win = docs.select(
+        graft.functions.TextFunctions.winnowFingerprints(col("text"), 5, 4).as("f"))
+      assert(win.limit(3).collect().length == 3)
       val emb = Tables.df(spark, sfDir, "embeddings")
       val d = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
       assert(d.limit(1).head().getDouble(0) > 0.0)
@@ -107,6 +110,15 @@ class CodegenSuite extends SparkSpec {
       vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 5)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("WinnowText compiles into a WholeStageCodegen span") {
+    val docs = Tables.df(spark, sfDir, "documents")
+    val out = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.winnowFingerprints(col("text"), 5, 4).as("f"))
+    assert(wholeStageSpans(out).exists(_.toString.contains("winnow_fingerprints")),
+      s"winnow_fingerprints not inside WholeStageCodegen:\n${out.queryExecution.executedPlan}")
+    assert(out.limit(3).collect().length == 3)
   }
 
   test("SimHashText compiles into a WholeStageCodegen span") {

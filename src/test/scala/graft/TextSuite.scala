@@ -117,17 +117,28 @@ class TextSuite extends SparkSpec {
     assert(shortFp == shortHash && shortFp.length == 1)
   }
 
-  test("winnowFingerprints convenience equals the staged pipeline") {
-    val df = toDf(spark)("id" -> Seq(1, 2), "t" -> Seq(
-      "The Quick   Brown Fox", "tiny")).df
+  test("WinnowText kernel equals the staged HOF pipeline (incl. unicode/empty)") {
+    val df = toDf(spark)("id" -> Seq(1, 2, 3, 4, 5, 6), "t" -> Seq(
+      "The Quick   Brown Fox",
+      "tiny",                       // shorter than one gram
+      "",                           // empty → one gram of the empty text
+      "  tabs\tand\nnewlines  ",    // whitespace collapse path
+      "café naïve résumé über café", // 2-byte chars
+      "a😀b emoji 😀😀 pad")).df // astral (4-byte) chars
     val staged = df
       .select(col("id"), normalizeText(col("t")).as("n"))
       .select(col("id"), gramHashes(col("n"), 5).as("h"))
       .select(col("id"), winnowFromHashes(col("h"), 4).as("f"))
       .orderBy("id").collect().map(_.getSeq[Long](1))
-    val oneCall = df.select(col("id"), winnowFingerprints(col("t"), 5, 4).as("f"))
+    val kernel = df.select(col("id"), winnowFingerprints(col("t"), 5, 4).as("f"))
       .orderBy("id").collect().map(_.getSeq[Long](1))
-    assert(staged.toSeq == oneCall.toSeq)
+    assert(kernel.toSeq == staged.toSeq)
+    // and against the one-call HOF spelling with different (k, w)
+    val hof = df.select(col("id"), winnowFingerprintsHof(col("t"), 3, 6).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val kernel2 = df.select(col("id"), winnowFingerprints(col("t"), 3, 6).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(kernel2.toSeq == hof.toSeq)
   }
 
   test("type-token and top-token ratios") {
