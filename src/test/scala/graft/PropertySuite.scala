@@ -293,6 +293,34 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("WinnowText kernel equals the HOF stages for random unicode text") {
+    // the kernel re-implements normalize → code-point k-grams → md5 →
+    // window minima natively; any divergence (code-point vs UTF-16
+    // slicing, trim/lower/collapse order, window clamping) must surface
+    // under adversarial strings: mixed ASCII / 2-byte / astral chars,
+    // exotic whitespace, k/w larger than the text
+    import graft.functions.TextFunctions._
+    val genText = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+        Gen.const("\n"), Gen.const("é"), Gen.const("ß"), Gen.const("中"),
+        Gen.const("😀"), Gen.const("𝕏")))
+      k <- Gen.choose(2, 7)
+      w <- Gen.choose(2, 6)
+    } yield (cs.mkString, k, w)
+    forAll(genText, n = 15) { case (text, k, w) =>
+      val df = toDf(spark)("id" -> Seq(1L), "t" -> Seq(text)).df
+      val hof = df.select(normalizeText(col("t")).as("n"))
+        .select(gramHashes(col("n"), k).as("h"))
+        .select(winnowFromHashes(col("h"), w).as("f"))
+        .head().getSeq[Long](0)
+      val kernel = df.select(winnowFingerprints(col("t"), k, w).as("f"))
+        .head().getSeq[Long](0)
+      assert(kernel == hof, s"text=${text.map(c => f"\\u$c%04x").mkString} k=$k w=$w")
+    }
+  }
+
   test("CSV roundtrip preserves any long/string frame") {
     forAll(genRows) { case (xs, gs) =>
       val df = toDf(spark)("x" -> xs, "g" -> gs)
