@@ -2,6 +2,20 @@ package graft
 
 /** The driver's smoke contract: entry() returns rows. */
 class EntrySuite extends SparkSpec {
+
+  test("every declared query has a DuckDB oracle (the r11/r12 ratchet)") {
+    // Rounds 11 AND 12 each shipped new queries() entries with no
+    // oracleSql twin — the driver grades them NO_ORACLE and the round's
+    // verdict flags the contract violation (SparkEntry.scala:10-12).
+    // This pins the key sets equal, so an orphan query fails the suite
+    // (and the pre-commit gate) the moment it is declared.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without an oracleSql entry: ${noOracle.toSeq.sorted.mkString(", ")}")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty,
+      s"oracleSql entries without a query: ${orphanOracles.toSeq.sorted.mkString(", ")}")
+  }
   test("entry() curation pipeline returns per-(split, lang) rollups") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
