@@ -121,6 +121,59 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Replays Dedup.winnowCandidates: normalizeText → char-`k`-gram
+    * hash48 → `w`-window winnow minima (distinct per doc) →
+    * [2, bucketCap] fingerprint buckets → pair shared-fingerprint
+    * counts >= minShared. */
+  def winnowPairs(k: Int = 12, w: Int = 8, bucketCap: Int = 64,
+                  minShared: Long = 4L): String =
+    s"""WITH nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(s) <= $k
+       |      THEN [${h48("s")}]
+       |      ELSE list_transform(range(0, length(s) - ${k - 1}),
+       |        i -> ${h48(s"substring(s, i+1, $k)")})
+       |    END AS h
+       |  FROM nrm),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(h) - ${w - 1}, 1) + 1),
+       |      j -> list_min(list_slice(h, j, j + ${w - 1}))))) AS fp
+       |  FROM hs),
+       |okf AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $bucketCap)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+       |FROM fps a JOIN fps b USING (fp) JOIN okf USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Transitive closure of Dedup.clusterByWinnow — the recursive-CTE
+    * component labeling of [[minhashClusters]] over the winnow pair
+    * graph. */
+  def winnowClusters(k: Int = 12, w: Int = 8, bucketCap: Int = 64,
+                     minShared: Long = 4L): String = {
+    val pairs = winnowPairs(k, w, bucketCap, minShared)
+      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS ($pairs),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM edges
+       |  UNION
+       |  SELECT e.u AS id, t.r FROM edges e JOIN reach t ON e.v = t.id)
+       |SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d
+       |LEFT JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) m
+       |  ON d.doc_id = m.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Shared CTE prefix `docs → th → hs → sig → banded`: token hashes,
     * shingle polynomial hashes, the k-permutation signature, and the
     * per-band bucket hashes — the exact replay of Spark's

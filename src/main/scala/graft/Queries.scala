@@ -810,6 +810,16 @@ object Queries {
             "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L))
           .arrange("id_a", "id_b").df),
 
+      // winnow copied-span clusters: connected components over the winnow
+      // pair graph (same parameters as q_winnow_pairs); every doc labeled
+      // with the min id of its quote/boilerplate family
+      "q_winnow_cluster" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.clusterByWinnow(Tables.df(s, dir, "documents"),
+            "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L)
+            .select(col("doc_id"), col("cluster_id")))
+          .arrange("doc_id").df),
+
       // global-quantile quality gate: top quartile of the corpus by size
       "q_quantile_gate" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -1649,30 +1659,11 @@ object Queries {
     // winnow pairs: same fingerprint replay as q_winnow at k=12/w=8, then
     // the LSH bucket stage as a self-join restricted to [2, bucketCap]
     // buckets, pair counts >= minShared
-    "q_winnow_pairs" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-        |  FROM documents),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(s) <= 12
-        |      THEN [('0x' || substring(md5(s), 1, 12))::BIGINT]
-        |      ELSE list_transform(range(0, length(s) - 11),
-        |        i -> ('0x' || substring(md5(substring(s, i+1, 12)), 1, 12))::BIGINT)
-        |    END AS h
-        |  FROM nrm),
-        |fps AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(h) - 7, 1) + 1),
-        |      j -> list_min(list_slice(h, j, j + 7))))) AS fp
-        |  FROM hs),
-        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
-        |FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp)
-        |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |HAVING COUNT(*) >= 4
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_winnow_pairs" -> OracleSql.winnowPairs(12, 8, 64, 4L),
+
+    // winnow copied-span clusters: recursive-CTE transitive closure over
+    // the winnow pair graph, min-id component labels
+    "q_winnow_cluster" -> OracleSql.winnowClusters(12, 8, 64, 4L),
 
     // global-quantile gate: DuckDB's quantile_cont IS the interpolation
     // Spark's exact percentile implements (Sampling.quantileGate scaladoc)

@@ -726,4 +726,23 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
       .drop("component")
   }
+
+  /** [[clusterByMinhash]]'s copied-span twin: transitive closure over the
+    * [[winnowCandidates]] graph — quote/boilerplate FAMILIES rather than
+    * whole-document near-dups (two docs that each copied a third cluster
+    * together even if they share nothing pairwise... they do share the
+    * third's spans, which is the point of the closure). Same pointer-
+    * jumping components, same label rule: `cluster_id` = smallest doc id
+    * of the component, own id for untouched docs. */
+  def clusterByWinnow(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5, w: Int = 4, bucketCap: Int = 64,
+                      minShared: Long = 2L): DataFrame = {
+    val comp = connectedComponents(
+      winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared),
+      "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+  }
 }

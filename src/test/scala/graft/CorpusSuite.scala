@@ -188,6 +188,21 @@ class CorpusSuite extends SparkSpec {
     assert(open.count() == 6L) // C(4,2)
   }
 
+  test("clusterByWinnow chains pairs into min-id components") {
+    // docs 1-2 share block X, docs 2-3 share block Y: no 1-3 pair exists,
+    // but the closure puts all three in component 1; doc 4 stays alone
+    val x = "alpha beta gamma delta epsilon zeta"
+    val y = "one two three four five six seven"
+    val out = DataTable(Dedup.clusterByWinnow(docs(
+      1L -> s"start $x end",
+      2L -> s"$x middle $y",
+      3L -> s"intro $y outro",
+      4L -> "nothing shared with anyone here at all"),
+      "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 2L)
+      .select(col("doc_id"), col("cluster_id"))).arrange("doc_id")
+    assert(colLongs(out, "cluster_id") == Seq(1L, 1L, 1L, 4L))
+  }
+
   test("winnowCandidates honors minShared") {
     val block = "the quick brown fox jumps over the lazy dog"
     val two = docs(1L -> s"a $block b", 2L -> s"c $block d")
