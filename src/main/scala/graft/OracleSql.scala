@@ -102,32 +102,15 @@ object OracleSql {
     * Spark min-label propagation converges to. Docs with no candidate
     * pair keep their own id. */
   def minhashClusters(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
-                      bucketCap: Int = 64, minEstJaccard: Double = 0.5): String = {
-    val pairs = minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard)
-      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
-    s"""WITH RECURSIVE pairs AS ($pairs),
-       |edges AS (
-       |  SELECT id_a AS u, id_b AS v FROM pairs
-       |  UNION
-       |  SELECT id_b AS u, id_a AS v FROM pairs),
-       |reach AS (
-       |  SELECT u AS id, u AS r FROM edges
-       |  UNION
-       |  SELECT e.u AS id, t.r FROM edges e JOIN reach t ON e.v = t.id)
-       |SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
-       |FROM documents d
-       |LEFT JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) m
-       |  ON d.doc_id = m.id
-       |ORDER BY d.doc_id""".stripMargin
-  }
+                      bucketCap: Int = 64, minEstJaccard: Double = 0.5): String =
+    closureOverPairs(minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard))
 
-  /** Replays Dedup.winnowCandidates: normalizeText → char-`k`-gram
-    * hash48 → `w`-window winnow minima (distinct per doc) →
-    * [2, bucketCap] fingerprint buckets → pair shared-fingerprint
-    * counts >= minShared. */
-  def winnowPairs(k: Int = 12, w: Int = 8, bucketCap: Int = 64,
-                  minShared: Long = 4L): String =
-    s"""WITH nrm AS (
+  /** Shared winnow CTE chain `nrm → hs → fpl`: normalized text, char-`k`-
+    * gram hash48 array, winnow fingerprint LIST per doc (`w`-window
+    * minima, distinct, sorted) — the exact replay of
+    * `TextFunctions.winnowFingerprints` / the WinnowText kernel. */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""nrm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
        |  FROM documents),
        |hs AS (
@@ -138,11 +121,28 @@ object OracleSql {
        |        i -> ${h48(s"substring(s, i+1, $k)")})
        |    END AS h
        |  FROM nrm),
-       |fps AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |fpl AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
        |      range(1, greatest(len(h) - ${w - 1}, 1) + 1),
-       |      j -> list_min(list_slice(h, j, j + ${w - 1}))))) AS fp
-       |  FROM hs),
+       |      j -> list_min(list_slice(h, j, j + ${w - 1}))))) AS fps
+       |  FROM hs)""".stripMargin
+
+  /** Replays the q_winnow projection: per-doc fingerprint count +
+    * comma-joined list. Defaults match `TextFunctions` usage in the
+    * query. */
+  def winnowFingerprints(k: Int = 5, w: Int = 4): String =
+    s"""WITH ${winnowCtes(k, w)}
+       |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+       |  array_to_string(list_transform(fps, x -> x::VARCHAR), ',') AS fps
+       |FROM fpl ORDER BY doc_id""".stripMargin
+
+  /** Replays Dedup.winnowCandidates (defaults MATCH the operator's):
+    * winnow fingerprints → [2, bucketCap] fingerprint buckets → pair
+    * shared-fingerprint counts >= minShared. */
+  def winnowPairs(k: Int = 5, w: Int = 4, bucketCap: Int = 64,
+                  minShared: Long = 2L): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
        |okf AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $bucketCap)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
        |FROM fps a JOIN fps b USING (fp) JOIN okf USING (fp)
@@ -151,13 +151,13 @@ object OracleSql {
        |HAVING COUNT(*) >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Transitive closure of Dedup.clusterByWinnow — the recursive-CTE
-    * component labeling of [[minhashClusters]] over the winnow pair
-    * graph. */
-  def winnowClusters(k: Int = 12, w: Int = 8, bucketCap: Int = 64,
-                     minShared: Long = 4L): String = {
-    val pairs = winnowPairs(k, w, bucketCap, minShared)
-      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
+  /** Recursive-CTE transitive closure over a candidate-pair query
+    * (columns `id_a`, `id_b`, trailing `ORDER BY id_a, id_b` stripped
+    * here, in ONE place): every doc labeled min id of its component,
+    * own id when untouched — shared by the MinHash and winnow cluster
+    * oracles. */
+  private def closureOverPairs(orderedPairsSql: String): String = {
+    val pairs = orderedPairsSql.replaceAll("ORDER BY id_a, id_b\\s*$", "")
     s"""WITH RECURSIVE pairs AS ($pairs),
        |edges AS (
        |  SELECT id_a AS u, id_b AS v FROM pairs
@@ -173,6 +173,12 @@ object OracleSql {
        |  ON d.doc_id = m.id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Transitive closure of Dedup.clusterByWinnow (defaults MATCH the
+    * operator's) — [[closureOverPairs]] over the winnow pair graph. */
+  def winnowClusters(k: Int = 5, w: Int = 4, bucketCap: Int = 64,
+                     minShared: Long = 2L): String =
+    closureOverPairs(winnowPairs(k, w, bucketCap, minShared))
 
   /** Shared CTE prefix `docs → th → hs → sig → banded`: token hashes,
     * shingle polynomial hashes, the k-permutation signature, and the

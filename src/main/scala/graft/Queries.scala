@@ -1631,30 +1631,10 @@ object Queries {
         |FROM documents LEFT JOIN scored USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    // winnowing fingerprints: replay normalize → char-5-gram hash48 →
-    // w=4 window minima → distinct, sorted. hash48 is md5-derived so
-    // every fingerprint replays bit-exactly (OracleSql.h48 house pattern)
-    "q_winnow" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-        |  FROM documents),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(s) <= 5
-        |      THEN [('0x' || substring(md5(s), 1, 12))::BIGINT]
-        |      ELSE list_transform(range(0, length(s) - 4),
-        |        i -> ('0x' || substring(md5(substring(s, i+1, 5)), 1, 12))::BIGINT)
-        |    END AS h
-        |  FROM nrm),
-        |fp AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(list_transform(
-        |      range(1, greatest(len(h) - 3, 1) + 1),
-        |      j -> list_min(list_slice(h, j, j + 3))))) AS fps
-        |  FROM hs)
-        |SELECT doc_id, len(fps)::BIGINT AS n_fp,
-        |  array_to_string(list_transform(fps, x -> x::VARCHAR), ',') AS fps
-        |FROM fp ORDER BY doc_id""".stripMargin,
+    // winnowing fingerprints: normalize → char-k-gram hash48 → window
+    // minima, one generator shared with the pairs/clusters oracles so the
+    // md5 replay is spelled in exactly one place
+    "q_winnow" -> OracleSql.winnowFingerprints(5, 4),
 
     // winnow pairs: same fingerprint replay as q_winnow at k=12/w=8, then
     // the LSH bucket stage as a self-join restricted to [2, bucketCap]

@@ -712,37 +712,45 @@ object Dedup {
     (labels, iter)
   }
 
-  /** Full-corpus cluster assignment over MinHash candidates: every row of
-    * `df` gets `cluster_id` = smallest doc id of its near-dup component
-    * (its own id if it has no near-dups). */
-  def clusterByMinhash(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
-                       minEstJaccard: Double = 0.5): DataFrame = {
-    val comp = connectedComponents(
-      minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard),
-      "id_a", "id_b")
+  /** Shared cluster-label step: pointer-jumping components over an
+    * (id_a, id_b) pair graph, then every row of `df` labeled
+    * `cluster_id` = smallest id of its component (its own id when it
+    * appears in no pair). The min-label rule needs a numeric id — a
+    * string id would cast to null and silently label every untouched doc
+    * NULL, so the dtype is enforced here once for every cluster op. */
+  private def clusterByPairs(df: DataFrame, pairs: DataFrame,
+                             idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType,
+      s"cluster ops need an integral id column; '$idCol' is ${dt.simpleString}")
+    val comp = connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
     df.join(comp, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
       .drop("component")
   }
 
+  /** Full-corpus cluster assignment over MinHash candidates: every row of
+    * `df` gets `cluster_id` = smallest doc id of its near-dup component
+    * (its own id if it has no near-dups). */
+  def clusterByMinhash(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
+                       minEstJaccard: Double = 0.5): DataFrame =
+    clusterByPairs(df,
+      minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard),
+      idCol)
+
   /** [[clusterByMinhash]]'s copied-span twin: transitive closure over the
     * [[winnowCandidates]] graph — quote/boilerplate FAMILIES rather than
     * whole-document near-dups (two docs that each copied a third cluster
     * together even if they share nothing pairwise... they do share the
     * third's spans, which is the point of the closure). Same pointer-
-    * jumping components, same label rule: `cluster_id` = smallest doc id
-    * of the component, own id for untouched docs. */
+    * jumping components, same label rule. */
   def clusterByWinnow(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 5, w: Int = 4, bucketCap: Int = 64,
-                      minShared: Long = 2L): DataFrame = {
-    val comp = connectedComponents(
+                      minShared: Long = 2L): DataFrame =
+    clusterByPairs(df,
       winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared),
-      "id_a", "id_b")
-      .withColumnRenamed("id", idCol)
-    df.join(comp, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
-      .drop("component")
-  }
+      idCol)
 }

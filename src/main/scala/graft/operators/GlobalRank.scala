@@ -78,9 +78,11 @@ object GlobalRank {
   def withGlobalRanks(df: DataFrame, order: Seq[Column],
                       rankName: String = "rnk", denseName: String = "drnk",
                       pctName: String = "prnk", cumeName: String = "cdist"): DataFrame = {
-    val (ranked, release) =
-      withGlobalRanksReleasable(df, order, rankName, denseName, pctName, cumeName)
-    liveSnapshots.synchronized { liveSnapshots += release }
+    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    // register only when something is actually pinned: the empty-input
+    // short-circuit returns no snapshot, and a dead handle would make
+    // liveSnapshotCount over-report against getPersistentRDDs
+    snap.foreach(s => liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
     ranked
   }
 
@@ -97,13 +99,18 @@ object GlobalRank {
                                 pctName: String = "prnk", cumeName: String = "cdist")
       : (DataFrame, () => Boolean) = {
     val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    (ranked, mkRelease(snap))
+  }
+
+  /** Idempotent single-snapshot release closure (true iff this
+    * invocation released a real snapshot). */
+  private def mkRelease(snap: Option[DataFrame]): () => Boolean = {
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val release = () => {
+    () => {
       val first = released.compareAndSet(false, true)
       if (first) snap.foreach(_.unpersist(blocking = false))
       first && snap.nonEmpty
     }
-    (ranked, release)
   }
 
   /** Release handles pinned by plain [[withGlobalRanks]] calls, oldest

@@ -139,7 +139,10 @@ object Sampling {
     * engine-portably. */
   def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
-    val field = df.schema.fields.find(_.name == scoreCol).getOrElse(
+    // resolve the way the analyzer would (case-insensitive under the
+    // default spark.sql.caseSensitive=false), not by exact string match
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val field = df.schema.fields.find(f => resolver(f.name, scoreCol)).getOrElse(
       throw new IllegalArgumentException(
         s"quantileGate: column '$scoreCol' not in ${df.columns.mkString(", ")}"))
     // exact percentile state is bounded by DISTINCT measure values, not
@@ -154,10 +157,13 @@ object Sampling {
           s"buffers one entry per distinct value); got ${dt.simpleString} — " +
           "micro-quantize the score to a long first")
     }
+    // the RESOLVED name, backtick-escaped (`` is the quoted-identifier
+    // escape), so hostile names — spaces, dots, even backticks — parse
+    val quoted = "`" + field.name.replace("`", "``") + "`"
     val thr = df.agg(
-      expr(s"percentile(`$scoreCol`, CAST($q AS DOUBLE))").as("__thr"))
+      expr(s"percentile($quoted, CAST($q AS DOUBLE))").as("__thr"))
     df.crossJoin(broadcast(thr))
-      .filter(col(scoreCol).cast("double") >= col("__thr"))
+      .filter(col(quoted).cast("double") >= col("__thr"))
       .drop("__thr")
   }
 }

@@ -64,9 +64,13 @@ class GlobalRankSuite extends SparkSpec {
     assert(r.getAs[Double]("prnk") == 0.0 && r.getAs[Double]("cdist") == 1.0)
 
     val empty = spark.emptyDataFrame.withColumn("v", lit(0L))
+    val live0 = GlobalRank.liveSnapshotCount
     val e = GlobalRank.withGlobalRanks(empty, Seq(col("v")))
     assert(e.count() == 0L)
     assert(e.columns.toSeq == Seq("v", "rnk", "drnk", "prnk", "cdist"))
+    // the empty-input short-circuit pins nothing — it must not register
+    // a dead handle that makes liveSnapshotCount over-report
+    assert(GlobalRank.liveSnapshotCount == live0)
   }
 
   test("plan: range-partitioned, no SinglePartition exchange anywhere") {

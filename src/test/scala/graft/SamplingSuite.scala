@@ -108,6 +108,15 @@ class SamplingSuite extends SparkSpec {
     assert(kept == Set(20L, 30L)) // threshold 15.0
   }
 
+  test("quantileGate resolves the measure like the analyzer (case-insensitive)") {
+    // default spark.sql.caseSensitive=false: a differently-cased name
+    // must resolve exactly as percentile/filter would resolve it
+    val df = toDf(spark)("id" -> (0 until 4), "score" -> (0 until 4)).df
+    val kept = Sampling.quantileGate(df, "SCORE", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(2L, 3L)) // threshold 1.5
+  }
+
   test("quantileGate plan: corpus side never shuffles (broadcast threshold)") {
     // the only exchange is the scalar aggregate's SinglePartition gather;
     // the gated scan must not hash-repartition
