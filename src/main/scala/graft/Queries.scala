@@ -686,7 +686,7 @@ object Queries {
     * bit-exactly in DuckDB — see [[OracleSql]]. */
   private val pipeline: Map[String, Q] = {
     import graft.functions.TextFunctions._
-    import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+    import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
     Map(
 
       // deterministic hash sampling: reproducible 10% of the corpus,
@@ -1387,7 +1387,15 @@ object Queries {
           Outliers.zscoreOutliers(Tables.df(s, dir, "documents"),
             col("n_chars"), Seq("source", "lang"), threshold = 1.5)
             .select("doc_id", "source", "lang", "n_chars", "z"))
-          .arrange("doc_id").df)
+          .arrange("doc_id").df),
+
+      // key-skew pre-flight: the 20 heaviest l_suppkey values with exact
+      // counts + corpus share — the decide-salting-vs-broadcast report
+      "q_key_skew" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Diagnostics.keySkew(Tables.df(s, dir, "lineitem"),
+            Seq("l_suppkey"), topK = 20))
+          .arrange("rnk").df)
     )
   }
 
@@ -1948,7 +1956,19 @@ object Queries {
         |         ELSE 0.0 END AS z
         |  FROM documents d JOIN st USING (source, lang))
         |SELECT * FROM scored WHERE abs(z) > 1.5
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // key skew: exact counts, one integer division for share, rank with
+    // the same (n DESC, key ASC) deterministic tie-break as the query
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM c)
+        |SELECT l_suppkey, n, n::DOUBLE / tot::DOUBLE AS share,
+        |  (ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey))::BIGINT AS rnk
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, l_suppkey
+        |LIMIT 20""".stripMargin
   )
 
   private val coreOracles: Map[String, String] = Map(

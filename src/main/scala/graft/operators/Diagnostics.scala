@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pre-flight diagnostics for join/aggregation planning at scale —
+  * beyond-reference (the reference is single-process and never needs
+  * them; a 100 TB Spark job lives or dies by them).
+  */
+object Diagnostics {
+
+  /** Key-skew report: the `topK` heaviest values of `keyCols` with exact
+    * counts, corpus share, and a dense heaviness rank — the number you
+    * look at BEFORE deciding whether a join needs salting, a broadcast,
+    * or plain AQE skew-split (a key with share ≈ 1/partitions is fine;
+    * share ≫ that pins one reducer).
+    *
+    * Plan: one partial-agged count per key [the only full shuffle], the
+    * grand total as ONE scalar aggregate broadcast back (BM25-stats
+    * pattern), top-K via TakeOrderedAndProject (bounded, deterministic
+    * tie-break on the key columns), and the rank window runs AFTER the
+    * top-K cut — a single-partition window over `topK` rows, bounded by
+    * construction, never by data. `share` is one division of exact
+    * integer counts, so it replays bit-identically cross-engine. */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew: need at least one key column")
+    require(topK > 0, "keySkew: topK must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__tot"))
+    val top = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+    // bounded single-partition window: input is the topK rows just cut
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+}

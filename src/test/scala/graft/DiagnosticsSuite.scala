@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{toDf, DataTable}
+import graft.operators.Diagnostics
+
+/** Key-skew pre-flight report: exact counts/shares, deterministic
+  * tie-break, and the bounded plan shape. */
+class DiagnosticsSuite extends SparkSpec {
+
+  test("keySkew reports exact counts, shares, and deterministic ranks") {
+    // counts: a=4, b=3, c=2, d=1 over 10 rows
+    val df = toDf(spark)("k" ->
+      Seq("a", "a", "a", "a", "b", "b", "b", "c", "c", "d")).df
+    val out = DataTable(Diagnostics.keySkew(df, Seq("k"), topK = 3))
+      .arrange("rnk")
+    assert(colStrings(out, "k") == Seq("a", "b", "c")) // d cut by topK
+    assert(colLongs(out, "n") == Seq(4L, 3L, 2L))
+    assert(colDoubles(out, "share") == Seq(0.4, 0.3, 0.2))
+    assert(colLongs(out, "rnk") == Seq(1L, 2L, 3L))
+  }
+
+  test("keySkew ties rank deterministically by key") {
+    val df = toDf(spark)("k" -> Seq("z", "z", "m", "m", "a")).df
+    val out = DataTable(Diagnostics.keySkew(df, Seq("k"), topK = 10))
+      .arrange("rnk")
+    // z and m tie at 2; key ASC breaks the tie: m before z
+    assert(colStrings(out, "k") == Seq("m", "z", "a"))
+    assert(colLongs(out, "rnk") == Seq(1L, 2L, 3L))
+  }
+
+  test("keySkew plan: top-K is a bounded TakeOrdered, window after the cut") {
+    val df = spark.range(1000).select((col("id") % 50).as("k"))
+    val plan = Diagnostics.keySkew(df, Seq("k"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
+}
