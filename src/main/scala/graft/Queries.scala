@@ -1395,7 +1395,15 @@ object Queries {
         graft.api.DataTable(
           Diagnostics.keySkew(Tables.df(s, dir, "lineitem"),
             Seq("l_suppkey"), topK = 20))
-          .arrange("rnk").df)
+          .arrange("rnk").df),
+
+      // exact fixed-width histogram of document lengths — all-integer
+      // binning so the edges replay bit-identically in DuckDB
+      "q_histogram" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Diagnostics.histogram(Tables.df(s, dir, "documents"),
+            "n_chars", lo = 0L, hi = 600L, bins = 24))
+          .arrange("bin").df)
     )
   }
 
@@ -1968,7 +1976,18 @@ object Queries {
         |  (ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey))::BIGINT AS rnk
         |FROM c CROSS JOIN t
         |ORDER BY n DESC, l_suppkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // histogram: the same all-integer bin formula ((x-lo)*bins // (hi-lo))
+    // and the same one-division edge arithmetic as the operator
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT ((n_chars - 0) * 24) // 600 AS bin
+        |  FROM documents WHERE n_chars >= 0 AND n_chars < 600)
+        |SELECT bin, COUNT(*)::BIGINT AS n,
+        |  0 + bin * 600 / 24 AS lo_edge,
+        |  0 + (bin + 1) * 600 / 24 AS hi_edge
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   )
 
   private val coreOracles: Map[String, String] = Map(

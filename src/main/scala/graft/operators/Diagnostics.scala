@@ -37,4 +37,25 @@ object Diagnostics {
       .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
     top.withColumn("rnk", row_number().over(w).cast("long"))
   }
+
+  /** Exact fixed-width histogram of an integral measure over [lo, hi):
+    * `bin = (x - lo) * bins DIV (hi - lo)` — all-integer arithmetic, so
+    * the edges replay bit-identically in any engine (`width_bucket`
+    * variants differ on edge inclusion across engines; the explicit
+    * formula doesn't). Rows outside [lo, hi) are dropped and reported is
+    * per NON-EMPTY bin only (a groupBy, not a dense bin spine — callers
+    * wanting zero rows join a `sequence`). One partial-agged shuffle on
+    * the bin id; bin count bounded by `bins` regardless of data. */
+  def histogram(df: DataFrame, measureCol: String,
+                lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(hi > lo, s"histogram: empty domain [$lo, $hi)")
+    require(bins > 0, "histogram: bins must be positive")
+    val x = col(measureCol).cast("long")
+    df.filter(x >= lo && x < hi)
+      .withColumn("bin", expr(s"((cast(`$measureCol` as bigint) - ${lo}L) * ${bins}L) div ${hi - lo}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", lit(lo) + col("bin") * lit(hi - lo) / lit(bins.toLong))
+      .withColumn("hi_edge", lit(lo) + (col("bin") + 1) * lit(hi - lo) / lit(bins.toLong))
+  }
 }

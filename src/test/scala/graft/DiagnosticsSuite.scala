@@ -29,6 +29,27 @@ class DiagnosticsSuite extends SparkSpec {
     assert(colLongs(out, "rnk") == Seq(1L, 2L, 3L))
   }
 
+  test("histogram bins with integer edges, half-open domain") {
+    // domain [0, 100), 10 bins of width 10: 0→bin0, 9→bin0, 10→bin1,
+    // 99→bin9, 100 and -1 dropped (half-open, out-of-domain)
+    val df = toDf(spark)("v" -> Seq(0L, 9L, 10L, 55L, 99L, 100L, -1L)).df
+    val out = DataTable(Diagnostics.histogram(df, "v", 0L, 100L, 10))
+      .arrange("bin")
+    assert(colLongs(out, "bin") == Seq(0L, 1L, 5L, 9L))
+    assert(colLongs(out, "n") == Seq(2L, 1L, 1L, 1L))
+    assert(colDoubles(out, "lo_edge") == Seq(0.0, 10.0, 50.0, 90.0))
+    assert(colDoubles(out, "hi_edge") == Seq(10.0, 20.0, 60.0, 100.0))
+  }
+
+  test("histogram handles non-divisible widths exactly") {
+    // [0, 7), 2 bins: width 3.5 — bin = x*2 div 7: 0..3→bin0, 4..6→bin1
+    val df = toDf(spark)("v" -> (0L until 7L)).df
+    val out = DataTable(Diagnostics.histogram(df, "v", 0L, 7L, 2))
+      .arrange("bin")
+    assert(colLongs(out, "n") == Seq(4L, 3L))
+    assert(colDoubles(out, "hi_edge") == Seq(3.5, 7.0))
+  }
+
   test("keySkew plan: top-K is a bounded TakeOrdered, window after the cut") {
     val df = spark.range(1000).select((col("id") % 50).as("k"))
     val plan = Diagnostics.keySkew(df, Seq("k"), topK = 5)
