@@ -69,7 +69,16 @@ object GraftExtensions {
       }),
     ("graft_nfc", info("graft_nfc",
       "graft_nfc(text) - Unicode NFC canonical composition"),
-      (es: Seq[Expression]) => NfcNormalize(es(0))))
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - MOSS winnowing fingerprints " +
+          "(char-k-gram hash48, window w; k and w must be literals)"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowText(es(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow: k and w must be integer literals, got $other")
+      }))
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit = {

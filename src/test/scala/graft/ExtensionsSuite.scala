@@ -31,6 +31,17 @@ class ExtensionsSuite extends SparkSpec {
     val n = spark.sql(
       "SELECT length(graft_nfc('e\\u0301')) AS l").head().getInt(0)
     assert(n == 1, s"graft_nfc did not compose: length $n")
+    // winnow via SQL equals the Scala API kernel
+    val winSql = spark.sql(
+      "SELECT graft_winnow('the quick brown fox', 5, 4) AS f").head().getSeq[Long](0)
+    val winApi = spark.sql("SELECT 'the quick brown fox' AS t")
+      .select(graft.functions.TextFunctions.winnowFingerprints(col("t"), 5, 4))
+      .head().getSeq[Long](0)
+    assert(winSql == winApi && winSql.nonEmpty)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('x', 5, length('abc')) AS f").collect()
+    }
+    assert(err.getMessage.contains("literal"))
   }
 
   test("FuseCosine rewrites the unfused pattern into one VecCosine kernel") {
