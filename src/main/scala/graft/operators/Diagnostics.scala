@@ -51,8 +51,11 @@ object Diagnostics {
     require(hi > lo, s"histogram: empty domain [$lo, $hi)")
     require(bins > 0, "histogram: bins must be positive")
     val x = col(measureCol).cast("long")
+    // backtick-escaped identifier (the quantileGate rule) — integer `div`
+    // has no Column operator, so the bin formula goes through expr
+    val q = "`" + measureCol.replace("`", "``") + "`"
     df.filter(x >= lo && x < hi)
-      .withColumn("bin", expr(s"((cast(`$measureCol` as bigint) - ${lo}L) * ${bins}L) div ${hi - lo}L"))
+      .withColumn("bin", expr(s"((cast($q as bigint) - ${lo}L) * ${bins}L) div ${hi - lo}L"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
       .withColumn("lo_edge", lit(lo) + col("bin") * lit(hi - lo) / lit(bins.toLong))

@@ -121,6 +121,23 @@ class CodegenSuite extends SparkSpec {
     assert(out.limit(3).collect().length == 3)
   }
 
+  test("kernel projections preserve parquet column pruning") {
+    // a custom expression that hid its child from the optimizer would
+    // force the scan to read every column; the winnow projection over
+    // documents must prune the scan to exactly (doc_id, text)
+    val docs = Tables.df(spark, sfDir, "documents")
+    val out = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.winnowFingerprints(col("text"), 5, 4).as("f"))
+    val scan = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema"), s"no file scan found:\n$scan")
+    val readSchema = scan.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"pruned past needed columns: $readSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"kernel defeated column pruning — scan reads: $readSchema")
+  }
+
   test("SimHashText compiles into a WholeStageCodegen span") {
     val docs = Tables.df(spark, sfDir, "documents")
     val sigOnly = docs.select(
