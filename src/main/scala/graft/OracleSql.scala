@@ -180,6 +180,20 @@ object OracleSql {
                      minShared: Long = 2L): String =
     closureOverPairs(winnowPairs(k, w, bucketCap, minShared))
 
+  /** Replays Dedup.winnowIncremental over the house incremental split
+    * (new = doc_id >= splitId, corpus = the rest): survivors of the
+    * corpus-fingerprint-set screen. */
+  def winnowIncremental(k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                        splitId: Long = 400L): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |newf AS (SELECT doc_id, unnest(fps) AS fp FROM fpl WHERE doc_id >= $splitId),
+       |store AS (SELECT DISTINCT unnest(fps) AS fp FROM fpl WHERE doc_id < $splitId),
+       |bad AS (SELECT doc_id FROM newf JOIN store USING (fp)
+       |        GROUP BY doc_id HAVING COUNT(*) >= $minShared)
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id >= $splitId AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared CTE prefix `docs → th → hs → sig → banded`: token hashes,
     * shingle polynomial hashes, the k-permutation signature, and the
     * per-band bucket hashes — the exact replay of Spark's

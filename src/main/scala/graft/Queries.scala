@@ -810,6 +810,21 @@ object Queries {
             "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L))
           .arrange("id_a", "id_b").df),
 
+      // ingest-time winnow screen: new batch (doc_id >= 400) vs the
+      // existing corpus fingerprint set. Set-level counting is far more
+      // aggressive than pairwise (the synthetic corpus shares heavy
+      // boilerplate — new-doc hit counts run 6..112, median 40), so the
+      // threshold sits at the median: ~half screened, ~half survive
+      "q_winnow_incr" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.winnowIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", k = 12, w = 8, minShared = 40L))
+          .arrange("doc_id").df
+      }),
+
       // winnow copied-span clusters: connected components over the winnow
       // pair graph (same parameters as q_winnow_pairs); every doc labeled
       // with the min id of its quote/boilerplate family
@@ -1660,6 +1675,9 @@ object Queries {
     // winnow copied-span clusters: recursive-CTE transitive closure over
     // the winnow pair graph, min-id component labels
     "q_winnow_cluster" -> OracleSql.winnowClusters(12, 8, 64, 4L),
+
+    // ingest-time winnow screen survivors (new = doc_id >= 400)
+    "q_winnow_incr" -> OracleSql.winnowIncremental(12, 8, 40L, 400L),
 
     // global-quantile gate: DuckDB's quantile_cont IS the interpolation
     // Spark's exact percentile implements (Sampling.quantileGate scaladoc)

@@ -349,6 +349,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Ingest-time winnow screen — [[winnowCandidates]]' incremental twin
+    * (the [[exactIncremental]] shape): drop from `newDocs` every
+    * document sharing at least `minShared` winnow fingerprints with the
+    * EXISTING corpus. Contamination-style semantics: the count is
+    * against the corpus-wide fingerprint SET (a doc that collects
+    * boilerplate spans from several corpus docs is screened just the
+    * same), not per corpus document — the right rule for "is this new
+    * doc's content already in the corpus".
+    *
+    * Scale shape: the corpus reduces to ONE distinct-fingerprint
+    * projection (in production, maintained incrementally as an appended
+    * store rather than rescanned — pass it via a pre-computed frame and
+    * join yourself if so); the new batch explodes scan-local and joins
+    * relationally (AQE broadcasts the batch side when small). Returns
+    * the surviving `newDocs` rows unchanged. */
+  def winnowIncremental(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String, idCol: String,
+                        k: Int = 5, w: Int = 4,
+                        minShared: Long = 2L): DataFrame = {
+    val store = corpus
+      .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+    val contaminated = newDocs
+      .select(col(idCol).as("__nid"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .join(store, Seq("fp"))
+      .groupBy("__nid")
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__nid").as(idCol))
+    newDocs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop from `df` every document sharing at
     * least one word `n`-gram with a benchmark document — the exact
     * n-gram-overlap filter training pipelines run against held-out eval

@@ -203,6 +203,30 @@ class CorpusSuite extends SparkSpec {
     assert(colLongs(out, "cluster_id") == Seq(1L, 1L, 1L, 4L))
   }
 
+  test("winnowIncremental screens new docs against the corpus fingerprint set") {
+    val block = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docs(1L -> s"existing doc with $block inside",
+      2L -> "another existing document entirely")
+    val fresh = docs(10L -> s"new doc copying $block verbatim",
+      11L -> "genuinely new content nothing shared")
+    val out = DataTable(Dedup.winnowIncremental(fresh, corpus,
+      "text", "doc_id", k = 12, w = 8, minShared = 2L)).arrange("doc_id")
+    assert(colLongs(out, "doc_id") == Seq(11L)) // the copier is screened
+  }
+
+  test("winnowIncremental counts against the SET, not per corpus doc") {
+    // the new doc shares one fingerprint-bearing block with EACH of two
+    // different corpus docs; per-doc pair counting would see two weak
+    // pairs, the set rule aggregates them and screens the doc
+    val x = "first shared boilerplate block here"
+    val y = "second shared boilerplate block there"
+    val corpus = docs(1L -> s"docs with $x only", 2L -> s"docs with $y only")
+    val fresh = docs(10L -> s"$x and also $y")
+    val shared = Dedup.winnowIncremental(fresh, corpus, "text", "doc_id",
+      k = 12, w = 8, minShared = 3L)
+    assert(shared.count() == 0L, "set-level count must screen the doc")
+  }
+
   test("winnowCandidates honors minShared") {
     val block = "the quick brown fox jumps over the lazy dog"
     val two = docs(1L -> s"a $block b", 2L -> s"c $block d")
