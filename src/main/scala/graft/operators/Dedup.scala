@@ -367,10 +367,21 @@ object Dedup {
   def winnowIncremental(newDocs: DataFrame, corpus: DataFrame,
                         textCol: String, idCol: String,
                         k: Int = 5, w: Int = 4,
-                        minShared: Long = 2L): DataFrame = {
-    val store = corpus
-      .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-      .distinct()
+                        minShared: Long = 2L): DataFrame =
+    winnowIncrementalAgainstFps(newDocs, textCol, idCol,
+      corpus.select(explode(winnowFingerprints(col(textCol), k, w)).as("fp")),
+      "fp", k, w, minShared)
+
+  /** [[winnowIncremental]] against an already-materialized fingerprint
+    * store (`fpCol` holds winnow hash48 values) — the production shape
+    * where the corpus fingerprint set is maintained incrementally
+    * instead of rescanned per ingest (the [[exactIncrementalAgainstFps]]
+    * pattern). */
+  def winnowIncrementalAgainstFps(newDocs: DataFrame, textCol: String,
+                                  idCol: String, knownFps: DataFrame,
+                                  fpCol: String, k: Int = 5, w: Int = 4,
+                                  minShared: Long = 2L): DataFrame = {
+    val store = knownFps.select(col(fpCol).as("fp")).distinct()
     val contaminated = newDocs
       .select(col(idCol).as("__nid"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))

@@ -214,6 +214,22 @@ class CorpusSuite extends SparkSpec {
     assert(colLongs(out, "doc_id") == Seq(11L)) // the copier is screened
   }
 
+  test("winnowIncremental equals the prebuilt-store production shape") {
+    import org.apache.spark.sql.functions.explode
+    import graft.functions.TextFunctions.winnowFingerprints
+    val block = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docs(1L -> s"existing $block doc", 2L -> "other corpus text")
+    val fresh = docs(10L -> s"copies $block here", 11L -> "clean new text")
+    val inline = Dedup.winnowIncremental(fresh, corpus, "text", "doc_id",
+      k = 12, w = 8, minShared = 2L).orderBy("doc_id").collect().map(_.getLong(0))
+    val store = corpus.select(
+      explode(winnowFingerprints(col("text"), 12, 8)).as("stored_fp"))
+    val viaStore = Dedup.winnowIncrementalAgainstFps(fresh, "text", "doc_id",
+      store, "stored_fp", k = 12, w = 8, minShared = 2L)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(inline.toSeq == viaStore.toSeq && inline.toSeq == Seq(11L))
+  }
+
   test("winnowIncremental counts against the SET, not per corpus doc") {
     // the new doc shares one fingerprint-bearing block with EACH of two
     // different corpus docs; per-doc pair counting would see two weak
