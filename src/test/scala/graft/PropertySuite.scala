@@ -321,6 +321,39 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("winnowCandidates equals driver-side fingerprint intersections") {
+    // with bucketCap large enough to never cut, the operator's pair
+    // counts must equal |fps(a) ∩ fps(b)| for every doc pair — computed
+    // here against the kernel's own per-doc fingerprints (the kernel is
+    // property-pinned to the HOF stages separately)
+    import graft.functions.TextFunctions.winnowFingerprints
+    val vocab = Seq("the", "cat", "sat", "mat", "dog", "ran", "far")
+    val genCorpus = for {
+      n <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(n, for {
+        m <- Gen.choose(2, 14)
+        ws <- Gen.listOfN(m, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield texts
+    forAll(genCorpus, n = 8) { texts =>
+      val df = toDf(spark)(
+        "doc_id" -> texts.indices.map(_.toLong),
+        "text" -> texts).df
+      val fps = df.select(col("doc_id"),
+        winnowFingerprints(col("text"), 4, 3).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        shared = (fps(a) intersect fps(b)).size
+        if shared >= 1
+      } yield (a, b) -> shared.toLong).toMap
+      val got = graft.operators.Dedup.winnowCandidates(df, "text", "doc_id",
+        k = 4, w = 3, bucketCap = 10000, minShared = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"texts=$texts")
+    }
+  }
+
   test("CSV roundtrip preserves any long/string frame") {
     forAll(genRows) { case (xs, gs) =>
       val df = toDf(spark)("x" -> xs, "g" -> gs)
