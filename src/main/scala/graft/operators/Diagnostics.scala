@@ -25,6 +25,12 @@ object Diagnostics {
   def keySkew(df: DataFrame, keyCols: Seq[String], topK: Int = 20): DataFrame = {
     require(keyCols.nonEmpty, "keySkew: need at least one key column")
     require(topK > 0, "keySkew: topK must be positive")
+    // the report's own columns share the frame with the keys — collision
+    // would make every later col("n") ambiguous; fail with the reason
+    val clash = keyCols.toSet intersect Set("n", "share", "rnk")
+    require(clash.isEmpty,
+      s"keySkew: key column(s) ${clash.mkString(", ")} collide with the " +
+        "report columns (n, share, rnk) — rename the key first")
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("__tot"))
     val top = counts.crossJoin(broadcast(total))
@@ -50,10 +56,12 @@ object Diagnostics {
                 lo: Long, hi: Long, bins: Int): DataFrame = {
     require(hi > lo, s"histogram: empty domain [$lo, $hi)")
     require(bins > 0, "histogram: bins must be positive")
-    val x = col(measureCol).cast("long")
-    // backtick-escaped identifier (the quantileGate rule) — integer `div`
-    // has no Column operator, so the bin formula goes through expr
+    // backtick-escaped identifier (the quantileGate rule) used for BOTH
+    // the filter and the expr bin formula — a dotted name must not be
+    // read as struct-field access anywhere; integer `div` has no Column
+    // operator, so the bin formula goes through expr
     val q = "`" + measureCol.replace("`", "``") + "`"
+    val x = col(q).cast("long")
     df.filter(x >= lo && x < hi)
       .withColumn("bin", expr(s"((cast($q as bigint) - ${lo}L) * ${bins}L) div ${hi - lo}L"))
       .groupBy("bin")

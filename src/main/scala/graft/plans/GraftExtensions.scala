@@ -74,10 +74,16 @@ object GraftExtensions {
       info("graft_winnow",
         "graft_winnow(text, k, w) - MOSS winnowing fingerprints " +
           "(char-k-gram hash48, window w; k and w must be literals)"),
-      (es: Seq[Expression]) => (es(1), es(2)) match {
-        case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowText(es(0), k, w)
-        case other => throw new IllegalArgumentException(
-          s"graft_winnow: k and w must be integer literals, got $other")
+      (es: Seq[Expression]) => {
+        if (es.length != 3) throw new IllegalArgumentException(
+          s"graft_winnow: expected 3 arguments (text, k, w), got ${es.length}")
+        def asPosInt(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) if v >= 1 => v
+          case Literal(v: Long, _) if v >= 1 && v <= Int.MaxValue => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow: $name must be a positive integer literal, got $other")
+        }
+        WinnowText(es(0), asPosInt(es(1), "k"), asPosInt(es(2), "w"))
       }))
 
   /** Register on an already-built session (tests, spark-shell). */

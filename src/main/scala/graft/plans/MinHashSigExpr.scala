@@ -551,6 +551,8 @@ case class AnyShingleInSet(child: Expression, n: Int, sorted: Array[Long])
 case class WinnowText(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
+  require(k >= 1 && w >= 1, s"WinnowText: k and w must be >= 1, got k=$k w=$w")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"

@@ -41,6 +41,22 @@ class DiagnosticsSuite extends SparkSpec {
     assert(colDoubles(out, "hi_edge") == Seq(10.0, 20.0, 60.0, 100.0))
   }
 
+  test("keySkew rejects report-column name collisions with a clear error") {
+    val df = toDf(spark)("n" -> Seq(1L, 2L)).df
+    val e = intercept[IllegalArgumentException] {
+      Diagnostics.keySkew(df, Seq("n"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("histogram handles identifier-hostile measure names") {
+    val df = toDf(spark)("id" -> (0L until 10L)).df
+      .withColumn("n.chars", col("id") * 10)
+    val out = DataTable(Diagnostics.histogram(df, "n.chars", 0L, 100L, 10))
+      .arrange("bin")
+    assert(colLongs(out, "n").sum == 10L) // dotted name not struct access
+  }
+
   test("histogram handles non-divisible widths exactly") {
     // [0, 7), 2 bins: width 3.5 — bin = x*2 div 7: 0..3→bin0, 4..6→bin1
     val df = toDf(spark)("v" -> (0L until 7L)).df

@@ -42,6 +42,19 @@ class ExtensionsSuite extends SparkSpec {
       spark.sql("SELECT graft_winnow('x', 5, length('abc')) AS f").collect()
     }
     assert(err.getMessage.contains("literal"))
+    // arity and domain errors are argument errors, not index crashes
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('x', 5) AS f").collect()
+    }
+    assert(arity.getMessage.contains("3 arguments"))
+    val dom = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('x', -1, 4) AS f").collect()
+    }
+    assert(dom.getMessage.contains("positive"))
+    // BIGINT literals are integers too
+    val viaLong = spark.sql("SELECT graft_winnow('the quick brown fox', 5L, 4L) AS f")
+      .head().getSeq[Long](0)
+    assert(viaLong == winApi)
   }
 
   test("FuseCosine rewrites the unfused pattern into one VecCosine kernel") {
