@@ -825,6 +825,20 @@ object Queries {
           .arrange("doc_id").df
       }),
 
+      // the same screen through the SCAN-LOCAL tier (kernel fingerprints
+      // + plan-embedded sorted store, no join/shuffle — the streaming
+      // shape) — hash-checked against the IDENTICAL oracle as
+      // q_winnow_incr, so the kernel path is verified end-to-end
+      "q_winnow_incr_scan" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.winnowIncrementalTiered(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", k = 12, w = 8, minShared = 40L))
+          .arrange("doc_id").df
+      }),
+
       // winnow copied-span clusters: connected components over the winnow
       // pair graph (same parameters as q_winnow_pairs); every doc labeled
       // with the min id of its quote/boilerplate family
@@ -1678,6 +1692,9 @@ object Queries {
 
     // ingest-time winnow screen survivors (new = doc_id >= 400)
     "q_winnow_incr" -> OracleSql.winnowIncremental(12, 8, 40L, 400L),
+
+    // scan-local tier, same truth: the oracle is deliberately identical
+    "q_winnow_incr_scan" -> OracleSql.winnowIncremental(12, 8, 40L, 400L),
 
     // global-quantile gate: DuckDB's quantile_cont IS the interpolation
     // Spark's exact percentile implements (Sampling.quantileGate scaladoc)

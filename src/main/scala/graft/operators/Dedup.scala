@@ -393,6 +393,38 @@ object Dedup {
     newDocs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[winnowIncremental]] with the [[decontaminate]]-style tier switch:
+    * when the corpus fingerprint store fits `maxSetFps` (sorted long
+    * array — 16 MB at the default), the screen is ONE scan-local
+    * codegen'd kernel chain per row (WinnowText fingerprints →
+    * SortedMembershipCount vs the plan-embedded store, compared to
+    * `minShared`) — no explode, no join, no shuffle, and STATELESS, so
+    * it runs on an unbounded stream unchanged (the relational tier's
+    * aggregation cannot). Oversized stores fall back to the relational
+    * shape. Same contract as decontaminate (unique non-null idCol);
+    * tier parity is suite-pinned and both tiers hash-match the same
+    * DuckDB oracle. */
+  def winnowIncrementalTiered(newDocs: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                              maxSetFps: Int = 2000000): DataFrame = {
+    val store = corpus
+      .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+    val head = probeLongs(store, "fp", maxSetFps)
+    if (head.length <= maxSetFps) {
+      import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
+      java.util.Arrays.sort(head)
+      val shared = Shim.toColumn(SortedMembershipCount(
+        Shim.toExpression(winnowFingerprints(col(textCol), k, w)), head))
+      // null text → null count; the relational tier's null-text doc
+      // never reaches the join, so it survives there — match it
+      newDocs.filter(coalesce(shared < minShared, lit(true)))
+    } else
+      winnowIncrementalAgainstFps(newDocs, textCol, idCol, store, "fp",
+        k, w, minShared)
+  }
+
   /** Benchmark decontamination: drop from `df` every document sharing at
     * least one word `n`-gram with a benchmark document — the exact
     * n-gram-overlap filter training pipelines run against held-out eval

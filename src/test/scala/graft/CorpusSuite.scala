@@ -230,6 +230,23 @@ class CorpusSuite extends SparkSpec {
     assert(inline.toSeq == viaStore.toSeq && inline.toSeq == Seq(11L))
   }
 
+  test("winnowIncrementalTiered: scan-local and relational tiers agree") {
+    val block = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docs(1L -> s"existing $block doc", 2L -> "other corpus text")
+    val fresh = docs(10L -> s"copies $block here", 11L -> "clean new text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val fast = Dedup.winnowIncrementalTiered(fresh, corpus, "text", "doc_id",
+      k = 12, w = 8, minShared = 2L) // tiny store → kernel tier
+    val relational = Dedup.winnowIncrementalTiered(fresh, corpus, "text", "doc_id",
+      k = 12, w = 8, minShared = 2L, maxSetFps = 0) // forced fallback
+    assert(ids(fast) == Seq(11L))
+    assert(ids(fast) == ids(relational))
+    // the fast tier's plan is join-free (pure scan + kernel filter)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fast tier must not join:\n$plan")
+  }
+
   test("winnowIncremental counts against the SET, not per corpus doc") {
     // the new doc shares one fingerprint-bearing block with EACH of two
     // different corpus docs; per-doc pair counting would see two weak
