@@ -788,20 +788,51 @@ object Dedup {
     (labels, iter)
   }
 
-  /** Shared cluster-label step: pointer-jumping components over an
-    * (id_a, id_b) pair graph, then every row of `df` labeled
-    * `cluster_id` = smallest id of its component (its own id when it
-    * appears in no pair). The min-label rule needs a numeric id — a
-    * string id would cast to null and silently label every untouched doc
-    * NULL, so the dtype is enforced here once for every cluster op. */
-  private def clusterByPairs(df: DataFrame, pairs: DataFrame,
-                             idCol: String): DataFrame = {
+  /** Shared cluster-label step: components over an (id_a, id_b) pair
+    * graph, then every row of `df` labeled `cluster_id` = smallest id of
+    * its component (its own id when it appears in no pair). The
+    * min-label rule needs a numeric id — a string id would cast to null
+    * and silently label every untouched doc NULL, so the dtype is
+    * enforced here once for every cluster op.
+    *
+    * TIERED (decontaminate pattern, one bounded probe decides): a
+    * candidate graph within `maxDriverEdges` (16 MB of edge pairs at
+    * the default) is solved by DRIVER-SIDE union-find — the distributed
+    * loop costs O(log n) driver-synchronized rounds of tiny jobs, which
+    * dominates small graphs — and the labels broadcast back as a join.
+    * Past the cap, the pointer-jumping distributed components run
+    * (billions of edges never touch the driver). Near-dup candidate
+    * graphs are SPARSE by construction (bucketCap bounds pair fan-out),
+    * so the driver tier covers realistic corpora far beyond the test
+    * scale; parity between tiers is suite-pinned. */
+  private[graft] def clusterByPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                                    maxDriverEdges: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val dt = df.schema(idCol).dataType
     require(dt == LongType || dt == IntegerType,
       s"cluster ops need an integral id column; '$idCol' is ${dt.simpleString}")
-    val comp = connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", idCol)
+    val edgeProbe = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(maxDriverEdges + 1).collect()
+    val comp =
+      if (edgeProbe.length <= maxDriverEdges) {
+        // union-find with min-label roots (attach larger root under
+        // smaller), path-compressed — the probe IS the whole edge set
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        edgeProbe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val labels = parent.keys.toSeq.map(x => (x, find(x)))
+        val s = df.sparkSession
+        import s.implicits._
+        labels.toDF(idCol, "component")
+      } else
+        connectedComponents(pairs, "id_a", "id_b").withColumnRenamed("id", idCol)
     df.join(comp, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
       .drop("component")

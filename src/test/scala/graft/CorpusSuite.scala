@@ -260,6 +260,25 @@ class CorpusSuite extends SparkSpec {
     assert(shared.count() == 0L, "set-level count must screen the doc")
   }
 
+  test("clusterByPairs: driver union-find tier equals distributed components") {
+    val x = "alpha beta gamma delta epsilon zeta"
+    val y = "one two three four five six seven"
+    val corpus = docs(
+      1L -> s"start $x end",
+      2L -> s"$x middle $y",
+      3L -> s"intro $y outro",
+      4L -> "nothing shared with anyone here at all")
+    val pairs = Dedup.winnowCandidates(corpus, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = 2L)
+    def labels(cap: Int) = Dedup.clusterByPairs(corpus, pairs, "doc_id", cap)
+      .select("doc_id", "cluster_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val driver = labels(1 << 20)   // graph fits: union-find tier
+    val dist = labels(0)           // forced distributed components
+    assert(driver == dist)
+    assert(driver == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("winnowCandidates honors minShared") {
     val block = "the quick brown fox jumps over the lazy dog"
     val two = docs(1L -> s"a $block b", 2L -> s"c $block d")
