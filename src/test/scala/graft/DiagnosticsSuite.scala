@@ -41,6 +41,19 @@ class DiagnosticsSuite extends SparkSpec {
     assert(colDoubles(out, "hi_edge") == Seq(10.0, 20.0, 60.0, 100.0))
   }
 
+  test("keySkew handles composite keys") {
+    val df = toDf(spark)(
+      "a" -> Seq("x", "x", "x", "y", "y"),
+      "b" -> Seq(1L, 1L, 2L, 1L, 1L)).df
+    val out = DataTable(Diagnostics.keySkew(df, Seq("a", "b"), topK = 2))
+      .arrange("rnk")
+    // (x,1)=2, (y,1)=2 tie → key order breaks: (x,1) first; (x,2)=1 cut
+    assert(colStrings(out, "a") == Seq("x", "y"))
+    assert(colLongs(out, "b") == Seq(1L, 1L))
+    assert(colLongs(out, "n") == Seq(2L, 2L))
+    assert(colDoubles(out, "share") == Seq(0.4, 0.4))
+  }
+
   test("keySkew rejects report-column name collisions with a clear error") {
     val df = toDf(spark)("n" -> Seq(1L, 2L)).df
     val e = intercept[IllegalArgumentException] {

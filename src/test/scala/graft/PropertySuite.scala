@@ -354,6 +354,26 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("histogram equals driver-side binning for random domains") {
+    import graft.operators.Diagnostics
+    val gen = for {
+      lo <- Gen.choose(-1000L, 1000L)
+      width <- Gen.choose(2L, 500L)
+      bins <- Gen.choose(1, 20)
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n, Gen.choose(lo - 10L, lo + width + 10L))
+    } yield (lo, lo + width, bins, vs)
+    forAll(gen, n = 10) { case (lo, hi, bins, vs) =>
+      val df = toDf(spark)("v" -> vs).df
+      val got = Diagnostics.histogram(df, "v", lo, hi, bins)
+        .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+      val want = vs.filter(v => v >= lo && v < hi)
+        .groupBy(v => (v - lo) * bins / (hi - lo)) // Long division = DIV
+        .view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"lo=$lo hi=$hi bins=$bins vs=$vs")
+    }
+  }
+
   test("CSV roundtrip preserves any long/string frame") {
     forAll(genRows) { case (xs, gs) =>
       val df = toDf(spark)("x" -> xs, "g" -> gs)
