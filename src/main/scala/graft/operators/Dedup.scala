@@ -811,31 +811,50 @@ object Dedup {
     val dt = df.schema(idCol).dataType
     require(dt == LongType || dt == IntegerType,
       s"cluster ops need an integral id column; '$idCol' is ${dt.simpleString}")
-    val edgeProbe = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(maxDriverEdges + 1).collect()
-    val comp =
-      if (edgeProbe.length <= maxDriverEdges) {
-        // union-find with min-label roots (attach larger root under
-        // smaller), path-compressed — the probe IS the whole edge set
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
-        }
-        edgeProbe.foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val labels = parent.keys.toSeq.map(x => (x, find(x)))
-        val s = df.sparkSession
-        import s.implicits._
-        labels.toDF(idCol, "component")
-      } else
-        connectedComponents(pairs, "id_a", "id_b").withColumnRenamed("id", idCol)
-    df.join(comp, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
-      .drop("component")
+    // persist before probing: limit cannot short-circuit the candidate
+    // shuffle, so without the cache the over-cap fallback would pay the
+    // dominant pairs computation TWICE (probe + components)
+    val cached = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // primitive-tuple collect (the probeLongs rule): boxed Rows carry
+      // 10-20x wrapper overhead, which would turn the documented ~16 MB
+      // probe budget into hundreds of MB of driver heap
+      import org.apache.spark.sql.Encoders
+      val edgeProbe = cached.limit(maxDriverEdges + 1)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()
+      val comp =
+        if (edgeProbe.length <= maxDriverEdges) {
+          // union-find with min-label roots (attach larger root under
+          // smaller); find is ITERATIVE with full path compression — a
+          // recursive walk overflows the stack on chain-shaped graphs
+          // (doc i paired with doc i+1), which near-dup chains produce
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var r = x0
+            var p = parent.getOrElseUpdate(r, r)
+            while (p != r) { r = p; p = parent.getOrElseUpdate(r, r) }
+            var x = x0
+            while (x != r) { val nxt = parent(x); parent(x) = r; x = nxt }
+            r
+          }
+          edgeProbe.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val labels = parent.keys.toSeq.map(x => (x, find(x)))
+          val s = df.sparkSession
+          import s.implicits._
+          labels.toDF(idCol, "component")
+        } else
+          // components materialize during the call (per-round counts) and
+          // the returned labels are checkpoint-truncated, so the cache
+          // can be dropped as soon as this returns
+          connectedComponents(cached, "id_a", "id_b").withColumnRenamed("id", idCol)
+      df.join(comp, Seq(idCol), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
+        .drop("component")
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Full-corpus cluster assignment over MinHash candidates: every row of

@@ -279,6 +279,20 @@ class CorpusSuite extends SparkSpec {
     assert(driver == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("clusterByPairs driver tier survives deep chain graphs") {
+    // the recursion hazard: a 50k-doc chain (i — i+1) built in DESCENDING
+    // edge order produces maximum-depth parent chains; a recursive find
+    // overflows the default JVM stack here, the iterative walk must not
+    val n = 50000
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val pairs = spark.range(n - 1)
+      .select((lit(n - 2) - col("id")).as("id_a"),
+        (lit(n - 1) - col("id")).as("id_b"))
+    val out = Dedup.clusterByPairs(ids, pairs, "doc_id")
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0L,
+      "every chained doc must label to the chain minimum")
+  }
+
   test("winnowCandidates honors minShared") {
     val block = "the quick brown fox jumps over the lazy dog"
     val two = docs(1L -> s"a $block b", 2L -> s"c $block d")

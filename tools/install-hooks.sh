@@ -1,7 +1,11 @@
 #!/usr/bin/env bash
-# Installs the tracked pre-commit compile gate into .git/hooks.
+# Installs the tracked pre-commit compile gate into the repo's hook dir.
+# Uses git's own hook-path resolution, which handles linked worktrees
+# (.git is a file there) and a configured core.hooksPath.
 set -euo pipefail
 cd "$(git rev-parse --show-toplevel)"
-cp tools/pre-commit .git/hooks/pre-commit
-chmod +x .git/hooks/pre-commit
-echo "pre-commit hook installed"
+HOOKS=$(git rev-parse --git-path hooks)
+mkdir -p "$HOOKS"
+cp tools/pre-commit "$HOOKS/pre-commit"
+chmod +x "$HOOKS/pre-commit"
+echo "pre-commit hook installed at $HOOKS/pre-commit"
