@@ -95,6 +95,35 @@ class StreamingSuite extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("winnow ingest screen fast tier runs on an unbounded stream") {
+    // winnowIncrementalTiered's scan-local tier (kernel fingerprints +
+    // plan-embedded store membership count) is a pure projection filter —
+    // no state, no watermark — so the ingest screen applies to a stream
+    // of new docs against a static corpus, per its scaladoc claim
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val inDir = Paths.get("/tmp/graft_stream_winnow")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+      .filter(col("doc_id") >= 400)
+    val kept = graft.operators.Dedup.winnowIncrementalTiered(
+      stream, corpus, "text", "doc_id", k = 12, w = 8, minShared = 40L)
+    assert(kept.isStreaming)
+    val query = kept.select("doc_id")
+      .writeStream.format("memory").queryName("graft_winnow_screen")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val got = spark.table("graft_winnow_screen").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Dedup.winnowIncrementalTiered(
+      docs.filter(col("doc_id") >= 400), corpus, "text", "doc_id",
+      k = 12, w = 8, minShared = 40L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-static enrichment join: broadcast dim onto an unbounded stream") {
     // the classic enrichment shape: per-event user attributes joined in
     // from a static dimension — stream-static joins need no watermark
