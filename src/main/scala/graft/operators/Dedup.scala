@@ -420,9 +420,18 @@ object Dedup {
       // null text → null count; the relational tier's null-text doc
       // never reaches the join, so it survives there — match it
       newDocs.filter(coalesce(shared < minShared, lit(true)))
-    } else
+    } else {
+      // the relational tier aggregates per new doc — fine in batch,
+      // unsupported on an unwatermarked stream; fail with the reason
+      // instead of Spark's generic unsupported-operation analysis error
+      require(!newDocs.isStreaming,
+        s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
+          s"($maxSetFps) and the relational fallback cannot run on a " +
+          "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
+          "pre-shrink the store")
       winnowIncrementalAgainstFps(newDocs, textCol, idCol, store, "fp",
         k, w, minShared)
+    }
   }
 
   /** Benchmark decontamination: drop from `df` every document sharing at

@@ -122,6 +122,14 @@ class StreamingSuite extends SparkSpec {
       k = 12, w = 8, minShared = 40L)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && got.nonEmpty)
+    // an over-cap store cannot take the relational fallback on a stream —
+    // the tier switch must say so instead of a generic analysis error
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.winnowIncrementalTiered(
+        stream, corpus, "text", "doc_id", k = 12, w = 8,
+        minShared = 40L, maxSetFps = 0)
+    }
+    assert(e.getMessage.contains("cannot run on a stream"))
   }
 
   test("stream-static enrichment join: broadcast dim onto an unbounded stream") {
