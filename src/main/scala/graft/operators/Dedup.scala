@@ -13,7 +13,10 @@ import graft.functions.VectorFunctions._
   * phase, no driver-side loops, no UDFs — the MinHash/SimHash math is
   * expressed with higher-order array functions so it runs per-partition.
   * Skew guards: LSH bucket sizes are capped (a degenerate bucket of 10⁶
-  * identical docs would otherwise produce 10¹² candidate pairs).
+  * identical docs would otherwise produce 10¹² candidate pairs), and the
+  * cap is enforced inside the aggregation buffer itself
+  * ([[cappedBuckets]]) — the degenerate bucket never materializes
+  * anywhere in the plan, not even transiently before a size filter.
   *
   * All hashes are md5-derived ([[graft.functions.TextFunctions.hash48]]) so
   * every stage is bit-reproducible in any engine with md5 — the DuckDB
@@ -29,6 +32,32 @@ object Dedup {
   private def probeLongs(df: DataFrame, c: String, cap: Int): Array[Long] = {
     val enc = org.apache.spark.sql.Encoders.scalaLong
     df.select(col(c)).limit(cap + 1).as(enc).collect()
+  }
+
+  /** Capped LSH bucket build — the scale contract every candidate stage
+    * shares. Discipline from [[Corpus.postings]] ("the aggregation buffer
+    * is bounded by maxDf ids per token by construction"), strengthened:
+    * rather than counting per key first and joining survivors back (two
+    * corpus scans), the cap is enforced INSIDE the aggregation buffer by
+    * [[org.apache.spark.sql.graftshim.CollectListCapped]] — a bucket
+    * retains at most `bucketCap + 1` members at every point in the plan
+    * (per-row update, map-side partials, shuffle rows, final merge), so
+    * a boilerplate-hot key (an empty-text fingerprint, a template's band
+    * hash) with 10^8 members costs O(bucketCap) per partial instead of a
+    * multi-GB single-key buffer, and the input is scanned ONCE. The
+    * `[2, bucketCap]` size filter then drops over-cap buckets (retained
+    * size caps at bucketCap + 1 > bucketCap) exactly as the uncapped
+    * collect_list + filter would — identical survivor sets and member
+    * lists, property-pinned in DedupSuite including hot keys torn across
+    * partials. */
+  private[graft] def cappedBuckets(banded: DataFrame, keys: Seq[Column],
+                                   member: Column, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.{CollectListCapped, Shim}
+    val capped = Shim.toColumn(
+      CollectListCapped(Shim.toExpression(member), bucketCap).toAggregateExpression())
+    banded.groupBy(keys: _*)
+      .agg(capped.as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
   }
 
   // ------------------------------------------------------------- exact
@@ -183,10 +212,8 @@ object Dedup {
       col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("sig"), b * rows + 1, rows)): _*)).as(Seq("band", "bhash")))
-    val buckets = banded
-      .groupBy(col("band"), col("bhash"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
+    val buckets = cappedBuckets(banded, Seq(col("band"), col("bhash")),
+      struct(col("id"), col("sig")), bucketCap)
     // in-bucket pair expansion a<b, then de-dup pairs found in >1 band
     val pairs = buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
@@ -259,9 +286,8 @@ object Dedup {
     val banded = withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("chunk", "cval")))
-    val buckets = banded.groupBy(col("chunk"), col("cval"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
+    val buckets = cappedBuckets(banded, Seq(col("chunk"), col("cval")),
+      struct(col("id"), col("sh")), bucketCap)
     buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
         |  filter(transform(members, m2 ->
@@ -335,9 +361,7 @@ object Dedup {
     val fps = df
       .select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-    val buckets = fps.groupBy("fp")
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
+    val buckets = cappedBuckets(fps, Seq(col("fp")), col("id"), bucketCap)
     buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
         |  filter(transform(members, m2 ->
@@ -634,20 +658,24 @@ object Dedup {
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
                         maxDist: Int, n: Int = 4,
                         bucketCap: Int = 256): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      array_distinct(charNgrams(col(strCol), n)).as("gs"))
-    val banded = t.select(col("id"), col("s"), explode(col("gs")).as("g"))
-    val buckets = banded.groupBy(col("g"))
-      .agg(collect_list(struct(col("id"), col("s"))).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
+    // ids ONLY ride the gram-bucket shuffle — the strings would multiply
+    // the exchange by the gram count per doc (a 1 KB string explodes to
+    // ~1 MB of shuffled payload at n=4); the verify stage re-joins them
+    // by id against a narrow (id, s) projection AFTER pair formation,
+    // when the candidate set is already LSH-small
+    val strs = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val banded = df.select(col(idCol).as("id"),
+      explode(array_distinct(charNgrams(col(strCol), n))).as("g"))
+    val buckets = cappedBuckets(banded, Seq(col("g")), col("id"), bucketCap)
     buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
         |  filter(transform(members, m2 ->
-        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
-        |       m1.s as s_a, m2.s as s_b), null)), p -> p is not null)))"""
-        .stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.s_a"), col("p.s_b"))
+        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
+        |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
       .filter(col("dist") <= maxDist)
@@ -666,19 +694,23 @@ object Dedup {
                           minCosine: Double = 0.95,
                           bucketCap: Int = 1024): DataFrame = {
     val planes = hashPlanes(numPlanes, dim)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    val buckets = bucketed.groupBy(col("bucket"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
+    // ids ONLY ride the bucket shuffle (the editDistancePairs rule): a
+    // 768-dim float vector is ~3 KB per member in the exchange; the
+    // cosine stage re-joins vectors by id after pair formation instead
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(
+      hyperplaneBucket(col("v"), planes).as("bucket"), col("id"))
+    val buckets = cappedBuckets(banded, Seq(col("bucket")), col("id"), bucketCap)
     buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
         |  filter(transform(members, m2 ->
-        |    if(m1.id < m2.id, struct(m1.id as id_a, m2.id as id_b,
-        |       m1.v as v_a, m2.v as v_b), null)), p -> p is not null)))"""
-        .stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        cosine(col("p.v_a"), col("p.v_b")).as("cos"))
+        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
+        |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
