@@ -64,11 +64,16 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Replays Similarity.kmeansAssign: `iters` Lloyd rounds from the
-    * deterministic seeds (vec_id < k), centroid means via quantized long
-    * sums, cosine assignment with smallest-cell tie-break. The CTE chain
-    * mirrors the Spark loop round for round. */
-  def kmeansAssign(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+  /** Shared Lloyd CTE chain `e, c0, s0, a0, g1, c1, … c{iters}` (plus a
+    * final assignment `s{iters}, a{iters}` when `withFinalAssign`):
+    * `iters` quantized-mean rounds from the deterministic seeds
+    * (vec_id < k), mirroring the Spark loop in `Similarity.lloyd` round
+    * for round — `c$iters` holds the TRAINED centroids (cell = seed id,
+    * cv = element list ordered by position). Used by both the kmeans
+    * assignment oracle and the trained-centroid IVF oracles, so the
+    * centroid replay is written once. */
+  private def lloydCtes(k: Int, iters: Int, dim: Int,
+                        withFinalAssign: Boolean): String = {
     val S = "1000000.0"
     def sN(i: Int) =
       s"""s$i AS (SELECT e.vec_id, c.cell, ${cosExpr("e.v", "c.cv")} AS cos
@@ -89,12 +94,19 @@ object OracleSql {
       s"""c$i AS (SELECT cell, list(sm / (cnt * $S) ORDER BY pos) AS cv
          |  FROM g$i GROUP BY cell)""".stripMargin
     val rounds = (0 until iters).flatMap(i =>
-      Seq(sN(i), aN(i), gN(i + 1), cN(i + 1))) ++ Seq(sN(iters), aN(iters))
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Seq(sN(i), aN(i), gN(i + 1), cN(i + 1))) ++
+      (if (withFinalAssign) Seq(sN(iters), aN(iters)) else Nil)
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k),
-       |${rounds.mkString(",\n")}
-       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** Replays Similarity.kmeansAssign: `iters` Lloyd rounds from the
+    * deterministic seeds (vec_id < k), centroid means via quantized long
+    * sums, cosine assignment with smallest-cell tie-break. */
+  def kmeansAssign(k: Int = 8, iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${lloydCtes(k, iters, dim, withFinalAssign = true)}
+       |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
 
   /** Transitive closure of Dedup.clusterByMinhash: DuckDB's recursive CTE
     * computes, for every node of the candidate-pair graph, the set of
@@ -317,37 +329,40 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Replays Similarity.ivfTopK with centroids = embeddings of
-    * vec_id < nCent: relational argmax assignment (ROW_NUMBER over
-    * cosine desc, centroid asc — same tie-break as array_position-of-max),
-    * nprobe=2, top-k per query over vec_id < 4. */
-  def annIvf(nCent: Int = 8, k: Int = 10): String = {
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-       |  FROM embeddings WHERE vec_id < $nCent),
-       |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** IVF candidate/rank CTE suffix over trained centroids: expects the
+    * Lloyd chain's `e` (vec_id, v) and `c{iters}` (cell, cv) in scope.
+    * Relational argmax assignment (ROW_NUMBER over cosine desc, cell
+    * asc — the same tie-break as Spark's array_position-of-max over the
+    * cell-ordered centroid list), nprobe=2, per-query rank over
+    * vec_id < 4. */
+  private def ivfRankedCtes(iters: Int): String =
+    s"""cent AS (SELECT cell AS cid, cv FROM c$iters),
        |cassign AS (
-       |  SELECT vec_id, v, cid + 1 AS cell,
+       |  SELECT vec_id, v, cid,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY ${cosExpr("v", "cv")} DESC, cid) AS rn
-       |  FROM base CROSS JOIN cent),
-       |c AS (SELECT vec_id, v, cell FROM cassign WHERE rn = 1),
-       |qassign AS (
-       |  SELECT vec_id AS query_id, v AS qv, cid + 1 AS cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY ${cosExpr("v", "cv")} DESC, cid) AS rn
-       |  FROM base CROSS JOIN cent WHERE vec_id < 4),
-       |q AS (SELECT query_id, qv, cell FROM qassign WHERE rn <= 2),
+       |  FROM e CROSS JOIN cent),
+       |c AS (SELECT vec_id, v, cid AS cell FROM cassign WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+       |  FROM cassign WHERE vec_id < 4 AND rn <= 2),
        |cand AS (
        |  SELECT DISTINCT q.query_id, c.vec_id, ${cosExpr("c.v", "q.qv")} AS cos
        |  FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cos,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  /** Replays Similarity.ivfTopK over TRAINED centroids
+    * (Similarity.kmeansCentroids — `iters` Lloyd rounds from the
+    * deterministic vec_id < nCent seeds), composing the kmeans oracle's
+    * centroid chain with the IVF assignment. */
+  def annIvf(nCent: Int = 8, iters: Int = 2, dim: Int = 64,
+             k: Int = 10): String =
+    s"""WITH ${lloydCtes(nCent, iters, dim, withFinalAssign = false)},
+       |${ivfRankedCtes(iters)}
        |SELECT query_id, vec_id, cos, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Replays Similarity.lshTopK (8 planes, single-bit multi-probe,
     * top-10 per query over vec_id < 4). */
@@ -377,41 +392,45 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Replays q_ann_recall: recall of the multi-probe LSH ANN against the
-    * brute-force ground truth, per query — both sides regenerated from
-    * the same plane constants, so the overlap counts are exact. */
-  def annRecall(dim: Int = 64, numPlanes: Int = 8, k: Int = 10): String = {
+  /** Replays q_ann_recall: recall of the multi-probe LSH ANN AND the
+    * trained-centroid IVF ANN against the brute-force ground truth, per
+    * query — planes and centroids regenerated from the same constants /
+    * Lloyd chain, so the overlap counts are exact. */
+  def annRecall(dim: Int = 64, numPlanes: Int = 8, k: Int = 10,
+                nCent: Int = 8, iters: Int = 2): String = {
     val planes = VectorFunctions.hashPlanes(numPlanes, dim)
     val probes = ("qbucket" +: (0 until numPlanes).map(i => s"xor(qbucket, ${1L << i})"))
       .mkString("[", ", ", "]")
-    s"""WITH c AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS cv,
-       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS qbucket
-       |  FROM embeddings WHERE vec_id < 4),
+    s"""WITH ${lloydCtes(nCent, iters, dim, withFinalAssign = false)},
+       |${ivfRankedCtes(iters)},
+       |iapprox AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $k),
+       |hb AS (
+       |  SELECT vec_id, v AS cv, ${bucketExpr("v", planes)} AS bucket FROM e),
+       |hq AS (
+       |  SELECT vec_id AS query_id, cv AS qv, bucket AS qbucket
+       |  FROM hb WHERE vec_id < 4),
        |truth AS (
        |  SELECT query_id, vec_id FROM (
-       |    SELECT q.query_id, c.vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${cosExpr("c.cv", "q.qv")} DESC, c.vec_id) AS rank
-       |    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |    SELECT hq.query_id, hb.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY hq.query_id
+       |        ORDER BY ${cosExpr("hb.cv", "hq.qv")} DESC, hb.vec_id) AS rank
+       |    FROM hb CROSS JOIN hq WHERE hb.vec_id <> hq.query_id)
        |  WHERE rank <= $k),
-       |probes AS (SELECT query_id, qv, p AS bucket FROM q, unnest($probes) AS t(p)),
-       |cand AS (
-       |  SELECT DISTINCT p.query_id, c.vec_id, ${cosExpr("c.cv", "p.qv")} AS cos
-       |  FROM c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
-       |approx AS (
+       |lprobes AS (SELECT query_id, qv, p AS bucket FROM hq, unnest($probes) AS t(p)),
+       |lcand AS (
+       |  SELECT DISTINCT p.query_id, hb.vec_id, ${cosExpr("hb.cv", "p.qv")} AS cos
+       |  FROM hb JOIN lprobes p ON hb.bucket = p.bucket AND hb.vec_id <> p.query_id),
+       |lapprox AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-       |    FROM cand) WHERE rank <= $k)
+       |    FROM lcand) WHERE rank <= $k)
        |SELECT t.query_id, COUNT(*)::BIGINT AS n_true,
-       |  SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
-       |FROM truth t LEFT JOIN approx a
-       |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+       |  SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_lsh,
+       |  SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_ivf
+       |FROM truth t
+       |LEFT JOIN lapprox l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+       |LEFT JOIN iapprox i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 

@@ -1046,14 +1046,15 @@ object Queries {
       }),
 
       // IVF-style ANN: centroid cells assigned by pure projection (no
-      // shuffle), nprobe=2. Centroids = first 8 corpus vectors (a
-      // deterministic stand-in for k-means, so the oracle replays the
-      // assignment relationally); exact oracle.
+      // shuffle), nprobe=2. Centroids are TRAINED — 2 Lloyd rounds from
+      // the deterministic vec_id < 8 seeds (Similarity.kmeansCentroids,
+      // the same quantized-mean builder q_kmeans_assign pins), so the
+      // index is the real production shape and the oracle replays the
+      // training relationally; exact oracle.
       "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-          .select("embedding").collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+        val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+          k = 8, iters = 2)
         graft.api.DataTable(
           Similarity.ivfTopK(
             corpus = emb, queries = emb.filter(col("vec_id") < 4),
@@ -1173,8 +1174,10 @@ object Queries {
             Bm25Terms))
           .arrange("doc_id").df),
 
-      // ANN evaluation: recall@10 of the multi-probe LSH index against
-      // brute-force ground truth, per query (integer counts — exact)
+      // ANN evaluation: recall@10 of BOTH approximate indexes — the
+      // multi-probe LSH buckets and the trained-centroid IVF (the same
+      // Lloyd-built index q_ann_ivf serves) — against brute-force ground
+      // truth, per query (integer counts — exact)
       "q_ann_recall" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 4)
@@ -1182,16 +1185,24 @@ object Queries {
           corpus = emb, queries = qs,
           vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
           k = 10).select(col("query_id"), col("vec_id"))
-        val approx = Similarity.lshTopK(
+        val lsh = Similarity.lshTopK(
           corpus = emb, queries = qs,
           vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
           k = 10, dim = 64, numPlanes = 8, probeBits = 1)
-          .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__lhit"))
+        val ivf = Similarity.ivfTopK(
+          corpus = emb, queries = qs,
+          centroids = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+            k = 8, iters = 2),
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__ihit"))
         graft.api.DataTable(
-          truth.join(approx, Seq("query_id", "vec_id"), "left")
+          truth.join(lsh, Seq("query_id", "vec_id"), "left")
+            .join(ivf, Seq("query_id", "vec_id"), "left")
             .groupBy("query_id")
             .agg(count(lit(1)).as("n_true"),
-              sum(coalesce(col("__hit"), lit(0L))).as("n_hit")))
+              sum(coalesce(col("__lhit"), lit(0L))).as("n_hit_lsh"),
+              sum(coalesce(col("__ihit"), lit(0L))).as("n_hit_ivf")))
           .arrange("query_id").df
       }),
 
