@@ -29,12 +29,14 @@ object Bench {
             false
         }
       // a failed query must not masquerade as a fast one
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val dt: Double = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // The noop write consumed the result fully, so the plain
-      // withGlobalRanks snapshots pinned by this run are safe to drop —
-      // without this, the 4 shots of q_global_rank pin 4 cached copies
-      // of the keyed table in one JVM. Outside the timed span.
+      // withGlobalRanks/withGlobalLag snapshots pinned by this run are
+      // safe to drop — without this, the 4 shots of q_global_rank pin 4
+      // cached copies of the keyed table in one JVM. Outside the timed
+      // span.
       graft.operators.GlobalRank.releaseSnapshots()
+      graft.operators.GlobalShift.releaseSnapshots()
       dt
     }
 

@@ -502,6 +502,25 @@ object Queries {
         // column identical within any remaining tie, so order is immaterial
         .arrange("l_orderkey", "l_linenumber", "l_quantity").df),
 
+    // whole-table lag/lead WITHOUT a single-partition window: the
+    // GlobalRank two-pass pattern applied to shifts (GlobalShift —
+    // per-range-partition window shifts + broadcast boundary strips,
+    // replacing DataTable.withLag's documented small-data-only global
+    // funnel). Shifts are positional, so the order is the UNIQUE 4-key
+    // total order; values are exact copies (no arithmetic), hash-exact.
+    "q_global_lag" -> ((s: SparkSession, dir: String) => {
+      val ord = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+      graft.api.DataTable(
+        graft.operators.GlobalShift.withGlobalLead(
+          graft.operators.GlobalShift.withGlobalLag(
+            lineitem(s, dir).df, "prev_qty", col("l_quantity"), 2, ord),
+          "next_price", col("l_extendedprice"), 3, ord)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"), col("prev_qty"), col("next_price")))
+        .arrange("l_orderkey", "l_linenumber", "l_partkey", "l_quantity").df
+    }),
+
     // dropNaN on a derived NaN column (dataframe.nim:2467-2493)
     "q_dropnan" -> ((s: SparkSession, dir: String) =>
       lineitem(s, dir)
@@ -2328,6 +2347,16 @@ object Queries {
         |FROM lineitem
         |WINDOW w AS (ORDER BY l_quantity)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // DuckDB shifts in one partition; the Spark side produces the SAME
+    // values from range-partitioned windows + boundary hand-off
+    "q_global_lag" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  lag(l_quantity, 2) OVER w AS prev_qty,
+        |  lead(l_extendedprice, 3) OVER w AS next_price
+        |FROM lineitem
+        |WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
 
     "q_dropnan" ->
       """SELECT l_orderkey, l_linenumber, l_discount AS maybe_nan

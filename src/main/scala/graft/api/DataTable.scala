@@ -612,7 +612,10 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
   /** lag/lead need an explicit order distributed; the reference shifts
     * physical rows (`column.nim:1177-1213`). `partitionBy` keys keep the
     * window parallel — a global lag (empty keys) funnels through one
-    * partition and is flagged for small data only. */
+    * partition here and is flagged for small data only; the scale path
+    * for whole-table shifts is [[graft.operators.GlobalShift]]
+    * (range-partitioned windows + boundary hand-off, no
+    * SinglePartition). */
   def withLag(name: String, c: Column, n: Int, order: Seq[Column],
               partitionBy: Seq[String] = Nil, default: Any = null): DataTable = {
     val w = windowFor(partitionBy, order)

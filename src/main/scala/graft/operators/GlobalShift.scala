@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Whole-table (global, empty-`partitionBy`) lag/lead WITHOUT the
+  * single-partition window a naive `lag() OVER (ORDER BY …)` plans — the
+  * [[GlobalRank]] two-pass pattern applied to shifts. The reference's
+  * shift is a physical whole-column move (`column.nim:1177-1213`), which
+  * a distributed engine must not replicate by funneling the table
+  * through one task (the documented small-data-only fallback
+  * `DataTable.withLag` used to be the only option).
+  *
+  * Pass 1 range-partitions on the order keys (persisted snapshot — the
+  * boundaries are job-specific, see the alignment scaladoc on
+  * [[GlobalRank.build]]; same discipline here) and collects each
+  * partition's BOUNDARY STRIP: the last `n` rows' shift values (for
+  * lag; first `n` for lead) — at most n × numPartitions tiny rows,
+  * bounded by the shuffle-partition count, never by data. Pass 2 runs
+  * an ordinary parallel per-partition window shift — exact for every
+  * row beyond the first/last `n` of its partition, because range
+  * partitions are contiguous in the global order — and fills those
+  * boundary rows from the strips via a broadcast (pid, rn) join:
+  * the first row of each partition takes the previous partition's
+  * tail, which is exactly the hand-off GlobalShiftSuite pins.
+  *
+  * CONTRACT: `order` must be a UNIQUE total order (the
+  * [[graft.api.DataTable.withNtile]] rule): a shift is positional, so
+  * under ties both the result and the cross-engine replay would be
+  * nondeterministic. Plain ascending value columns only (the
+  * [[GlobalRank]] key contract); non-null keys for cross-engine
+  * bit-exactness (Spark ASC NULLS FIRST vs DuckDB NULLS LAST).
+  *
+  * Snapshot lifecycle mirrors [[GlobalRank]]: the returned plan reads
+  * through a MEMORY_AND_DISK snapshot that must stay cached while the
+  * plan can still be executed. Plain calls register in a process-wide
+  * registry released by the harness ([[releaseSnapshots]]); library
+  * callers use the releasable variant. */
+object GlobalShift {
+
+  /** Append global `lag(c, n)` over `order` as column `name` (`default`
+    * when fewer than `n` rows precede globally). Registers its snapshot
+    * in the harness registry — see [[releaseSnapshots]]. */
+  def withGlobalLag(df: DataFrame, name: String, c: Column, n: Int,
+                    order: Seq[Column], default: Any = null): DataFrame =
+    registered(build(df, name, c, n, order, default, isLead = false))
+
+  /** Append global `lead(c, n)` over `order` as column `name`. */
+  def withGlobalLead(df: DataFrame, name: String, c: Column, n: Int,
+                     order: Seq[Column], default: Any = null): DataFrame =
+    registered(build(df, name, c, n, order, default, isLead = true))
+
+  /** Per-call-release twin (the [[GlobalRank.withGlobalRanksReleasable]]
+    * contract: never execute the returned plan after releasing). */
+  def withGlobalLagReleasable(df: DataFrame, name: String, c: Column, n: Int,
+                              order: Seq[Column], default: Any = null)
+      : (DataFrame, () => Boolean) = {
+    val (out, snap) = build(df, name, c, n, order, default, isLead = false)
+    (out, mkRelease(Some(snap)))
+  }
+
+  def withGlobalLeadReleasable(df: DataFrame, name: String, c: Column, n: Int,
+                               order: Seq[Column], default: Any = null)
+      : (DataFrame, () => Boolean) = {
+    val (out, snap) = build(df, name, c, n, order, default, isLead = true)
+    (out, mkRelease(Some(snap)))
+  }
+
+  private def registered(r: (DataFrame, DataFrame)): DataFrame = {
+    liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(r._2)) }
+    r._1
+  }
+
+  private def mkRelease(snap: Option[DataFrame]): () => Boolean = {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => {
+      val first = released.compareAndSet(false, true)
+      if (first) snap.foreach(_.unpersist(blocking = false))
+      first && snap.nonEmpty
+    }
+  }
+
+  private val liveSnapshots =
+    scala.collection.mutable.ArrayBuffer.empty[() => Boolean]
+
+  def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
+
+  /** Unpersist every snapshot pinned by plain calls — HARNESS-ONLY, the
+    * [[GlobalRank.releaseSnapshots]] rule: safe only when no returned
+    * plan will be executed again. Returns the number released. */
+  def releaseSnapshots(): Int = liveSnapshots.synchronized {
+    val n = liveSnapshots.count(_())
+    liveSnapshots.clear()
+    n
+  }
+
+  /** Core. Returns (shifted plan, the persisted snapshot it reads
+    * through). */
+  private def build(df: DataFrame, name: String, c: Column, n: Int,
+                    order: Seq[Column], default: Any,
+                    isLead: Boolean): (DataFrame, DataFrame) = {
+    require(order.nonEmpty, "GlobalShift: need at least one order column")
+    require(n >= 1, s"GlobalShift: n must be >= 1, got $n")
+    val okNames = order.indices.map(i => s"__ok$i")
+    val keyed = order.zip(okNames)
+      .foldLeft(df) { case (d, (oc, nm)) => d.withColumn(nm, oc) }
+      .withColumn("__sv", c) // shift source materialized pre-shuffle
+    val okCols = okNames.map(col)
+    // explicit partition count — exempt from per-job AQE coalescing,
+    // so the strip job and the shift job run the identical exchange
+    // (the GlobalRank alignment discipline)
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = keyed.repartitionByRange(numParts, okCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1 (materializes the snapshot): boundary strips — per
+    // partition, the n rows nearest the boundary the shift reaches
+    // across (__j = 1 is the row AT the boundary), ≤ n × numParts rows
+    val stripOrder = if (isLead) okCols else okCols.map(_.desc)
+    val stripW = Window.partitionBy(col("__pid")).orderBy(stripOrder: _*)
+    val strip = parted
+      .withColumn("__j", row_number().over(stripW))
+      .filter(col("__j") <= n)
+      .select(col("__pid"), col("__j"), col("__sv"))
+      .collect()
+    val byPid: Map[Int, Seq[(Int, Any)]] = strip
+      .map(r => (r.getInt(0), (r.getInt(1), r.get(2))))
+      .groupBy(_._1).map { case (p, a) => (p, a.map(_._2).toSeq.sortBy(_._1)) }
+    val pids = byPid.keys.toSeq.sorted
+
+    // driver-side hand-off: for target partition p, the cross-boundary
+    // sequence b[1], b[2], … (b[1] = nearest row beyond p's boundary in
+    // shift direction) is the in-order concat of neighbor strips —
+    // partitions contribute at most their strip (n rows) each, so the
+    // first n of the concat are exactly the rows any boundary row of p
+    // can need. Row with boundary index i (i-th from the reached
+    // boundary, 1-based) needs b[n - i + 1].
+    val fillRows = pids.flatMap { p =>
+      val sources = if (isLead) pids.filter(_ > p) else pids.filter(_ < p).reverse
+      val b = sources.flatMap(q => byPid(q).map(_._2)).take(n)
+      (1 to n).flatMap { i =>
+        val j = n - i + 1
+        if (b.length >= j) Some(Row(p, i, b(j - 1))) else None
+      }
+    }
+    val svType = parted.schema("__sv").dataType
+    val spark = df.sparkSession
+    val fillDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(fillRows).asJava),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__bi", IntegerType, nullable = false),
+        StructField("__fill", svType))))
+      .withColumn("__has", lit(true))
+
+    // pass 2: ordinary parallel per-partition shift; boundary rows
+    // (local boundary index ≤ n) take the broadcast fill instead — a
+    // conditional, NOT coalesce, so a genuine null shift value in the
+    // interior survives
+    val w = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
+    val localShift =
+      if (isLead) lead(col("__sv"), n).over(w) else lag(col("__sv"), n).over(w)
+    // consume index counts from the boundary the shift REACHES ACROSS —
+    // the partition START for lag, END for lead — i.e. the opposite
+    // direction of the supply strip's ordering
+    val consumeOrder = if (isLead) okCols.map(_.desc) else okCols
+    val biCol = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(consumeOrder: _*))
+    val defLit =
+      if (default == null) lit(null).cast(svType) else lit(default).cast(svType)
+    val out = parted
+      .withColumn("__bi", biCol)
+      .join(broadcast(fillDf), Seq("__pid", "__bi"), "left")
+      .withColumn(name,
+        when(col("__bi") > n, localShift)
+          .otherwise(when(col("__has"), col("__fill")).otherwise(defLit)))
+      .drop(okNames ++ Seq("__pid", "__bi", "__sv", "__fill", "__has"): _*)
+    (out, parted)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalShift
+
+/** Pins the two-pass global lag/lead (VERDICT r13 #4): exact equality
+  * with the single-partition reference shift, the boundary hand-off
+  * (first rows of each range partition take the previous partition's
+  * tail), and the no-SinglePartition plan shape that is the operator's
+  * whole reason to exist. */
+class GlobalShiftSuite extends SparkSpec {
+  import spark.implicits._
+
+  /** 100 unique keys scattered so repartitionByRange(4) actually splits
+    * them (asserted below — a one-partition accident would make the
+    * hand-off vacuous). */
+  private def frame = (1 to 100).map(i => (i.toLong, i * 10L)).reverse
+    .toDF("k", "v").repartition(8)
+
+  private def expectedLag(n: Int): Seq[Option[Long]] =
+    (1 to 100).map(i => if (i - n >= 1) Some((i - n) * 10L) else None)
+
+  private def expectedLead(n: Int): Seq[Option[Long]] =
+    (1 to 100).map(i => if (i + n <= 100) Some((i + n) * 10L) else None)
+
+  private def got(df: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Long]] =
+    df.orderBy("k").select(c).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+
+  test("global lag matches the single-partition reference for n = 1, 3, 7") {
+    for (n <- Seq(1, 3, 7)) {
+      val (out, release) = GlobalShift.withGlobalLagReleasable(
+        frame, "prev", col("v"), n, Seq(col("k")))
+      assert(got(out, "prev") == expectedLag(n), s"lag n=$n")
+      release()
+    }
+  }
+
+  test("global lead matches the single-partition reference for n = 1, 3, 7") {
+    for (n <- Seq(1, 3, 7)) {
+      val (out, release) = GlobalShift.withGlobalLeadReleasable(
+        frame, "next", col("v"), n, Seq(col("k")))
+      assert(got(out, "next") == expectedLead(n), s"lead n=$n")
+      release()
+    }
+  }
+
+  test("the data really spans several range partitions (hand-off not vacuous)") {
+    val parts = frame.repartitionByRange(4, col("k"))
+      .select(spark_partition_id()).distinct().count()
+    assert(parts > 1, s"expected multiple range partitions, got $parts")
+  }
+
+  test("boundary hand-off: first row of a partition takes the previous tail") {
+    // with 100 rows over 4 range partitions, every partition holds ~25
+    // rows, so n=1 fills exactly the 3 interior partition-start rows
+    // from across the boundary — if the hand-off were broken those rows
+    // would be null/default, not the true predecessor
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 1, Seq(col("k")), default = -1L)
+    val vals = got(out, "prev")
+    assert(vals.head == Some(-1L), "global first row takes the default")
+    assert(vals.tail == expectedLag(1).tail.map(_.orElse(Some(-1L))),
+      "every non-first row must see its true global predecessor")
+    release()
+  }
+
+  test("default fills only positions with no global predecessor/successor") {
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 5, Seq(col("k")), default = 0L)
+    assert(got(out, "prev") == expectedLag(5).map(_.orElse(Some(0L))))
+    release()
+  }
+
+  test("a genuine null shift value in the interior survives (no coalesce bug)") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, if (i == 20) None else Some(i * 10L))).toDF("k", "v")
+      .repartition(4)
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      df, "prev", col("v"), 1, Seq(col("k")), default = -1L)
+    val vals = got(out, "prev")
+    assert(vals(20) == None, "row 21 sees row 20's genuine null, not the default")
+    assert(vals(0) == Some(-1L))
+    release()
+  }
+
+  test("n larger than any partition still hands off across several boundaries") {
+    // 4 range partitions of ~25 rows each, n=30: every row's shift
+    // crosses at least one boundary and some cross two
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 30, Seq(col("k")))
+    assert(got(out, "prev") == expectedLag(30))
+    release()
+  }
+
+  test("plan has no SinglePartition exchange (the operator's reason to exist)") {
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 2, Seq(col("k")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    release()
+  }
+
+  test("releasable handle is idempotent and reports one real release") {
+    val (_, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 1, Seq(col("k")))
+    assert(release())
+    assert(!release())
+  }
+
+  test("empty input yields an empty shifted frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      empty, "prev", col("v"), 2, Seq(col("k")))
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("k", "v", "prev"))
+    release()
+  }
+}
