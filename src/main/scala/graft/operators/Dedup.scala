@@ -404,8 +404,19 @@ object Dedup {
   def winnowIncrementalAgainstFps(newDocs: DataFrame, textCol: String,
                                   idCol: String, knownFps: DataFrame,
                                   fpCol: String, k: Int = 5, w: Int = 4,
-                                  minShared: Long = 2L): DataFrame = {
-    val store = knownFps.select(col(fpCol).as("fp")).distinct()
+                                  minShared: Long = 2L): DataFrame =
+    winnowScreenOverDistinctFps(newDocs, textCol, idCol,
+      knownFps.select(col(fpCol).as("fp")).distinct(), k, w, minShared)
+
+  /** Relational winnow screen against an ALREADY-DISTINCT `fp` store —
+    * the shared tail of [[winnowIncrementalAgainstFps]] and
+    * [[winnowIncrementalTiered]]'s fallback (which arrives with a
+    * distinct, materialized store and must not pay a second distinct
+    * shuffle over it). */
+  private def winnowScreenOverDistinctFps(newDocs: DataFrame, textCol: String,
+                                          idCol: String, store: DataFrame,
+                                          k: Int, w: Int,
+                                          minShared: Long): DataFrame = {
     val contaminated = newDocs
       .select(col(idCol).as("__nid"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
@@ -432,11 +443,17 @@ object Dedup {
                               textCol: String, idCol: String,
                               k: Int = 5, w: Int = 4, minShared: Long = 2L,
                               maxSetFps: Int = 2000000): DataFrame = {
+    // the probe and (on the fallback tier) the returned plan both read
+    // the store — persist so the corpus scan + distinct shuffle are paid
+    // once, not re-derived per consumer (the clusterByPairs discipline)
     val store = corpus
       .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = probeLongs(store, "fp", maxSetFps)
     if (head.length <= maxSetFps) {
+      // probe fully consumed the store — nothing else reads it
+      store.unpersist(blocking = false)
       import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
       java.util.Arrays.sort(head)
       val shared = Shim.toColumn(SortedMembershipCount(
@@ -453,7 +470,18 @@ object Dedup {
           s"($maxSetFps) and the relational fallback cannot run on a " +
           "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
           "pre-shrink the store")
-      winnowIncrementalAgainstFps(newDocs, textCol, idCol, store, "fp",
+      // eager-truncate through the hot cache so the RETURNED plan reads
+      // materialized blocks instead of re-deriving the scan + distinct
+      // at execution, then drop the persist pin — the blocks live with
+      // the plan and are reaped by ContextCleaner when it is collected.
+      // Reliable checkpoint when a dir is configured (survives executor
+      // loss); else localCheckpoint (the connectedComponents trade).
+      val snap =
+        if (corpus.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          store.checkpoint(true)
+        else store.localCheckpoint(true)
+      store.unpersist(blocking = false)
+      winnowScreenOverDistinctFps(newDocs, textCol, idCol, snap,
         k, w, minShared)
     }
   }
@@ -858,9 +886,12 @@ object Dedup {
     val cached = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // primitive-tuple collect (the probeLongs rule): boxed Rows carry
-      // 10-20x wrapper overhead, which would turn the documented ~16 MB
-      // probe budget into hundreds of MB of driver heap
+      // tuple collect (the probeLongs spirit, one Tuple2 per edge): at
+      // ~40-48 bytes per boxed (Long, Long) with headers and refs, the
+      // default 1M-edge probe is ~48 MB of transient driver heap — an
+      // order of magnitude under the boxed-Row equivalent, and well
+      // inside a driver that also holds the union-find LongMap. Raise
+      // maxDriverEdges only with that ~48 bytes/edge cost in mind.
       import org.apache.spark.sql.Encoders
       val edgeProbe = cached.limit(maxDriverEdges + 1)
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).collect()

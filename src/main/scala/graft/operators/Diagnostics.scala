@@ -56,17 +56,41 @@ object Diagnostics {
                 lo: Long, hi: Long, bins: Int): DataFrame = {
     require(hi > lo, s"histogram: empty domain [$lo, $hi)")
     require(bins > 0, "histogram: bins must be positive")
+    // the bin formula multiplies (x - lo) < width by bins before the
+    // div — both the width itself and width * bins must fit a Long, or
+    // bins go silently wrong with no error
+    val width =
+      try Math.subtractExact(hi, lo)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"histogram: domain [$lo, $hi) is wider than Long.MaxValue") }
+    require(width <= Long.MaxValue / bins,
+      s"histogram: domain width $width times $bins bins overflows Long — " +
+        "use fewer bins or a narrower domain")
+    // integral measures only (the quantileGate rule): the bigint cast in
+    // the bin formula would silently truncate a double toward zero
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val field = df.schema.fields.find(f => resolver(f.name, measureCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"histogram: column '$measureCol' not in ${df.columns.mkString(", ")}"))
+    field.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"histogram: measure '$measureCol' must be integral (exact all-integer " +
+          s"bin edges are the operator's contract); got ${dt.simpleString} — " +
+          "quantize the measure to a long first")
+    }
     // backtick-escaped identifier (the quantileGate rule) used for BOTH
     // the filter and the expr bin formula — a dotted name must not be
     // read as struct-field access anywhere; integer `div` has no Column
     // operator, so the bin formula goes through expr
-    val q = "`" + measureCol.replace("`", "``") + "`"
+    val q = "`" + field.name.replace("`", "``") + "`"
     val x = col(q).cast("long")
     df.filter(x >= lo && x < hi)
-      .withColumn("bin", expr(s"((cast($q as bigint) - ${lo}L) * ${bins}L) div ${hi - lo}L"))
+      .withColumn("bin", expr(s"((cast($q as bigint) - ${lo}L) * ${bins}L) div ${width}L"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
-      .withColumn("lo_edge", lit(lo) + col("bin") * lit(hi - lo) / lit(bins.toLong))
-      .withColumn("hi_edge", lit(lo) + (col("bin") + 1) * lit(hi - lo) / lit(bins.toLong))
+      .withColumn("lo_edge", lit(lo) + col("bin") * lit(width) / lit(bins.toLong))
+      .withColumn("hi_edge", lit(lo) + (col("bin") + 1) * lit(width) / lit(bins.toLong))
   }
 }

@@ -79,6 +79,27 @@ class DiagnosticsSuite extends SparkSpec {
     assert(colDoubles(out, "hi_edge") == Seq(3.5, 7.0))
   }
 
+  test("histogram rejects a non-integral measure (no silent truncation)") {
+    val df = toDf(spark)("id" -> (0L until 10L)).df
+      .withColumn("score", col("id").cast("double") / 3.0)
+    val e = intercept[IllegalArgumentException] {
+      Diagnostics.histogram(df, "score", 0L, 10L, 5)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("histogram rejects a domain whose width * bins overflows Long") {
+    val df = toDf(spark)("v" -> Seq(1L, 2L)).df
+    val wide = intercept[IllegalArgumentException] {
+      Diagnostics.histogram(df, "v", Long.MinValue, Long.MaxValue, 2)
+    }
+    assert(wide.getMessage.contains("wider than Long.MaxValue"))
+    val e = intercept[IllegalArgumentException] {
+      Diagnostics.histogram(df, "v", 0L, Long.MaxValue, 4)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("keySkew plan: top-K is a bounded TakeOrdered, window after the cut") {
     val df = spark.range(1000).select((col("id") % 50).as("k"))
     val plan = Diagnostics.keySkew(df, Seq("k"), topK = 5)
