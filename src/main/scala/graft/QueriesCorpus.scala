@@ -1,0 +1,612 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+import graft.Queries._
+import graft.functions.TextFunctions._
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+
+/** Text-corpus analysis surface: token/quality/language stats, LM
+  * surprisal, BM25, postings, fingerprints, redaction, and the
+  * bounded-quadratic Jaccard verifiers.
+  *
+  * One ledger family of [[Queries.all]] (oracle-parity rules documented
+  * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
+private[graft] object QueriesCorpus {
+
+  val queries: Map[String, Q] = Map(
+
+
+      // token counting: whitespace + BPE-ish regex
+      "q_token_count" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+          .arrange("doc_id").df),
+
+
+      // cross-document line dedup (boilerplate removal). The synthetic
+      // corpus is single-line word soup, so multi-line docs are
+      // synthesized first: a newline every 8 tokens — aligned 8-token
+      // chunks DO repeat across documents (the near-dup population), so
+      // the frequent-"line" strip path is genuinely exercised. Both
+      // engines build the lines with identical integer slicing.
+      "q_line_dedup" -> ((s: SparkSession, dir: String) => {
+        val ml = Tables.df(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__ts"))
+          .select(col("doc_id"),
+            array_join(
+              transform(
+                sequence(lit(0), ((size(col("__ts")) - 1) / lit(8)).cast("int")),
+                i => array_join(slice(col("__ts"), i * 8 + 1, lit(8)), " ")),
+              "\n").as("text"))
+        graft.api.DataTable(
+          Dedup.dedupLines(ml, "text", "doc_id", minDocFreq = 2))
+          .arrange("doc_id").df
+      }),
+
+
+      // inverted index: posting lists for the mid-frequency vocabulary.
+      // df in [3, 395]: at sf0.01 both cuts bite (4 stop-tokens sit above
+      // 395, the synthetic vocabulary's rare token stays in) — the
+      // bounds are corpus-absolute by design, like a real stopword cut
+      "q_postings" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.postings(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minDf = 3L, maxDf = 395L))
+          .arrange("token").df),
+
+
+      // unigram-LM surprisal quality signal (micro-nat integer sums;
+      // per-value ln parity only — see Corpus.lmScore scaladoc)
+      "q_lm_score" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.lmScore(Tables.df(s, dir, "documents"), "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
+      // bigram conditional surprisal (second-order LM quality signal;
+      // same micro-nat replay contract)
+      "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.lmScoreBigram(Tables.df(s, dir, "documents"), "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
+      // quality scoring: length/stopword/punctuation stats; ratios are
+      // computed once and the composite score reads the aliased columns
+      "q_quality" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            meanTokenLen(col("text")).as("mean_tok_len"),
+            stopwordRatio(col("text"), StopwordsEn).as("stop_ratio"),
+            punctRatio(col("text")).as("punct_ratio"))
+          .selectCols(col("doc_id"), col("n_chars_m"), col("mean_tok_len"),
+            col("stop_ratio"), col("punct_ratio"),
+            qualityFromParts(col("stop_ratio"), col("mean_tok_len"), col("punct_ratio"))
+              .as("quality"))
+          .arrange("doc_id").df),
+
+
+      // language-ID heuristic by stopword hits, fixed tie order. Counts
+      // are computed ONCE in their own projection, and the guess reads
+      // the aliased columns — CollapseProject keeps non-cheap expressions
+      // referenced multiple times in a separate stage, so the token array
+      // is scanned 4x per row, not ~16x.
+      "q_lang_id" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            stopwordCount(col("text"), StopwordsEn).cast("long").as("s_en"),
+            stopwordCount(col("text"), StopwordsDe).cast("long").as("s_de"),
+            stopwordCount(col("text"), StopwordsEs).cast("long").as("s_es"),
+            stopwordCount(col("text"), StopwordsFr).cast("long").as("s_fr"))
+          .selectCols(col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+            langGuessFromCounts(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+              .as("lang_guess"))
+          .arrange("doc_id").df),
+
+
+      // corpus vocabulary: top-50 tokens by frequency (canonical
+      // explode -> partial-agg wordcount; deterministic tiebreak)
+      "q_vocab" -> ((s: SparkSession, dir: String) =>
+        Tables.df(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50)),
+
+
+      // feature-hashing embeddings: dim-64 count vector per doc, checked
+      // through exact scalar projections (nnz / l2sq / argmax bucket)
+      "q_feature_hash" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .withColumn("__v", featureHash(col("text"), 64))
+            .select(col("doc_id"),
+              size(filter(col("__v"), x => x > 0)).cast("long").as("nnz"),
+              aggregate(col("__v"), lit(0L), (acc, x) => acc + x * x).as("l2sq"),
+              array_position(col("__v"), array_max(col("__v"))).as("top_bucket")))
+          .arrange("doc_id").df),
+
+
+      // exact percentiles of an integer measure per language (corpus
+      // length profile; interpolated like SQL percentile_cont)
+      "q_percentiles" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .groupBy(col("lang"))
+            .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("p"))
+            .select(col("lang"), col("p")(0).as("p25"), col("p")(1).as("p50"),
+              col("p")(2).as("p75"), col("p")(3).as("p90")))
+          .arrange("lang").df),
+
+
+      // lexical-diversity / repetition quality signals
+      "q_diversity" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .withColumn("__toks", tokens(col("text")))
+            .select(col("doc_id"),
+              typeTokenRatioFromTokens(col("__toks")).as("ttr"),
+              topTokenRatioFromTokens(col("__toks")).as("top_tok_ratio")))
+          .arrange("doc_id").df),
+
+
+      // document fingerprinting (md5 of normalized text)
+      "q_fingerprint" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .arrange("doc_id").df),
+
+
+      // PII scrubbing: the synthetic corpus carries no PII, so the query
+      // injects emails/URLs in-expression — both engines then run the
+      // same regexes over non-trivial matches (redaction actually fires)
+      "q_pii_redact" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"),
+            redactPii(concat(col("text"), lit(PiiTail))).as("redacted"))
+          .arrange("doc_id").df),
+
+
+      // context-window chunking: 32-token windows every 24 tokens
+      // (overlap 8); chunk text checked via md5 fingerprint
+      "q_chunk" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Pack.chunkDocuments(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 100),
+            "doc_id", "text", chunkTokens = 32, stride = 24)
+            .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+              md5(col("chunk_text").cast("binary")).as("chunk_fp")))
+          .arrange("doc_id", "chunk_id").df),
+
+
+      // sequence packing: shard-parallel greedy fill of 256-token
+      // training examples (window cumsum per shard)
+      "q_pack" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Pack.packGreedy(
+            Tables.df(s, dir, "documents")
+              .withColumn("n_tok", tokenCount(col("text"))),
+            "doc_id", "n_tok", budget = 256, shards = 8)
+            .select(col("doc_id"), col("shard"), col("example_id")))
+          .arrange("doc_id").df),
+
+
+      // Gopher/C4-style repetition signals in exact integer form: word
+      // 2-gram totals, distinct counts, and the top 2-gram's frequency —
+      // one compiled kernel pass per row (build, sort, sweep), not the
+      // interpreted HOF fold
+      "q_repetition" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.graftshim.{NgramStats, Shim}
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"),
+              Shim.toColumn(NgramStats(
+                Shim.toExpression(col("text")), 2)).as("__st"))
+            .select(col("doc_id"),
+              col("__st").getItem(0).as("n_2gram"),
+              col("__st").getItem(1).as("n_distinct_2gram"),
+              col("__st").getItem(2).as("top_2gram_n")))
+          .arrange("doc_id").df
+      }),
+
+
+      // Unicode NFC canonical composition (the cross-source dedup
+      // precondition): decomposed sequences injected in-expression so
+      // the normalizer provably fires; both engines run the same
+      // Unicode algorithm (java.text.Normalizer / nfc_normalize)
+      "q_nfc" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.graftshim.{NfcNormalize, Shim}
+        // DECOMPOSED combining marks (e+U+0301, i+U+0308, A+U+030A):
+        // the engine must compose them; the oracle injects the same
+        // sequence via chr() and both land on the composed forms
+        val injected = concat(
+          lit("café naïve Å "), col("text"))
+        val norm = Shim.toColumn(NfcNormalize(Shim.toExpression(injected)))
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), norm.as("__n"))
+            .select(col("doc_id"),
+              md5(col("__n").cast("binary")).as("norm_fp"),
+              length(col("__n")).as("n_chars_norm")))
+          .arrange("doc_id").df
+      }),
+
+
+      // cross-document exact substring duplication: per doc, how many
+      // of its word-5-gram windows appear in any OTHER document
+      "q_substring_dup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.substringDupStats(Tables.df(s, dir, "documents"),
+            "text", "doc_id", n = 5))
+          .arrange("doc_id").df),
+
+
+      // per-domain corpus accounting (web-curation staple): URLs
+      // synthesized from source/lang/doc_id, host + path split out with
+      // parse_url (codegen'd), rolled up per host — the shape of a
+      // crawl-mix report or domain blocklist join
+      "q_domains" -> ((s: SparkSession, dir: String) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"), col("doc_id"))
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"), url.as("__u"))
+            .select(col("doc_id"), col("n_chars"),
+              parse_url(col("__u"), lit("HOST")).as("host"),
+              parse_url(col("__u"), lit("PATH")).as("path"))
+            .groupBy(col("host"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"),
+              min(col("path")).as("first_path")))
+          .arrange("host").df
+      }),
+
+
+      // BM25 relevance of every document for a fixed term query
+      // (micro-scaled BIGINT scores; oracle mirrors every float op)
+      "q_bm25" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Bm25.score(Tables.df(s, dir, "documents"), "doc_id", "text",
+            Bm25Terms))
+          .arrange("doc_id").df),
+
+
+      // exact token-set Jaccard over a bounded window of docs
+      "q_token_jaccard" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.tokenJaccardPairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 40),
+            "text", "doc_id", minJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
+
+      // exact char-5-gram Jaccard over a bounded window of docs
+      // (0.25: char-5-gram similarity tops out near 0.28 on this corpus, so
+      // the former 0.3 cut returned an empty — vacuously green — result)
+      "q_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.ngramJaccardPairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 40),
+            "text", "doc_id", n = 5, minJaccard = 0.25))
+          .arrange("id_a", "id_b").df)
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    // cross-document line dedup: DuckDB rebuilds the same newline-every-8-
+    // tokens documents with integer slicing, then replays the doc-freq
+    // strip; zipped unnests pair each line with its position
+    "q_line_dedup" ->
+      """WITH ml AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, ((len(ts)-1)//8)+1),
+        |        i -> array_to_string(list_slice(ts, i*8+1, i*8+8), ' ')),
+        |      chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        |lines AS (
+        |  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml)),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE df < 2),
+        |    chr(10)), '') AS clean_text,
+        |  (COUNT(*) FILTER (WHERE df < 2))::BIGINT AS n_kept,
+        |  (COUNT(*) FILTER (WHERE df >= 2))::BIGINT AS n_dropped
+        |FROM lines JOIN freq USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // inverted index; same [minDf, maxDf] vocabulary cut as the query
+    "q_postings" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)),
+        |v AS (SELECT token, COUNT(*)::BIGINT AS df FROM pairs GROUP BY token
+        |      HAVING COUNT(*) BETWEEN 3 AND 395)
+        |SELECT token, df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS posting
+        |FROM pairs JOIN v USING (token)
+        |GROUP BY token, df
+        |ORDER BY token""".stripMargin,
+
+
+    // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE
+    // the sum (order-insensitive integer aggregate; per-value ln parity is
+    // the only float contract — Corpus.lmScore scaladoc)
+    "q_lm_score" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM inst GROUP BY t),
+        |tot AS (SELECT SUM(c) AS n FROM cnt)
+        |SELECT doc_id,
+        |  COUNT(*)::BIGINT AS n_tokens,
+        |  (SUM(CAST(round(-ln(c::DOUBLE / n::DOUBLE) * 1000000.0, 0) AS BIGINT)))::BIGINT
+        |    AS surprisal_micro
+        |FROM inst JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // bigram conditional surprisal: p(w2|w1) = c(w1,w2)/c(w1,*), counts
+    // from this corpus; micro-nat quantization BEFORE the sum (same
+    // order-insensitive replay contract as q_lm_score); <2-token docs
+    // restored as (0, 0) via the left join, mirroring Corpus.lmScoreBigram
+    "q_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2),
+        |cc AS (SELECT w1, SUM(c2) AS cc FROM c2 GROUP BY w1),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+        |    CAST(SUM(CAST(round(-ln(c2::DOUBLE / cc::DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS surprisal2_micro
+        |  FROM inst JOIN c2 USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  COALESCE(surprisal2_micro, 0)::BIGINT AS surprisal2_micro
+        |FROM documents LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  length(regexp_replace(text, '\s+', '', 'g'))
+        |    / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        |    / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+        |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |    / length(text) AS punct_ratio,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        |    / len(string_split_regex(trim(text), '\s+')) * 0.5
+        |  + CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+        |      / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
+        |      THEN 0.3 ELSE 0.0 END
+        |  + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |      / length(text) < 0.1 THEN 0.2 ELSE 0.0 END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','la','de','et','un','que','pour','dans','ce','une'], x))) AS s_fr,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS lang_guess
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+
+    "q_vocab" ->
+      """SELECT token, COUNT(*)::BIGINT AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+
+    "q_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64) AS hs
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j -> len(list_filter(hs, h -> h = j))) AS v
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(list_filter(v, x -> x > 0))::BIGINT AS nnz,
+        |  list_aggregate(list_transform(v, x -> x * x), 'sum')::BIGINT AS l2sq,
+        |  list_position(v, list_max(v))::BIGINT AS top_bucket
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+
+    "q_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+    "q_diversity" ->
+      """SELECT doc_id,
+        |  len(list_distinct(toks)) / len(toks) AS ttr,
+        |  list_max(list_transform(list_distinct(toks),
+        |    t -> len(list_filter(toks, x -> x = t)))) / len(toks) AS top_tok_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || '$PiiTail',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\\s]+', '<URL>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 24)) AS st
+        |  FROM t)
+        |SELECT doc_id, (st / 24)::BIGINT AS chunk_id,
+        |  len(toks[st + 1 : st + 32])::BIGINT AS n_tok,
+        |  md5(array_to_string(toks[st + 1 : st + 32], ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('graft_pack_42_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, ((cum - n_tok) // 256)::BIGINT AS example_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 1),
+        |                i -> array_to_string(toks[i+1:i+2], ' ')) END AS gs
+        |  FROM d)
+        |SELECT doc_id, len(gs)::BIGINT AS n_2gram,
+        |  len(list_distinct(gs))::BIGINT AS n_distinct_2gram,
+        |  list_max(list_transform(list_distinct(gs),
+        |    x -> len(list_filter(gs, y -> y = x))))::BIGINT AS top_2gram_n
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+
+    "q_nfc" ->
+      """WITH n AS (
+        |  SELECT doc_id, nfc_normalize(
+        |    'cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+        |    'A' || chr(778) || ' ' || text) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_fp,
+        |  length(nt)::INT AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+
+    "q_substring_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i+1:i+5], ' ')) END)) AS g
+        |  FROM d),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 12))::BIGINT AS hh
+        |      FROM w),
+        |f AS (SELECT hh, COUNT(*) AS df FROM h GROUP BY hh)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+        |  SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |FROM h JOIN f USING (hh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    "q_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || source || '.example.com/' || lang || '/' || doc_id
+        |      AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path
+        |  FROM u)
+        |SELECT host, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars, MIN(path) AS first_path
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
+
+
+    "q_bm25" -> OracleSql.bm25(Bm25Terms),
+
+
+    "q_token_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN length(nrm) <= 5 THEN [nrm]
+        |           ELSE list_transform(range(0, length(nrm) - 4),
+        |                  i -> substring(nrm, CAST(i + 1 AS INT), 5)) END) AS gs
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+        |        FROM documents WHERE doc_id < 40))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.gs, b.gs))
+        |      / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+import graft.Queries._
+import graft.functions.TextFunctions._
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+
+/** Deduplication surface: exact/incremental dedup, the LSH candidate
+  * families (MinHash/SimHash/winnow/edit/embedding), transitive
+  * clustering, and decontamination.
+  *
+  * One ledger family of [[Queries.all]] (oracle-parity rules documented
+  * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
+private[graft] object QueriesDedup {
+
+  val queries: Map[String, Q] = Map(
+
+
+      // exact dedup: deterministic survivor per fingerprint + dup count
+      "q_dedup_exact" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.exact(Tables.df(s, dir, "documents"), "text", "doc_id")
+            .select(col("doc_id"), col("fp"), col("n_dups")))
+          .arrange("doc_id").df),
+
+
+      // incremental (ingestion-time) exact dedup: new batch (doc_id >=
+      // 400) against the historical corpus (doc_id < 400) — drop already-
+      // known fingerprints, keep-first within the batch
+      "q_dedup_incr" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.exactIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400), "text", "doc_id")
+            .select(col("doc_id"), col("fp")))
+          .arrange("doc_id").df
+      }),
+
+
+      // end-to-end near-dup removal: corpus in, cleaned corpus out
+      // (greedy larger-id-loses policy over MinHash candidates)
+      "q_dedup_near" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.dedupByMinhash(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df),
+
+
+      // transitive near-dup clustering: connected components over the
+      // MinHash candidate graph; every doc labeled with the min id of its
+      // component (iterative min-label propagation; recursive-CTE oracle)
+      "q_dedup_cluster" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.clusterByMinhash(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.5)
+            .select(col("doc_id"), col("cluster_id")))
+          .arrange("doc_id").df),
+
+
+      // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
+      "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.minhashCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
+
+      // SimHash near-dup candidates (exact oracle: md5-derived hashes)
+      "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.simhashCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", maxHamming = 8))
+          .arrange("id_a", "id_b").df),
+
+
+      // edit-distance similarity join over normalized 32-char prefixes
+      // (gram-prefilter + levenshtein verify; oracle replays the filter)
+      "q_edit_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.editDistancePairs(
+            Tables.df(s, dir, "documents").filter(col("doc_id") < 60)
+              .withColumn("prefix",
+                substring(normalizeText(col("text")), 1, 32)),
+            "prefix", "doc_id", maxDist = 16))
+          .arrange("id_a", "id_b").df),
+
+
+      // embedding near-dup pairs via hyperplane LSH (exact oracle:
+      // md5-derived planes replayed as literal constants in the SQL)
+      "q_embed_dedup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.embeddingCandidates(Tables.df(s, dir, "embeddings"),
+            // random synthetic embeddings cluster near cosine 0 — a low
+            // threshold keeps the candidate path exercised in the gate;
+            // 6 planes = 64 buckets bounds the in-bucket quadratic cost
+            "embedding", "vec_id", dim = 64, numPlanes = 6, minCosine = 0.2))
+          .arrange("id_a", "id_b").df),
+
+
+      // winnowing fingerprints (MOSS): k=5 char grams, window w=4 — ONE
+      // codegen'd kernel call per row (WinnowText), aliased so the
+      // stringify projection reads the computed array
+      "q_winnow" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), winnowFingerprints(col("text"), 5, 4).as("__fps"))
+            .select(col("doc_id"),
+              size(col("__fps")).cast("long").as("n_fp"),
+              array_join(transform(col("__fps"), x => x.cast("string")), ",")
+                .as("fps")))
+          .arrange("doc_id").df),
+
+
+      // winnowing near-dup candidate pairs (MOSS): docs sharing >= 4
+      // fingerprints at k=12/w=8 — every shared substring of >= 19 chars
+      // forces a shared fingerprint, so surviving pairs carry long
+      // verbatim blocks (3.5k pairs at sf0.01; param sweep in PLANS.md)
+      "q_winnow_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.winnowCandidates(Tables.df(s, dir, "documents"),
+            "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L))
+          .arrange("id_a", "id_b").df),
+
+
+      // winnow copied-span clusters: connected components over the winnow
+      // pair graph (same parameters as q_winnow_pairs); every doc labeled
+      // with the min id of its quote/boilerplate family
+      "q_winnow_cluster" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.clusterByWinnow(Tables.df(s, dir, "documents"),
+            "text", "doc_id", k = 12, w = 8, bucketCap = 64, minShared = 4L)
+            .select(col("doc_id"), col("cluster_id")))
+          .arrange("doc_id").df),
+
+
+      // ingest-time winnow screen: new batch (doc_id >= 400) vs the
+      // existing corpus fingerprint set. Set-level counting is far more
+      // aggressive than pairwise (the synthetic corpus shares heavy
+      // boilerplate — new-doc hit counts run 6..112, median 40), so the
+      // threshold sits at the median: ~half screened, ~half survive
+      "q_winnow_incr" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.winnowIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", k = 12, w = 8, minShared = 40L))
+          .arrange("doc_id").df
+      }),
+
+
+      // the same screen through the SCAN-LOCAL tier (kernel fingerprints
+      // + plan-embedded sorted store, no join/shuffle — the streaming
+      // shape) — hash-checked against the IDENTICAL oracle as
+      // q_winnow_incr, so the kernel path is verified end-to-end
+      "q_winnow_incr_scan" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.winnowIncrementalTiered(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", k = 12, w = 8, minShared = 40L))
+          .arrange("doc_id").df
+      }),
+
+
+      // benchmark decontamination: drop training docs sharing any word
+      // 5-gram with a held-out 20% benchmark slice (GPT-3-style exact
+      // n-gram overlap filter; hash48 shingles replay in DuckDB)
+      "q_decontam" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val isBench =
+          Sampling.hashBucket(col("doc_id"), "bench", 7L) < lit(200000L)
+        graft.api.DataTable(
+          Dedup.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+            "text", "doc_id", n = 5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df
+      })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+
+    "q_dedup_incr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |known AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+        |batch AS (SELECT * FROM f WHERE doc_id >= 400)
+        |SELECT min(doc_id) AS doc_id, fp FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM known)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_near" -> OracleSql.minhashSurvivors(),
+
+    "q_dedup_cluster" -> OracleSql.minhashClusters(),
+
+
+    // generated from the same constants the Spark plans embed — OracleSql
+    "q_minhash_pairs" -> OracleSql.minhashPairs(),
+
+    "q_simhash_pairs" -> OracleSql.simhashPairs(),
+
+
+    "q_edit_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS s
+        |  FROM documents WHERE doc_id < 60),
+        |g AS (
+        |  SELECT doc_id, s, unnest(list_distinct(
+        |    CASE WHEN length(s) <= 4 THEN [s]
+        |         ELSE list_transform(range(0, length(s) - 3),
+        |                i -> substring(s, CAST(i + 1 AS INT), 4)) END)) AS gr
+        |  FROM t),
+        |ok AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) BETWEEN 2 AND 256),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.gr = a.gr)
+        |SELECT id_a, id_b, levenshtein(s_a, s_b)::BIGINT AS dist
+        |FROM pairs
+        |WHERE abs(length(s_a) - length(s_b)) <= 16 AND levenshtein(s_a, s_b) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_dedup" -> OracleSql.embedDedup(),
+
+
+    // winnowing fingerprints: normalize → char-k-gram hash48 → window
+    // minima, one generator shared with the pairs/clusters oracles so the
+    // md5 replay is spelled in exactly one place
+    "q_winnow" -> OracleSql.winnowFingerprints(5, 4),
+
+
+    // winnow pairs: same fingerprint replay as q_winnow at k=12/w=8, then
+    // the LSH bucket stage as a self-join restricted to [2, bucketCap]
+    // buckets, pair counts >= minShared
+    "q_winnow_pairs" -> OracleSql.winnowPairs(12, 8, 64, 4L),
+
+
+    // winnow copied-span clusters: recursive-CTE transitive closure over
+    // the winnow pair graph, min-id component labels
+    "q_winnow_cluster" -> OracleSql.winnowClusters(12, 8, 64, 4L),
+
+
+    // ingest-time winnow screen survivors (new = doc_id >= 400)
+    "q_winnow_incr" -> OracleSql.winnowIncremental(12, 8, 40L, 400L),
+
+
+    // scan-local tier, same truth: the oracle is deliberately identical
+    "q_winnow_incr_scan" -> OracleSql.winnowIncremental(12, 8, 40L, 400L),
+
+
+    "q_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    ('0x' || substring(md5('graft_bench_7_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 < 200000 AS is_bench
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_bench, unnest(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i+1:i+5], ' ')) END) AS g
+        |  FROM d),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(g), 1, 12))::BIGINT AS h
+        |       FROM sh WHERE is_bench),
+        |bad AS (SELECT DISTINCT doc_id
+        |        FROM sh JOIN bh ON ('0x' || substring(md5(g), 1, 12))::BIGINT = bh.h
+        |        WHERE NOT is_bench)
+        |SELECT doc_id FROM d
+        |WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+import graft.Queries._
+import graft.functions.TextFunctions._
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+
+/** Layout and diagnostics surface: Z-order, ORC/JSONL roundtrips,
+  * multimodal plumbing, blocklists, outliers, skew and histogram
+  * reports.
+  *
+  * One ledger family of [[Queries.all]] (oracle-parity rules documented
+  * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
+private[graft] object QueriesLayout {
+
+  val queries: Map[String, Q] = Map(
+
+
+      // Z-order (Morton) layout key over (l_partkey, l_suppkey): 8-bit
+      // quantize lanes from a one-row min/max stats aggregate, bits
+      // interleaved — pure integer arithmetic, so DuckDB replays the key
+      // bit-exactly (same subtract/scale/div/shift/or both engines)
+      "q_zorder" -> ((s: SparkSession, dir: String) => {
+        val li = lineitem(s, dir).df
+        val st = li.agg(
+          min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
+        val bits = 8
+        val key = Layout.zorderKey(Seq(
+          Layout.quantize(col("l_partkey"), st.getLong(0), st.getLong(1), bits),
+          Layout.quantize(col("l_suppkey"), st.getLong(2), st.getLong(3), bits)),
+          bits)
+        graft.api.DataTable(
+          li.select(col("l_orderkey"), col("l_linenumber"), key.as("zkey")))
+          .arrange("l_orderkey", "l_linenumber").df
+      }),
+
+
+      // JSONL interchange roundtrip: parallel write of a directory of
+      // part files, schema-explicit distributed read-back (no inference
+      // pass), identity vs the source table
+      "q_jsonl_roundtrip" -> ((s: SparkSession, dir: String) => {
+        val tmp = roundtripDir("jsonl", dir)
+        val src = Tables.df(s, dir, "documents")
+        graft.sources.Jsonl.writeJsonl(src, tmp)
+        val back = graft.sources.Jsonl.readJsonl(s, tmp, Some(src.schema))
+        graft.api.DataTable(
+          back.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), md5(col("text").cast("binary")).as("text_fp")))
+          .arrange("doc_id").df
+      }),
+
+
+      // ORC interchange roundtrip (predicate/partition behavior shared
+      // with the parquet sink; identity vs the source table)
+      "q_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+        val tmp = roundtripDir("orc", dir)
+        val src = Tables.df(s, dir, "documents")
+        graft.sources.Sinks.writeOrc(src, tmp)
+        graft.api.DataTable(
+          graft.sources.Sinks.readOrc(s, tmp)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), md5(col("text").cast("binary")).as("text_fp")))
+          .arrange("doc_id").df
+      }),
+
+
+      // multimodal blob plumbing (stub decode; features deterministic)
+      "q_multimodal" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Multimodal.documentBlobFeatures(s, Tables.df(s, dir, "documents"))
+            .select(col("doc_id"), col("n_bytes"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("mean_byte")))
+          .arrange("doc_id").df),
+
+
+      // blocklist gate: drop every document from a deny-listed source. The
+      // deny-list is derived from the data itself (sources that ever
+      // emitted a sub-60-char fragment — "spam-ridden domains"), so DuckDB
+      // replays both the list and the anti-join exactly. Plan: the list is
+      // dimension-sized → broadcast LeftAnti, corpus never shuffles.
+      "q_blocklist" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        graft.api.DataTable(
+          Blocklist.filterBlocklist(docs, deny, "source")
+            .select("doc_id", "source", "n_chars"))
+          .arrange("doc_id").df
+      }),
+
+
+      // the audit complement of q_blocklist: rows that ARE blocked
+      // (LeftSemi twin, same broadcast shape) — what the curation report
+      // shows before dropping them.
+      "q_blocklist_audit" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        graft.api.DataTable(
+          Blocklist.matchBlocklist(docs, deny, "source")
+            .select("doc_id", "source", "n_chars"))
+          .arrange("doc_id").df
+      }),
+
+
+      // per-(source,lang) z-score outlier screen over integer n_chars:
+      // exact decimal sums → fixed IEEE derivation, so z is bit-identical
+      // cross-engine (the operator's exactness contract, oracle-proven);
+      // singleton (source,lang) groups exist in the data and exercise the
+      // degenerate-group z=0 guard on both engines.
+      "q_outliers" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Outliers.zscoreOutliers(Tables.df(s, dir, "documents"),
+            col("n_chars"), Seq("source", "lang"), threshold = 1.5)
+            .select("doc_id", "source", "lang", "n_chars", "z"))
+          .arrange("doc_id").df),
+
+
+      // key-skew pre-flight: the 20 heaviest l_suppkey values with exact
+      // counts + corpus share — the decide-salting-vs-broadcast report
+      "q_key_skew" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Diagnostics.keySkew(Tables.df(s, dir, "lineitem"),
+            Seq("l_suppkey"), topK = 20))
+          .arrange("rnk").df),
+
+
+      // exact fixed-width histogram of document lengths — all-integer
+      // binning so the edges replay bit-identically in DuckDB
+      "q_histogram" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Diagnostics.histogram(Tables.df(s, dir, "documents"),
+            "n_chars", lo = 0L, hi = 600L, bins = 24))
+          .arrange("bin").df)
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "q_zorder" -> OracleSql.zorderLineitem(),
+
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  md5(text) AS text_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  md5(text) AS text_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  64 + octet_length(encode(text)) % 512 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 512 AS height,
+        |  list_aggregate(list_transform(
+        |    range(1, least(octet_length(encode(text)), 64) + 1),
+        |    i -> ord(substring(text, i, 1))), 'avg') AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q_blocklist" ->
+      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+        |SELECT doc_id, source, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_blocklist_audit" ->
+      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+        |SELECT doc_id, source, n_chars FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // mirrors Outliers.withZscore's exact op sequence: integer-exact group
+    // sums cast to double (values << 2^53, so every cast is exact), then
+    // the same divide/sqrt chain — correctly-rounded IEEE ops on identical
+    // inputs give identical bits; degenerate groups guard to 0.0 BEFORE
+    // the threshold filter on both engines
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT source, lang,
+        |    COUNT(*)::DOUBLE AS n,
+        |    SUM(n_chars)::DOUBLE AS s,
+        |    SUM(n_chars * n_chars)::DOUBLE AS q
+        |  FROM documents GROUP BY source, lang),
+        |scored AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |    CASE WHEN st.n > 1.0 AND (st.q - st.s*st.s/st.n) > 0.0
+        |         THEN (d.n_chars::DOUBLE - st.s/st.n)
+        |              / sqrt((st.q - st.s*st.s/st.n) / (st.n - 1.0))
+        |         ELSE 0.0 END AS z
+        |  FROM documents d JOIN st USING (source, lang))
+        |SELECT * FROM scored WHERE abs(z) > 1.5
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // key skew: exact counts, one integer division for share, rank with
+    // the same (n DESC, key ASC) deterministic tie-break as the query
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM c)
+        |SELECT l_suppkey, n, n::DOUBLE / tot::DOUBLE AS share,
+        |  (ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey))::BIGINT AS rnk
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, l_suppkey
+        |LIMIT 20""".stripMargin,
+
+
+    // histogram: the same all-integer bin formula ((x-lo)*bins // (hi-lo))
+    // and the same one-division edge arithmetic as the operator
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT ((n_chars - 0) * 24) // 600 AS bin
+        |  FROM documents WHERE n_chars >= 0 AND n_chars < 600)
+        |SELECT bin, COUNT(*)::BIGINT AS n,
+        |  0 + bin * 600 / 24 AS lo_edge,
+        |  0 + (bin + 1) * 600 / 24 AS hi_edge
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  )
+}

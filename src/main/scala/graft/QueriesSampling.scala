@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+import graft.Queries._
+import graft.functions.TextFunctions._
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+
+/** Sampling surface: deterministic hash/weighted/stratified/mixture
+  * sampling, split assignment, and the quantile gate.
+  *
+  * One ledger family of [[Queries.all]] (oracle-parity rules documented
+  * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
+private[graft] object QueriesSampling {
+
+  val queries: Map[String, Q] = Map(
+
+
+    // shuffle + sample-head (dataframe.nim:2497-2521), demoed through the
+    // deterministic hashShuffle total order (Sampling.scala) instead of
+    // the reference's process-local RNG so the head-100 replays exactly
+    // in DuckDB and the row is hash-checked like every other query.
+    // (RNG randomHead/shuffleRows stay suite-covered — ApiSuite.)
+    "q_sample" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.operators.Sampling.hashShuffle(orders(s, dir).df, "o_orderkey")
+          .limit(100)
+          .select(col("o_orderkey")))
+        .arrange("o_orderkey").df),
+
+
+      // deterministic hash sampling: reproducible 10% of the corpus,
+      // scan-local predicate (no RNG, no shuffle) — exact oracle
+      "q_sample_hash" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.hashSample(Tables.df(s, dir, "documents"), "doc_id", 0.1)
+            .select(col("doc_id")))
+          .arrange("doc_id").df),
+
+
+      // quality-weighted deterministic sampling: keep-probability rises
+      // with document length (clamped [0,1]); per-row cut vs hash bucket,
+      // zero shuffle, exactly replayed by the DuckDB oracle
+      "q_weighted_sample" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.weightedHashSample(Tables.df(s, dir, "documents"),
+            "doc_id", col("n_chars") / lit(2000.0))
+            .select(col("doc_id"), col("n_chars")))
+          .arrange("doc_id").df),
+
+
+      // balanced per-stratum sample: exactly 25 docs per language by
+      // deterministic hash rank (WindowGroupLimit prunes map-side)
+      "q_stratified" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.stratifiedTopN(Tables.df(s, dir, "documents"),
+            "doc_id", "lang", n = 25)
+            .select(col("doc_id"), col("lang")))
+          .arrange("doc_id").df),
+
+
+      // stratified rebalancing: per-language keep rates (corpus mixing)
+      "q_mixture" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.stratifiedHashSample(Tables.df(s, dir, "documents"),
+            "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.8))
+            .select(col("doc_id"), col("lang")))
+          .arrange("doc_id").df),
+
+
+      // deterministic train/val/test split assignment (80/10/10)
+      "q_split" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.splitAssign(Tables.df(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .select(col("doc_id"), col("split")))
+          .arrange("doc_id").df),
+
+
+      // global-quantile quality gate: top quartile of the corpus by size
+      "q_quantile_gate" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.quantileGate(
+            Tables.df(s, dir, "documents").select("doc_id", "n_chars"),
+            "n_chars", 0.75))
+          .arrange("doc_id").df)
+  )
+
+  val oracles: Map[String, String] = Map(
+
+
+    "q_sample" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY ('0x' || substring(md5('graft_shuffle_42_' || o_orderkey), 1, 12))::BIGINT
+        |             % 1000000,
+        |           o_orderkey
+        |  LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin,
+
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substring(md5('graft_sample_42_' || doc_id), 1, 12))::BIGINT
+        |        % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substring(md5('graft_wsample_42_' || doc_id), 1, 12))::BIGINT
+        |        % 1000000
+        |      < round(least(1.0, greatest(0.0, n_chars / 2000.0)) * 1000000, 0)::BIGINT
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substring(md5('graft_stratn_42_' || doc_id), 1, 12))::BIGINT
+        |                 % 1000000, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+
+
+    "q_mixture" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5('graft_strat_42_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 AS b,
+        |    CASE WHEN lang = 'en' THEN 500000
+        |         WHEN lang = 'zh' THEN 800000
+        |         ELSE 1000000 END AS cut
+        |  FROM documents)
+        |WHERE b < cut ORDER BY doc_id""".stripMargin,
+
+
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substring(md5('graft_split_42_' || doc_id), 1, 12))::BIGINT
+        |          % 1000000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // global-quantile gate: DuckDB's quantile_cont IS the interpolation
+    // Spark's exact percentile implements (Sampling.quantileGate scaladoc)
+    "q_quantile_gate" ->
+      """WITH thr AS (SELECT quantile_cont(n_chars, 0.75) AS t FROM documents)
+        |SELECT doc_id, n_chars
+        |FROM documents CROSS JOIN thr
+        |WHERE n_chars::DOUBLE >= t
+        |ORDER BY doc_id""".stripMargin
+  )
+}

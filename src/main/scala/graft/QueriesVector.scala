@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+import graft.Queries._
+import graft.functions.TextFunctions._
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+
+/** Vector search surface: brute-force/LSH/IVF ANN, the trained
+  * k-means centroid builder, and recall evaluation.
+  *
+  * One ledger family of [[Queries.all]] (oracle-parity rules documented
+  * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
+private[graft] object QueriesVector {
+
+  val queries: Map[String, Q] = Map(
+
+
+      // k-means centroid builder (2 Lloyd rounds, quantized-sum means,
+      // cosine cells) — the production path for IVF cell assignment
+      "q_kmeans_assign" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Similarity.kmeansAssign(Tables.df(s, dir, "embeddings"),
+            "embedding", "vec_id", k = 8, iters = 2))
+          .arrange("vec_id").df),
+
+
+      // brute-force cosine top-k (the ANN baseline; exact oracle)
+      "q_ann_cosine" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.bruteForceTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") === 0),
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("rank").df
+      }),
+
+
+      // IVF-style ANN: centroid cells assigned by pure projection (no
+      // shuffle), nprobe=2. Centroids are TRAINED — 2 Lloyd rounds from
+      // the deterministic vec_id < 8 seeds (Similarity.kmeansCentroids,
+      // the same quantized-mean builder q_kmeans_assign pins), so the
+      // index is the real production shape and the oracle replays the
+      // training relationally; exact oracle.
+      "q_ann_ivf" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+          k = 8, iters = 2)
+        graft.api.DataTable(
+          Similarity.ivfTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 4),
+            centroids = cents,
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
+      // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
+      "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.lshTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 4),
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+            k = 10, dim = 64, numPlanes = 8, probeBits = 1)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
+      // ANN evaluation: recall@10 of BOTH approximate indexes — the
+      // multi-probe LSH buckets and the trained-centroid IVF (the same
+      // Lloyd-built index q_ann_ivf serves) — against brute-force ground
+      // truth, per query (integer counts — exact)
+      "q_ann_recall" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 4)
+        val truth = Similarity.bruteForceTopK(
+          corpus = emb, queries = qs,
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+          k = 10).select(col("query_id"), col("vec_id"))
+        val lsh = Similarity.lshTopK(
+          corpus = emb, queries = qs,
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+          k = 10, dim = 64, numPlanes = 8, probeBits = 1)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__lhit"))
+        val ivf = Similarity.ivfTopK(
+          corpus = emb, queries = qs,
+          centroids = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+            k = 8, iters = 2),
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__ihit"))
+        graft.api.DataTable(
+          truth.join(lsh, Seq("query_id", "vec_id"), "left")
+            .join(ivf, Seq("query_id", "vec_id"), "left")
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("n_true"),
+              sum(coalesce(col("__lhit"), lit(0L))).as("n_hit_lsh"),
+              sum(coalesce(col("__ihit"), lit(0L))).as("n_hit_ivf")))
+          .arrange("query_id").df
+      })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_kmeans_assign" -> OracleSql.kmeansAssign(),
+
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT query_id, vec_id, cos, rank FROM (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_dot_product(c.cv, q.qv)
+        |      / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+        |    ROW_NUMBER() OVER (ORDER BY cos DESC, c.vec_id) AS rank
+        |  FROM c, q WHERE c.vec_id <> q.query_id)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_ann_ivf" -> OracleSql.annIvf(),
+
+    "q_ann_lsh" -> OracleSql.annLsh(),
+
+
+    "q_ann_recall" -> OracleSql.annRecall()
+  )
+}
