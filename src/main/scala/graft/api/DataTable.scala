@@ -748,6 +748,40 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
     s"<table>\n<thead><tr>$head</tr></thead>\n<tbody>\n$body\n</tbody>\n</table>"
   }
 
+  /** Write the first `n` rows as a standalone HTML page and open it in
+    * the default browser (`showBrowser`, `io.nim:895-917`). The page is
+    * written under `dir` (the reference writes to the temp dir) and the
+    * browser launch is BEST-EFFORT — `xdg-open`/`open` are absent on
+    * headless cluster nodes, so a failed launch is swallowed and the
+    * written path is returned either way for the caller to fetch.
+    * Driver-side by construction (`n`-row page, same bound as
+    * [[toHtml]]); never part of a distributed plan. */
+  def showBrowser(fname: String = "df.html",
+                  dir: String = System.getProperty("java.io.tmpdir"),
+                  n: Int = 100, title: String = ""): java.nio.file.Path = {
+    val target = java.nio.file.Paths.get(dir).resolve(fname)
+    val titl = if (title.nonEmpty) s"$target - $title" else target.toString
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val page =
+      s"""<!DOCTYPE html>
+         |<html>
+         |<head><meta charset="utf-8"><title>${esc(titl)}</title></head>
+         |<body>
+         |${toHtml(n)}
+         |</body>
+         |</html>
+         |""".stripMargin
+    java.nio.file.Files.write(target, page.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val opener = sys.props("os.name").toLowerCase match {
+      case mac if mac.contains("mac") => "open"
+      case _ => "xdg-open"
+    }
+    try new ProcessBuilder(opener, target.toString).start()
+    catch { case _: java.io.IOException => () } // headless: page still on disk
+    target
+  }
+
   /** Org-mode table rendering (`toOrgTable`, `io.nim:920-939`). */
   def toOrgTable(n: Int = 100): String = {
     val names = df.columns.toSeq

@@ -865,8 +865,9 @@ object Dedup {
     * enforced here once for every cluster op.
     *
     * TIERED (decontaminate pattern, one bounded probe decides): a
-    * candidate graph within `maxDriverEdges` (16 MB of edge pairs at
-    * the default) is solved by DRIVER-SIDE union-find — the distributed
+    * candidate graph within `maxDriverEdges` (~48 MB of transient
+    * boxed-tuple heap at the default — see the probe comment below)
+    * is solved by DRIVER-SIDE union-find — the distributed
     * loop costs O(log n) driver-synchronized rounds of tiny jobs, which
     * dominates small graphs — and the labels broadcast back as a join.
     * Past the cap, the pointer-jumping distributed components run

@@ -104,4 +104,14 @@ class AccumulatorSuite extends SparkSpec {
     assert(org.linesIterator.next() == "| x | s |")
     assert(org.contains("| 1 | a<b |"))
   }
+
+  test("showBrowser writes a standalone page and survives headless (io.nim:895-917)") {
+    val df = toDf(spark)("x" -> Seq(1), "s" -> Seq("a<b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-browser").toString
+    val path = df.showBrowser(fname = "t.html", dir = dir, title = "spec")
+    val page = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(page.startsWith("<!DOCTYPE html>"))
+    assert(page.contains("<td>a&lt;b</td>") && page.contains("spec</title>"))
+  }
 }
