@@ -24,6 +24,12 @@ object BenchOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // same lifecycle as Bench: the noop write fully consumed the
+        // result, so per-shot rank/shift snapshots are safe to drop —
+        // without this, repeated shots of a global-window query pin one
+        // cached copy of the keyed table each
+        graft.operators.GlobalRank.releaseSnapshots()
+        graft.operators.GlobalShift.releaseSnapshots()
       }
     }
     spark.stop()

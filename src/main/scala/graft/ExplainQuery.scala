@@ -27,6 +27,7 @@ object ExplainQuery {
       println(s"=== $name ===")
       fn(spark, sfDir).explain("formatted")
       graft.operators.GlobalRank.releaseSnapshots()
+      graft.operators.GlobalShift.releaseSnapshots()
     }
     spark.stop()
   }

@@ -733,15 +733,16 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  private def htmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   /** HTML table rendering (`toHtml`, `io.nim:866-939`): driver-side over
     * the first `n` rows. */
   def toHtml(n: Int = 100): String = {
     val names = df.columns.toSeq
     val rows = df.limit(n).collect()
-    def esc(s: String): String =
-      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    def cell(v: Any): String = if (v == null) "" else esc(v.toString)
-    val head = names.map(c => s"<th>${esc(c)}</th>").mkString
+    def cell(v: Any): String = if (v == null) "" else htmlEsc(v.toString)
+    val head = names.map(c => s"<th>${htmlEsc(c)}</th>").mkString
     val body = rows.map(r =>
       names.indices.map(i => s"<td>${cell(r.get(i))}</td>")
         .mkString("<tr>", "", "</tr>")).mkString("\n")
@@ -761,12 +762,10 @@ final case class DataTable(df: DataFrame, groupKeys: Seq[String] = Nil,
                   n: Int = 100, title: String = ""): java.nio.file.Path = {
     val target = java.nio.file.Paths.get(dir).resolve(fname)
     val titl = if (title.nonEmpty) s"$target - $title" else target.toString
-    def esc(s: String): String =
-      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val page =
       s"""<!DOCTYPE html>
          |<html>
-         |<head><meta charset="utf-8"><title>${esc(titl)}</title></head>
+         |<head><meta charset="utf-8"><title>${htmlEsc(titl)}</title></head>
          |<body>
          |${toHtml(n)}
          |</body>

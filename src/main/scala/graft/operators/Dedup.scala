@@ -464,12 +464,19 @@ object Dedup {
     } else {
       // the relational tier aggregates per new doc — fine in batch,
       // unsupported on an unwatermarked stream; fail with the reason
-      // instead of Spark's generic unsupported-operation analysis error
-      require(!newDocs.isStreaming,
-        s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
-          s"($maxSetFps) and the relational fallback cannot run on a " +
-          "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
-          "pre-shrink the store")
+      // instead of Spark's generic unsupported-operation analysis error.
+      // Release the store pin BEFORE throwing: the message invites a
+      // catch-and-retry with a larger maxSetFps, and each retry builds
+      // a fresh store — a leaked pin per attempt in a long-running
+      // streaming driver otherwise.
+      if (newDocs.isStreaming) {
+        store.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
+            s"($maxSetFps) and the relational fallback cannot run on a " +
+            "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
+            "pre-shrink the store")
+      }
       // eager-truncate through the hot cache so the RETURNED plan reads
       // materialized blocks instead of re-deriving the scan + distinct
       // at execution, then drop the persist pin — the blocks live with

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, StructType}
 
 /** Whole-table (global, empty-`partitionBy`) lag/lead WITHOUT the
   * single-partition window a naive `lag() OVER (ORDER BY …)` plans — the
@@ -98,6 +98,13 @@ object GlobalShift {
 
   /** Core. Returns (shifted plan, the persisted snapshot it reads
     * through). */
+  /** Hard bound on strip/fill rows (n × partitions). Beyond it the
+    * "boundary hand-off" framing is false — pass 1's collect and the
+    * broadcast fill would scale with the shift distance, the exact
+    * driver funnel this operator exists to avoid. ~4M (pid, rn, value)
+    * rows ≈ 128 MB of transient driver heap at 32-byte values. */
+  private val MaxBoundaryRows: Long = 1L << 22
+
   private def build(df: DataFrame, name: String, c: Column, n: Int,
                     order: Seq[Column], default: Any,
                     isLead: Boolean): (DataFrame, DataFrame) = {
@@ -112,6 +119,12 @@ object GlobalShift {
     // so the strip job and the shift job run the identical exchange
     // (the GlobalRank alignment discipline)
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    require(n.toLong * numParts <= MaxBoundaryRows,
+      s"GlobalShift: shift distance $n × $numParts partitions = " +
+        s"${n.toLong * numParts} boundary rows exceeds $MaxBoundaryRows — " +
+        "a shift this deep is not a boundary hand-off any more (pass 1 " +
+        "would collect and re-broadcast O(n × partitions) rows); " +
+        "reformulate as a join on global rank, or reduce n")
     val parted = keyed.repartitionByRange(numParts, okCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -130,6 +143,13 @@ object GlobalShift {
       .map(r => (r.getInt(0), (r.getInt(1), r.get(2))))
       .groupBy(_._1).map { case (p, a) => (p, a.map(_._2).toSeq.sortBy(_._1)) }
     val pids = byPid.keys.toSeq.sorted
+    // per-partition row counts (tiny second pass-1 job over the cached
+    // snapshot): they translate "i-th row from the reached boundary"
+    // into the ASCENDING row_number pass 2 already computes, so the
+    // lead path shares ONE per-partition sort with the shift window
+    // instead of adding an opposite-order sort of the whole table
+    val counts: Map[Int, Long] = parted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     // driver-side hand-off: for target partition p, the cross-boundary
     // sequence b[1], b[2], … (b[1] = nearest row beyond p's boundary in
@@ -137,13 +157,24 @@ object GlobalShift {
     // partitions contribute at most their strip (n rows) each, so the
     // first n of the concat are exactly the rows any boundary row of p
     // can need. Row with boundary index i (i-th from the reached
-    // boundary, 1-based) needs b[n - i + 1].
+    // boundary, 1-based) needs b[n - i + 1]; a fill row is emitted for
+    // EVERY boundary position (with `__have` = false when no global
+    // predecessor/successor exists) so the join match itself marks
+    // "boundary row" and the miss side is always the local shift.
     val fillRows = pids.flatMap { p =>
       val sources = if (isLead) pids.filter(_ > p) else pids.filter(_ < p).reverse
       val b = sources.flatMap(q => byPid(q).map(_._2)).take(n)
+      val cnt = counts(p)
       (1 to n).flatMap { i =>
-        val j = n - i + 1
-        if (b.length >= j) Some(Row(p, i, b(j - 1))) else None
+        // ascending row_number of the row i-from-the-boundary: the
+        // reached boundary is the partition START for lag, END for lead
+        val rn = if (isLead) cnt - i + 1 else i.toLong
+        if (rn < 1) None
+        else {
+          val j = n - i + 1
+          val have = b.length >= j
+          Some(Row(p, rn.toInt, if (have) b(j - 1) else null, have))
+        }
       }
     }
     val svType = parted.schema("__sv").dataType
@@ -152,31 +183,28 @@ object GlobalShift {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(fillRows).asJava),
       StructType(Seq(StructField("__pid", IntegerType, nullable = false),
         StructField("__bi", IntegerType, nullable = false),
-        StructField("__fill", svType))))
+        StructField("__fill", svType, nullable = true),
+        StructField("__have", BooleanType, nullable = false))))
       .withColumn("__has", lit(true))
 
     // pass 2: ordinary parallel per-partition shift; boundary rows
-    // (local boundary index ≤ n) take the broadcast fill instead — a
-    // conditional, NOT coalesce, so a genuine null shift value in the
-    // interior survives
+    // (join-matched) take the broadcast fill instead — a conditional,
+    // NOT coalesce, so a genuine null shift value in the interior
+    // survives. row_number and the shift share the SAME window spec,
+    // so the final plan carries one per-partition sort total.
     val w = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
     val localShift =
       if (isLead) lead(col("__sv"), n).over(w) else lag(col("__sv"), n).over(w)
-    // consume index counts from the boundary the shift REACHES ACROSS —
-    // the partition START for lag, END for lead — i.e. the opposite
-    // direction of the supply strip's ordering
-    val consumeOrder = if (isLead) okCols.map(_.desc) else okCols
-    val biCol = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(consumeOrder: _*))
+    val biCol = row_number().over(w)
     val defLit =
       if (default == null) lit(null).cast(svType) else lit(default).cast(svType)
     val out = parted
       .withColumn("__bi", biCol)
       .join(broadcast(fillDf), Seq("__pid", "__bi"), "left")
       .withColumn(name,
-        when(col("__bi") > n, localShift)
-          .otherwise(when(col("__has"), col("__fill")).otherwise(defLit)))
-      .drop(okNames ++ Seq("__pid", "__bi", "__sv", "__fill", "__has"): _*)
+        when(col("__has"), when(col("__have"), col("__fill")).otherwise(defLit))
+          .otherwise(localShift))
+      .drop(okNames ++ Seq("__pid", "__bi", "__sv", "__fill", "__have", "__has"): _*)
     (out, parted)
   }
 }

@@ -142,7 +142,14 @@ object Sampling {
     // resolve the way the analyzer would (case-insensitive under the
     // default spark.sql.caseSensitive=false), not by exact string match
     val resolver = df.sparkSession.sessionState.analyzer.resolver
-    val field = df.schema.fields.find(f => resolver(f.name, scoreCol)).getOrElse(
+    // all matches, not .find: a schema holding both "Score" and "score"
+    // must raise the analyzer's ambiguity, not gate on whichever field
+    // happens to appear first
+    val matches = df.schema.fields.filter(f => resolver(f.name, scoreCol))
+    require(matches.length <= 1,
+      s"quantileGate: '$scoreCol' is ambiguous under the session resolver " +
+        s"(matches ${matches.map(_.name).mkString(", ")})")
+    val field = matches.headOption.getOrElse(
       throw new IllegalArgumentException(
         s"quantileGate: column '$scoreCol' not in ${df.columns.mkString(", ")}"))
     // exact percentile state is bounded by DISTINCT measure values, not

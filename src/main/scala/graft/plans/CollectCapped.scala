@@ -57,8 +57,11 @@ case class CollectListCapped(
     mutable.ArrayBuffer.empty
   override def prettyName: String = "graft_collect_capped"
 
-  /** Retention bound: cap + 1 elements distinguish over-cap from at-cap. */
-  private def limit: Int = cap + 1
+  /** Retention bound: cap + 1 elements distinguish over-cap from at-cap.
+    * Saturates at Int.MaxValue — a JVM array can't exceed it anyway, so
+    * cap = Int.MaxValue ("uncapped") keeps collecting instead of the
+    * overflowed cap+1 = MinValue silently emptying every bucket. */
+  private def limit: Int = if (cap == Int.MaxValue) cap else cap + 1
 
   override def update(buffer: mutable.ArrayBuffer[Any],
                       input: InternalRow): mutable.ArrayBuffer[Any] = {

@@ -112,6 +112,16 @@ class CappedBucketsSuite extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("cap = Int.MaxValue means uncapped, not overflow-emptied buckets") {
+    // cap+1 would overflow to Int.MinValue and silently zero every
+    // buffer; the limit saturates instead (a JVM array can't exceed
+    // Int.MaxValue elements, so saturation loses nothing)
+    val rows = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("k", "m")
+    val got = bucketSet(
+      Dedup.cappedBuckets(rows, Seq(col("k")), col("m"), Int.MaxValue))
+    assert(got == Set((1L, Seq(10L, 11L, 12L))))
+  }
+
   test("hot bucket: embeddingCandidates drops the 3000-vec bucket, keeps the pair") {
     val vecs = ((1L to 2L).map(id => (id, Array(0f, 1f, 0f, 0f))) ++
       (100L until 3100L).map(id => (id, Array(1f, 0f, 0f, 0f))))

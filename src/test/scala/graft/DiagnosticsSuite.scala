@@ -88,6 +88,17 @@ class DiagnosticsSuite extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("histogram raises on a case-ambiguous measure instead of picking one") {
+    // under the default case-insensitive resolver both fields match —
+    // Spark's own column resolution would raise; so must we, instead of
+    // silently binning whichever field appears first in the schema
+    val df = toDf(spark)("N_chars" -> Seq(1L), "n_chars" -> Seq(2L)).df
+    val e = intercept[IllegalArgumentException] {
+      Diagnostics.histogram(df, "n_chars", 0L, 10L, 5)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("histogram rejects a domain whose width * bins overflows Long") {
     val df = toDf(spark)("v" -> Seq(1L, 2L)).df
     val wide = intercept[IllegalArgumentException] {

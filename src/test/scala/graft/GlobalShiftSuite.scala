@@ -101,6 +101,24 @@ class GlobalShiftSuite extends SparkSpec {
     release()
   }
 
+  test("lead's final plan sorts each partition once (shared window spec)") {
+    val (out, release) = GlobalShift.withGlobalLeadReleasable(
+      frame, "next", col("v"), 2, Seq(col("k")))
+    val plan = out.queryExecution.executedPlan.toString
+    // row_number and lead ride one Window over [__ok0 ASC]; a second,
+    // descending boundary-index window would show as "DESC" sort keys
+    assert(!plan.contains("DESC"), plan)
+    release()
+  }
+
+  test("a shift deeper than the boundary-row bound refuses up front") {
+    val e = intercept[IllegalArgumentException] {
+      GlobalShift.withGlobalLagReleasable(
+        frame, "prev", col("v"), 1 << 21, Seq(col("k")))
+    }
+    assert(e.getMessage.contains("boundary rows"), e.getMessage)
+  }
+
   test("releasable handle is idempotent and reports one real release") {
     val (_, release) = GlobalShift.withGlobalLagReleasable(
       frame, "prev", col("v"), 1, Seq(col("k")))

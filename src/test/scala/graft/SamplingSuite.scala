@@ -98,6 +98,12 @@ class SamplingSuite extends SparkSpec {
       Sampling.quantileGate(ids(3), "nope", 0.5)
     }
     assert(e2.getMessage.contains("not in"))
+    // case-ambiguous under the default resolver: raise, don't pick first
+    val dup = toDf(spark)("Score" -> Seq(1L), "score" -> Seq(2L)).df
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.quantileGate(dup, "score", 0.5)
+    }
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
   }
 
   test("quantileGate handles identifier-hostile column names") {

@@ -123,13 +123,19 @@ class StreamingSuite extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && got.nonEmpty)
     // an over-cap store cannot take the relational fallback on a stream —
-    // the tier switch must say so instead of a generic analysis error
+    // the tier switch must say so instead of a generic analysis error,
+    // and must drop its store pin first: the message invites a raise-
+    // maxSetFps-and-retry, which would otherwise leak one cached store
+    // copy per attempt in a long-running streaming driver
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalArgumentException] {
       graft.operators.Dedup.winnowIncrementalTiered(
         stream, corpus, "text", "doc_id", k = 12, w = 8,
         minShared = 40L, maxSetFps = 0)
     }
     assert(e.getMessage.contains("cannot run on a stream"))
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      "the fp store must be unpersisted on the streaming-refusal path")
   }
 
   test("stream-static enrichment join: broadcast dim onto an unbounded stream") {
