@@ -28,10 +28,14 @@ object Dedup {
     * single long column as a primitive `Array[Long]` (8 bytes/element
     * retained — 16 MB at cap 2M — not boxed `Row`s, whose 10-20x
     * wrapper overhead would make the same probe cost hundreds of MB).
-    * Per-element boxing during decode is transient. */
+    * Per-element boxing during decode is transient. The cap + 1 limit
+    * saturates at Int.MaxValue (the CollectListCapped rule): a JVM
+    * array can't exceed it, and the overflowed negative limit would be
+    * rejected by Spark's analyzer. */
   private def probeLongs(df: DataFrame, c: String, cap: Int): Array[Long] = {
     val enc = org.apache.spark.sql.Encoders.scalaLong
-    df.select(col(c)).limit(cap + 1).as(enc).collect()
+    val lim = if (cap == Int.MaxValue) cap else cap + 1
+    df.select(col(c)).limit(lim).as(enc).collect()
   }
 
   /** Capped LSH bucket build — the scale contract every candidate stage
@@ -450,46 +454,50 @@ object Dedup {
       .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val head = probeLongs(store, "fp", maxSetFps)
-    if (head.length <= maxSetFps) {
-      // probe fully consumed the store — nothing else reads it
-      store.unpersist(blocking = false)
-      import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
-      java.util.Arrays.sort(head)
-      val shared = Shim.toColumn(SortedMembershipCount(
-        Shim.toExpression(winnowFingerprints(col(textCol), k, w)), head))
-      // null text → null count; the relational tier's null-text doc
-      // never reaches the join, so it survives there — match it
-      newDocs.filter(coalesce(shared < minShared, lit(true)))
-    } else {
-      // the relational tier aggregates per new doc — fine in batch,
-      // unsupported on an unwatermarked stream; fail with the reason
-      // instead of Spark's generic unsupported-operation analysis error.
-      // Release the store pin BEFORE throwing: the message invites a
-      // catch-and-retry with a larger maxSetFps, and each retry builds
-      // a fresh store — a leaked pin per attempt in a long-running
-      // streaming driver otherwise.
-      if (newDocs.isStreaming) {
+    // EVERY throw path must drop the pin, not just the hand-picked
+    // streaming refusal below: the probe itself can fail at runtime
+    // (corrupt input, cancelled job), and a retrying long-running
+    // driver would otherwise leak one cached store copy per attempt.
+    // unpersist is idempotent, so the success paths' own releases make
+    // the catch a no-op there.
+    try {
+      val head = probeLongs(store, "fp", maxSetFps)
+      if (head.length <= maxSetFps) {
+        // probe fully consumed the store — nothing else reads it
         store.unpersist(blocking = false)
-        throw new IllegalArgumentException(
+        import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
+        java.util.Arrays.sort(head)
+        val shared = Shim.toColumn(SortedMembershipCount(
+          Shim.toExpression(winnowFingerprints(col(textCol), k, w)), head))
+        // null text → null count; the relational tier's null-text doc
+        // never reaches the join, so it survives there — match it
+        newDocs.filter(coalesce(shared < minShared, lit(true)))
+      } else {
+        // the relational tier aggregates per new doc — fine in batch,
+        // unsupported on an unwatermarked stream; fail with the reason
+        // instead of Spark's generic unsupported-operation analysis
+        // error (the catch below drops the store pin)
+        require(!newDocs.isStreaming,
           s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
             s"($maxSetFps) and the relational fallback cannot run on a " +
             "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
             "pre-shrink the store")
+        // eager-truncate through the hot cache so the RETURNED plan reads
+        // materialized blocks instead of re-deriving the scan + distinct
+        // at execution, then drop the persist pin — the blocks live with
+        // the plan and are reaped by ContextCleaner when it is collected.
+        // Reliable checkpoint when a dir is configured (survives executor
+        // loss); else localCheckpoint (the connectedComponents trade).
+        val snap =
+          if (corpus.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            store.checkpoint(true)
+          else store.localCheckpoint(true)
+        store.unpersist(blocking = false)
+        winnowScreenOverDistinctFps(newDocs, textCol, idCol, snap,
+          k, w, minShared)
       }
-      // eager-truncate through the hot cache so the RETURNED plan reads
-      // materialized blocks instead of re-deriving the scan + distinct
-      // at execution, then drop the persist pin — the blocks live with
-      // the plan and are reaped by ContextCleaner when it is collected.
-      // Reliable checkpoint when a dir is configured (survives executor
-      // loss); else localCheckpoint (the connectedComponents trade).
-      val snap =
-        if (corpus.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          store.checkpoint(true)
-        else store.localCheckpoint(true)
-      store.unpersist(blocking = false)
-      winnowScreenOverDistinctFps(newDocs, textCol, idCol, snap,
-        k, w, minShared)
+    } catch {
+      case t: Throwable => store.unpersist(blocking = false); throw t
     }
   }
 

@@ -68,18 +68,7 @@ object Diagnostics {
         "use fewer bins or a narrower domain")
     // integral measures only (the quantileGate rule): the bigint cast in
     // the bin formula would silently truncate a double toward zero
-    val resolver = df.sparkSession.sessionState.analyzer.resolver
-    // all matches, not .find: under the default case-insensitive
-    // resolver a schema with both "N" and "n" must raise the same
-    // ambiguity Spark's own column resolution would, not silently bin
-    // whichever field appears first
-    val matches = df.schema.fields.filter(f => resolver(f.name, measureCol))
-    require(matches.length <= 1,
-      s"histogram: '$measureCol' is ambiguous under the session resolver " +
-        s"(matches ${matches.map(_.name).mkString(", ")})")
-    val field = matches.headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"histogram: column '$measureCol' not in ${df.columns.mkString(", ")}"))
+    val field = Resolve.uniqueField(df, measureCol, "histogram")
     field.dataType match {
       case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()

@@ -144,12 +144,23 @@ object GlobalShift {
       .groupBy(_._1).map { case (p, a) => (p, a.map(_._2).toSeq.sortBy(_._1)) }
     val pids = byPid.keys.toSeq.sorted
     // per-partition row counts (tiny second pass-1 job over the cached
-    // snapshot): they translate "i-th row from the reached boundary"
-    // into the ASCENDING row_number pass 2 already computes, so the
-    // lead path shares ONE per-partition sort with the shift window
-    // instead of adding an opposite-order sort of the whole table
+    // snapshot), load-bearing on BOTH paths: (1) they translate "i-th
+    // row from the reached boundary" into the ASCENDING row_number pass
+    // 2 already computes, so the lead path shares ONE per-partition
+    // sort with the shift window instead of adding an opposite-order
+    // sort of the whole table; (2) they bound every partition at
+    // Int.MaxValue rows — row_number's IntegerType wraps past that and
+    // a wrapped interior row could silently collide with a boundary
+    // fill key — and (3) their key set is the misalignment-guard domain
+    // below (the GlobalRank rule)
     val counts: Map[Int, Long] = parted.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts.foreach { case (p, cnt) =>
+      require(cnt <= Int.MaxValue,
+        s"GlobalShift: range partition $p holds $cnt rows — row_number " +
+          "wraps past Int.MaxValue and boundary fills would be silently " +
+          "wrong; raise spark.sql.shuffle.partitions")
+    }
 
     // driver-side hand-off: for target partition p, the cross-boundary
     // sequence b[1], b[2], … (b[1] = nearest row beyond p's boundary in
@@ -196,10 +207,25 @@ object GlobalShift {
     val localShift =
       if (isLead) lead(col("__sv"), n).over(w) else lag(col("__sv"), n).over(w)
     val biCol = row_number().over(w)
+    // misalignment guard (the GlobalRank rule): if pass 2 recomputes
+    // lost snapshot blocks, range boundaries are resampled per job and
+    // a pass-2 pid may not exist in pass 1's count map — boundary rows
+    // would then silently miss their fills and take the local shift's
+    // null/interior value. Fail loudly instead. Skipped only on empty
+    // input (no rows can reach the guard anyway).
+    val guardedBi =
+      if (counts.isEmpty) biCol
+      else {
+        val known = element_at(typedLit(counts), col("__pid"))
+        when(known.isNull, raise_error(concat(
+          lit("GlobalShift: range-partition misalignment between strip " +
+            "and shift passes, pid="),
+          col("__pid").cast("string")))).otherwise(biCol)
+      }
     val defLit =
       if (default == null) lit(null).cast(svType) else lit(default).cast(svType)
     val out = parted
-      .withColumn("__bi", biCol)
+      .withColumn("__bi", guardedBi)
       .join(broadcast(fillDf), Seq("__pid", "__bi"), "left")
       .withColumn(name,
         when(col("__has"), when(col("__have"), col("__fill")).otherwise(defLit))

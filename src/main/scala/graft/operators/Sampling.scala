@@ -139,19 +139,7 @@ object Sampling {
     * engine-portably. */
   def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
-    // resolve the way the analyzer would (case-insensitive under the
-    // default spark.sql.caseSensitive=false), not by exact string match
-    val resolver = df.sparkSession.sessionState.analyzer.resolver
-    // all matches, not .find: a schema holding both "Score" and "score"
-    // must raise the analyzer's ambiguity, not gate on whichever field
-    // happens to appear first
-    val matches = df.schema.fields.filter(f => resolver(f.name, scoreCol))
-    require(matches.length <= 1,
-      s"quantileGate: '$scoreCol' is ambiguous under the session resolver " +
-        s"(matches ${matches.map(_.name).mkString(", ")})")
-    val field = matches.headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"quantileGate: column '$scoreCol' not in ${df.columns.mkString(", ")}"))
+    val field = Resolve.uniqueField(df, scoreCol, "quantileGate")
     // exact percentile state is bounded by DISTINCT measure values, not
     // rows — only integral measures (lengths, counts, micro-quantized
     // scores) keep that bound at 100 TB. A raw double score must be

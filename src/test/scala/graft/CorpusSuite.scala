@@ -245,6 +245,11 @@ class CorpusSuite extends SparkSpec {
     // the fast tier's plan is join-free (pure scan + kernel filter)
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"fast tier must not join:\n$plan")
+    // maxSetFps = Int.MaxValue means "never fall back": the probe's
+    // cap + 1 limit must saturate, not overflow into a negative limit
+    val uncapped = Dedup.winnowIncrementalTiered(fresh, corpus, "text",
+      "doc_id", k = 12, w = 8, minShared = 2L, maxSetFps = Int.MaxValue)
+    assert(ids(uncapped) == Seq(11L))
   }
 
   test("winnowIncremental counts against the SET, not per corpus doc") {
