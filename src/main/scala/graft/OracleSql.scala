@@ -329,6 +329,28 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays Dedup.semanticDedup: the Lloyd chain's final assignment
+    * (`a{iters}`, same CTEs as kmeansAssign) is the blocking key; cells
+    * sized [2, bucketCap] expand to ordered pairs, pairs at or above
+    * `minCosine` drop their larger id, survivors keep (vec_id, cell). */
+  def semanticDedup(k: Int = 64, iters: Int = 1, dim: Int = 64,
+                    minCosine: Double = 0.2, bucketCap: Int = 1024): String =
+    s"""WITH ${lloydCtes(k, iters, dim, withFinalAssign = true)},
+       |ok AS (
+       |  SELECT cell FROM a$iters GROUP BY cell
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |drops AS (
+       |  SELECT DISTINCT y.vec_id AS id_b
+       |  FROM a$iters x
+       |  JOIN a$iters y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN ok ON ok.cell = x.cell
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |  WHERE ${cosExpr("ex.v", "ey.v")} >= $minCosine)
+       |SELECT a.vec_id, a.cell FROM a$iters a
+       |WHERE a.vec_id NOT IN (SELECT id_b FROM drops)
+       |ORDER BY a.vec_id""".stripMargin
+
   /** IVF candidate/rank CTE suffix over trained centroids: expects the
     * Lloyd chain's `e` (vec_id, v) and `c{iters}` (cell, cv) in scope.
     * Relational argmax assignment (ROW_NUMBER over cosine desc, cell

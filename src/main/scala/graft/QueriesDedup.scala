@@ -102,6 +102,17 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // SemDeDup: trained k-means cells as the blocking key, greedy
+      // larger-id-loses survivors carrying their cell (same low
+      // threshold rationale as q_embed_dedup; k = 64 cells over the
+      // 500-2000-vector table keeps cells tens of members wide)
+      "q_semantic_dedup" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.semanticDedup(Tables.df(s, dir, "embeddings"),
+            "embedding", "vec_id", k = 64, iters = 1, minCosine = 0.2))
+          .arrange("vec_id").df),
+
+
       // winnowing fingerprints (MOSS): k=5 char grams, window w=4 — ONE
       // codegen'd kernel call per row (WinnowText), aliased so the
       // stringify projection reads the computed array
@@ -238,6 +249,7 @@ private[graft] object QueriesDedup {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_dedup" -> OracleSql.embedDedup(),
+    "q_semantic_dedup" -> OracleSql.semanticDedup(),
 
 
     // winnowing fingerprints: normalize → char-k-gram hash48 → window

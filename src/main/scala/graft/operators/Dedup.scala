@@ -757,6 +757,65 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — public preprint): trained k-means cells
+    * ([[Similarity.kmeansAssign]]) replace [[embeddingCandidates]]'s
+    * random hyperplane buckets as the blocking key, so candidates are
+    * vectors close in the LEARNED geometry rather than merely on the
+    * same side of random planes — better recall at the same quadratic
+    * budget when the corpus is clustered (the regime SemDeDup targets).
+    * Same scale contract as every LSH-family stage: cells capped inside
+    * the aggregation buffer ([[cappedBuckets]]), ids only on the cell
+    * shuffle, vectors re-joined after pair formation. `k` governs the
+    * in-cell quadratic (cells hold ~n/k members on a balanced corpus —
+    * pick k ≈ n / targetCellSize); `bucketCap` hard-bounds it either
+    * way. Blocking recall caveat: a near-dup pair split across two
+    * cells is missed, exactly as a pair split across LSH buckets is —
+    * the cross-cell miss is suite-documented. */
+  def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 64, iters: Int = 1,
+                    minCosine: Double = 0.95,
+                    bucketCap: Int = 1024): DataFrame =
+    semanticPairsFromCells(
+      Similarity.kmeansAssign(df, vecCol, idCol, k, iters),
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      minCosine, bucketCap)
+
+  /** Greedy SemDeDup survivors: within every qualifying pair the larger
+    * id loses (the [[dedupByMinhash]] policy), so each semantic
+    * near-dup group keeps exactly its smallest id. Returns the
+    * survivors as `(vec_id, cell)` — the cell rides along so the
+    * output also pins the trained assignment. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 64, iters: Int = 1,
+                    minCosine: Double = 0.95,
+                    bucketCap: Int = 1024): DataFrame = {
+    val cells = Similarity.kmeansAssign(df, vecCol, idCol, k, iters)
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val drops = semanticPairsFromCells(cells, vecs, minCosine, bucketCap)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  private def semanticPairsFromCells(cells: DataFrame, vecs: DataFrame,
+                                     minCosine: Double,
+                                     bucketCap: Int): DataFrame = {
+    val banded = cells.select(col("cell"), col("vec_id").as("id"))
+    val buckets = cappedBuckets(banded, Seq(col("cell")), col("id"), bucketCap)
+    buckets.select(explode(expr(
+      """flatten(transform(members, m1 ->
+        |  filter(transform(members, m2 ->
+        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
+        |    p -> p is not null)))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   // ------------------------------------------------------------- clustering
 
   /** Connected components over an undirected edge list (e.g. near-dup

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** SemDeDup semantics (Abbas et al. 2023): trained-cell blocking,
+  * in-cell cosine pairs, greedy larger-id-loses survivors — plus the
+  * capped-cell discipline every LSH-family stage shares and the
+  * documented cross-cell blocking miss. */
+class SemanticDedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated directions; ids 0 and 1 are the deterministic
+  // Lloyd seeds, so they anchor one cell each
+  private def corpus = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),      // cluster A anchor
+    (1L, Array(0f, 1f, 0f, 0f)),      // cluster B anchor
+    (2L, Array(1f, 0.01f, 0f, 0f)),   // near-dup of 0 (cos ≈ 1)
+    (3L, Array(0f, 1f, 0.01f, 0f)),   // near-dup of 1
+    (4L, Array(0f, 0f, 0f, 1f))       // orthogonal singleton
+  ).toDF("vec_id", "embedding")
+
+  test("within-cell near-dups drop their larger id; singletons survive") {
+    val out = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+      k = 2, iters = 1, minCosine = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
+    // the survivors' cells pin the trained assignment: 2 rode with 0,
+    // 3 with 1; the orthogonal vector ties at cosine 0 and takes the
+    // smallest cell (the kmeansAssign tie rule)
+    val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(0L) != cells(1L), "anchors must land in different cells")
+    assert(cells(4L) == math.min(cells(0L), cells(1L)))
+  }
+
+  test("semanticPairs finds in-cell pairs and misses the cross-cell one") {
+    // 2 and 3 are near-dups of DIFFERENT anchors: blocking by cell means
+    // the (0,2) and (1,3) pairs are found, but a hypothetical pair
+    // crossing cells never forms — the documented recall trade every
+    // blocked dedup stage makes
+    val pairs = Dedup.semanticPairs(corpus, "embedding", "vec_id",
+      k = 2, iters = 1, minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (1L, 3L)))
+  }
+
+  test("a cell past bucketCap is dropped whole (capped-cell discipline)") {
+    val mono = (0L until 10L).map(i => (i, Array(1f, i.toFloat * 1e-4f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // k = 1: every vector lands in the single seeded cell
+    val capped = Dedup.semanticDedup(mono, "embedding", "vec_id",
+      k = 1, iters = 1, minCosine = 0.9, bucketCap = 5)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(capped == (0L until 10L), "over-cap cell must drop, keeping all")
+    val uncapped = Dedup.semanticDedup(mono, "embedding", "vec_id",
+      k = 1, iters = 1, minCosine = 0.9, bucketCap = 16)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(uncapped == Seq(0L), "within cap, the greedy rule keeps min id")
+  }
+}
