@@ -133,6 +133,23 @@ private[graft] object QueriesCorpus {
           .arrange("doc_id").df),
 
 
+      // DSIR importance resampling: docs scored by hashed-unigram
+      // likelihood ratio against a deterministic target slice
+      // (doc_id % 10 = 0), then gated at the global 0.75 quantile —
+      // the integer micro-nat score feeds quantileGate directly
+      "q_dsir" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          graft.operators.Sampling.quantileGate(
+            graft.operators.Corpus.dsirWeights(
+              docs.filter(col("doc_id") % 10 =!= 0),
+              docs.filter(col("doc_id") % 10 === 0),
+              "text", "doc_id"),
+            "dsir_micro", 0.75))
+          .arrange("doc_id").df
+      }),
+
+
       // exact percentiles of an integer measure per language (corpus
       // length profile; interpolated like SQL percentile_cont)
       "q_percentiles" -> ((s: SparkSession, dir: String) =>
@@ -349,6 +366,46 @@ private[graft] object QueriesCorpus {
     // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE
     // the sum (order-insensitive integer aggregate; per-value ln parity is
     // the only float contract — Corpus.lmScore scaladoc)
+    // DSIR: bucket = the q_feature_hash token hash; add-1 smoothed
+    // bucket distributions; the lloyd floor(x*S + 0.5) quantization
+    // (sign-exact); per-doc score = Σ_instances w[bucket] ≡ the count
+    // vector · llr dot product; gate replays quantile_cont
+    "q_dsir" ->
+      """WITH rtok AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64)) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |ttok AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64)) AS h
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tcnt AS (SELECT h, COUNT(*)::BIGINT AS n FROM ttok GROUP BY h),
+        |rcnt AS (SELECT h, COUNT(*)::BIGINT AS n FROM rtok GROUP BY h),
+        |ttot AS (SELECT COUNT(*) + 64 AS n FROM ttok),
+        |rtot AS (SELECT COUNT(*) + 64 AS n FROM rtok),
+        |llr AS (
+        |  SELECT g.j AS h,
+        |    CAST(floor((ln((COALESCE(t.n, 0) + 1)::DOUBLE / ttot.n::DOUBLE)
+        |              - ln((COALESCE(r.n, 0) + 1)::DOUBLE / rtot.n::DOUBLE))
+        |         * 1000000.0 + 0.5) AS BIGINT) AS w
+        |  FROM range(0, 64) AS g(j)
+        |  LEFT JOIN tcnt t ON t.h = g.j
+        |  LEFT JOIN rcnt r ON r.h = g.j
+        |  CROSS JOIN ttot CROSS JOIN rtot),
+        |scores AS (
+        |  SELECT d.doc_id, COALESCE(SUM(llr.w), 0)::BIGINT AS dsir_micro
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |  LEFT JOIN rtok ON rtok.doc_id = d.doc_id
+        |  LEFT JOIN llr ON llr.h = rtok.h
+        |  GROUP BY d.doc_id),
+        |thr AS (SELECT quantile_cont(dsir_micro, 0.75) AS t FROM scores)
+        |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
+        |WHERE dsir_micro::DOUBLE >= t
+        |ORDER BY doc_id""".stripMargin,
+
+
     "q_lm_score" ->
       """WITH inst AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

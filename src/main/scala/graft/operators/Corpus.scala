@@ -136,6 +136,52 @@ object Corpus {
       .na.fill(0L, Seq("n_bigrams", "surprisal2_micro"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * public preprint): score every raw document by how much more likely
+    * its hashed-unigram bag is under the TARGET corpus's distribution
+    * than under the raw corpus's own — the data-selection signal that
+    * lets a pipeline resample a crawl toward a curated target domain.
+    * log w(x) = Σ_b count_x[b] · (ln p_target[b] − ln p_raw[b]), add-1
+    * smoothed over `dim` hashed buckets, emitted as an integer
+    * micro-nat score (`dsir_micro`) — integral by construction, so it
+    * feeds [[Sampling.quantileGate]] / weighted sampling directly.
+    *
+    * Scale shape: each corpus is scanned ONCE for its bucket-total
+    * vector — the codegen'd [[graft.functions.TextFunctions.featureHash]]
+    * kernel per row, posexplode, one partial-agged shuffle bounded at
+    * `dim` rows out — and the two dim-length total vectors collect to
+    * the driver (the lloyd/BM25 one-scalar-broadcast pattern, 64 longs
+    * here). Scoring is then a PURE PROJECTION over the raw corpus: the
+    * quantized log-ratio array is a literal, each row folds its own
+    * count vector against it in integer arithmetic — no join, no
+    * shuffle, stream-safe. Quantization is the lloyd rule
+    * (`floor(x·1e6 + 0.5)`, exact for either sign), so the DuckDB
+    * oracle replays the scores bit-identically. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, dim: Int = 64,
+                  quantScale: Double = 1e6): DataFrame = {
+    def bucketTotals(df: DataFrame): Array[Long] = {
+      val got = df
+        .select(posexplode(featureHash(col(textCol), dim)).as(Seq("__p", "__c")))
+        .groupBy("__p").agg(sum("__c").as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      Array.tabulate(dim)(b => got.getOrElse(b, 0L))
+    }
+    val t = bucketTotals(target)
+    val r = bucketTotals(raw)
+    val tTot = (t.sum + dim).toDouble
+    val rTot = (r.sum + dim).toDouble
+    val llr: Seq[Long] = (0 until dim).map { b =>
+      val x = math.log((t(b) + 1.0) / tTot) - math.log((r(b) + 1.0) / rTot)
+      math.floor(x * quantScale + 0.5).toLong
+    }
+    val llrCol = array(llr.map(lit): _*)
+    raw.select(col(idCol),
+      aggregate(
+        zip_with(featureHash(col(textCol), dim), llrCol, (c, w) => c * w),
+        lit(0L), (acc, x) => acc + x).as("dsir_micro"))
+  }
+
   /** Zipf-skew-safe instances⋈counts join: the top-`headVocab` count rows
     * (a bounded TakeOrdered — ties at the cutoff broken on the key
     * columns for determinism) join by broadcast-hash, so the hot keys

@@ -309,4 +309,36 @@ class CorpusSuite extends SparkSpec {
     assert(Dedup.winnowCandidates(two, "text", "doc_id",
       k = 12, w = 8, bucketCap = 64, minShared = n + 1).count() == 0L)
   }
+
+  // ----------------------------------------------------- dsirWeights
+
+  test("dsirWeights: exact micro-nat scores from first principles; scan-local scoring") {
+    import graft.functions.TextFunctions.featureHash
+    val target = docs(100L -> "aaa aaa aaa")
+    val raw = docs(1L -> "aaa aaa", 2L -> "bbb bbb")
+    // bucket of each token via the kernel itself (hash48(token) % 64)
+    def bucketOf(tok: String): Int = {
+      val v = spark.range(1).select(featureHash(lit(tok), 64).as("v"))
+        .collect()(0).getSeq[Long](0)
+      v.indexWhere(_ == 1L)
+    }
+    val (ba, bb) = (bucketOf("aaa"), bucketOf("bbb"))
+    assume(ba != bb, "test tokens must hash to distinct buckets")
+    // target totals {ba: 3}, raw totals {ba: 2, bb: 2}; add-1 smoothing,
+    // the lloyd floor(x*1e6 + 0.5) quantization — exactly the operator's
+    // documented formula, derived independently here
+    val tTot = 3.0 + 64; val rTot = 4.0 + 64
+    def llr(t: Long, r: Long): Long =
+      math.floor((math.log((t + 1.0) / tTot) - math.log((r + 1.0) / rTot))
+        * 1e6 + 0.5).toLong
+    val out = Corpus.dsirWeights(raw, target, "text", "doc_id")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2 * llr(3, 2), "target-like doc: 2 tokens in ba")
+    assert(got(2L) == 2 * llr(0, 2), "off-target doc: 2 tokens in bb")
+    assert(got(1L) > got(2L), "target-like must outscore off-target")
+    // scoring is a pure projection: the distributions were collected in
+    // the two stats passes, so the RETURNED plan must not shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
+  }
 }
