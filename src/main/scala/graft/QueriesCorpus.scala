@@ -363,9 +363,6 @@ private[graft] object QueriesCorpus {
         |ORDER BY token""".stripMargin,
 
 
-    // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE
-    // the sum (order-insensitive integer aggregate; per-value ln parity is
-    // the only float contract — Corpus.lmScore scaladoc)
     // DSIR: bucket = the q_feature_hash token hash; add-1 smoothed
     // bucket distributions; the lloyd floor(x*S + 0.5) quantization
     // (sign-exact); per-doc score = Σ_instances w[bucket] ≡ the count
@@ -406,6 +403,9 @@ private[graft] object QueriesCorpus {
         |ORDER BY doc_id""".stripMargin,
 
 
+    // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE
+    // the sum (order-insensitive integer aggregate; per-value ln parity is
+    // the only float contract — Corpus.lmScore scaladoc)
     "q_lm_score" ->
       """WITH inst AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t

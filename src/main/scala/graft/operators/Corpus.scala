@@ -156,7 +156,17 @@ object Corpus {
     * count vector against it in integer arithmetic — no join, no
     * shuffle, stream-safe. Quantization is the lloyd rule
     * (`floor(x·1e6 + 0.5)`, exact for either sign), so the DuckDB
-    * oracle replays the scores bit-identically. */
+    * oracle replays the scores bit-identically.
+    *
+    * Null text scores 0, never null: `featureHash(null)` is null, which
+    * would make the fold emit a null `dsir_micro` that a downstream
+    * quantileGate silently drops AND that diverges from the oracle's
+    * LEFT JOIN + COALESCE(SUM, 0) replay (DuckDB's `unnest(NULL)` emits
+    * no token rows). The score projection guards null explicitly — NOT
+    * by coalescing text to "", because the tokenizer emits one empty
+    * token for "" (both engines agree on that), which is a different,
+    * non-zero score. The totals scans need no guard: a null hash array
+    * explodes to no rows, exactly the oracle's no-token contribution. */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   idCol: String, dim: Int = 64,
                   quantScale: Double = 1e6): DataFrame = {
@@ -177,9 +187,10 @@ object Corpus {
     }
     val llrCol = array(llr.map(lit): _*)
     raw.select(col(idCol),
-      aggregate(
-        zip_with(featureHash(col(textCol), dim), llrCol, (c, w) => c * w),
-        lit(0L), (acc, x) => acc + x).as("dsir_micro"))
+      when(col(textCol).isNull, lit(0L)).otherwise(
+        aggregate(
+          zip_with(featureHash(col(textCol), dim), llrCol, (c, w) => c * w),
+          lit(0L), (acc, x) => acc + x)).as("dsir_micro"))
   }
 
   /** Zipf-skew-safe instances⋈counts join: the top-`headVocab` count rows

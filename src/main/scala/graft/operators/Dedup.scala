@@ -366,12 +366,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
     val buckets = cappedBuckets(fps, Seq(col("fp")), col("id"), bucketCap)
-    buckets.select(explode(expr(
-      """flatten(transform(members, m1 ->
-        |  filter(transform(members, m2 ->
-        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
-        |    p -> p is not null)))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    inBucketIdPairs(buckets)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -710,12 +705,7 @@ object Dedup {
     val banded = df.select(col(idCol).as("id"),
       explode(array_distinct(charNgrams(col(strCol), n))).as("g"))
     val buckets = cappedBuckets(banded, Seq(col("g")), col("id"), bucketCap)
-    buckets.select(explode(expr(
-      """flatten(transform(members, m1 ->
-        |  filter(transform(members, m2 ->
-        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
-        |    p -> p is not null)))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    inBucketIdPairs(buckets)
       .dropDuplicates("id_a", "id_b")
       .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
@@ -744,17 +734,7 @@ object Dedup {
     val banded = vecs.select(
       hyperplaneBucket(col("v"), planes).as("bucket"), col("id"))
     val buckets = cappedBuckets(banded, Seq(col("bucket")), col("id"), bucketCap)
-    buckets.select(explode(expr(
-      """flatten(transform(members, m1 ->
-        |  filter(transform(members, m2 ->
-        |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
-        |    p -> p is not null)))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cos"))
-      .filter(col("cos") >= minCosine)
+    cosineVerifiedPairs(buckets, vecs, minCosine)
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
@@ -803,18 +783,37 @@ object Dedup {
                                      bucketCap: Int): DataFrame = {
     val banded = cells.select(col("cell"), col("vec_id").as("id"))
     val buckets = cappedBuckets(banded, Seq(col("cell")), col("id"), bucketCap)
+    cosineVerifiedPairs(buckets, vecs, minCosine)
+  }
+
+  /** In-bucket ordered pair expansion over scalar-id `members` — the
+    * shared tail of every capped-bucket stage whose members are bare
+    * ids (winnow / edit-distance / embedding / semantic): each bucket's
+    * id list expands to its `id_a < id_b` pairs in one codegen'd HOF,
+    * no join. Stages whose members carry payload structs (minhash sigs,
+    * simhash words) keep their own struct-field expansion inline. */
+  private def inBucketIdPairs(buckets: DataFrame): DataFrame =
     buckets.select(explode(expr(
       """flatten(transform(members, m1 ->
         |  filter(transform(members, m2 ->
         |    if(m1 < m2, struct(m1 as id_a, m2 as id_b), null)),
         |    p -> p is not null)))""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+
+  /** The id-only-shuffle cosine verify tail shared by the
+    * embedding-geometry stages ([[embeddingCandidates]],
+    * [[semanticPairs]]): pairs re-join their vectors by id AFTER
+    * formation — the wide payload never rides the bucket exchange —
+    * then score and threshold. `vecs` must be the narrow `(id, v)`
+    * projection. */
+  private def cosineVerifiedPairs(buckets: DataFrame, vecs: DataFrame,
+                                  minCosine: Double): DataFrame =
+    inBucketIdPairs(buckets)
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
-  }
 
   // ------------------------------------------------------------- clustering
 

@@ -211,8 +211,14 @@ object GlobalShift {
     // lost snapshot blocks, range boundaries are resampled per job and
     // a pass-2 pid may not exist in pass 1's count map — boundary rows
     // would then silently miss their fills and take the local shift's
-    // null/interior value. Fail loudly instead. Skipped only on empty
-    // input (no rows can reach the guard anyway).
+    // null/interior value. Fail loudly on that case. Like GlobalRank's
+    // guard, this catches ONLY pids absent from the pass-1 map: a
+    // recompute that resamples boundaries while keeping the same
+    // non-empty pid set still misattaches fills SILENTLY — which is why
+    // the snapshot persist + managed/releasable lifecycle (not this
+    // guard) is the actual correctness mechanism, and the guard is a
+    // best-effort tripwire. Skipped only on empty input (no rows can
+    // reach the guard anyway).
     val guardedBi =
       if (counts.isEmpty) biCol
       else {

@@ -341,4 +341,19 @@ class CorpusSuite extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
+
+  test("dsirWeights: null text scores 0, never null (oracle LEFT JOIN parity)") {
+    // target is aaa-heavier than raw, so the on-target doc's llr is
+    // strictly positive (equal distributions would put it at exactly 0)
+    val target = docs(100L -> "aaa aaa aaa")
+    val raw = toDf(spark)("doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("aaa", null)).df
+    val got = Corpus.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // featureHash(null) is null — unguarded, doc 2 would emit null and a
+    // downstream quantileGate would silently drop it; the operator must
+    // instead score it 0 like the DuckDB oracle's COALESCE(SUM, 0)
+    assert(got(2L) == 0L, s"null-text doc must score 0, got ${got(2L)}")
+    assert(got(1L).asInstanceOf[Long] > 0L, "on-target doc outscores")
+  }
 }

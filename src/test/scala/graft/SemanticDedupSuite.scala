@@ -25,12 +25,27 @@ class SemanticDedupSuite extends SparkSpec {
       k = 2, iters = 1, minCosine = 0.9)
       .orderBy("vec_id").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
-    // the survivors' cells pin the trained assignment: 2 rode with 0,
-    // 3 with 1; the orthogonal vector ties at cosine 0 and takes the
-    // smallest cell (the kmeansAssign tie rule)
+    // the survivors' cells pin the trained assignment: 2 rode with 0, 3
+    // with 1. Vector 4 ties at cosine 0 only at the ROUND-0 assignment
+    // (joining cell 0 via the smallest-cell rule); the single Lloyd
+    // update then folds it into cell 0's centroid, so the FINAL
+    // assignment is a strict cosine win for cell 0, not a tie — the tie
+    // rule itself is pinned by the iters = 0 test below.
     val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells(0L) != cells(1L), "anchors must land in different cells")
-    assert(cells(4L) == math.min(cells(0L), cells(1L)))
+    assert(cells(4L) == cells(0L), "round-0 tie fed vec 4 into cell 0")
+  }
+
+  test("an exact cosine tie takes the smallest cell (kmeansAssign tie rule)") {
+    // iters = 0 assigns against the RAW seed vectors, so the orthogonal
+    // vector 4 scores cosine 0 against both seeds — a genuine final
+    // tie, resolved to the smaller cell id (first max position, cells
+    // ascending)
+    val cells = graft.operators.Similarity
+      .kmeansAssign(corpus, "embedding", "vec_id", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(4L) == 0L, "cosine-0 tie against both seeds must pick cell 0")
+    assert(cells(2L) == 0L && cells(3L) == 1L, "near-dups follow their anchors")
   }
 
   test("semanticPairs finds in-cell pairs and misses the cross-cell one") {
