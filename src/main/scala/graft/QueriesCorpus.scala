@@ -150,6 +150,16 @@ private[graft] object QueriesCorpus {
       }),
 
 
+      // Gopher quality rules (Rae et al. 2021): the published heuristic
+      // document gate as integer cross-multiplied flags — division-free,
+      // scan-local (Corpus.gopherRules scaladoc)
+      "q_gopher" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.operators.Corpus.gopherRules(
+            Tables.df(s, dir, "documents"), "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
       // exact percentiles of an integer measure per language (corpus
       // length profile; interpolated like SQL percentile_cont)
       "q_percentiles" -> ((s: SparkSession, dir: String) =>
@@ -401,6 +411,50 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
         |WHERE dsir_micro::DOUBLE >= t
         |ORDER BY doc_id""".stripMargin,
+
+
+    // Gopher rules: all-integer comparisons (no float in the whole
+    // query); DuckDB regexp_replace needs the explicit 'g' flag Spark
+    // applies by default, and integer division is `//`
+    "q_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS n_chars_ns,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_sym,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT AS n_bullet,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT AS n_ellipsis,
+        |    len(list_filter(toks,
+        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w)))::BIGINT AS n_stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  n_chars_ns BETWEEN n_words * 3 AND n_words * 10 AS r_word_len,
+        |  n_sym * 10 < n_words AS r_symbol,
+        |  n_bullet * 10 < n_lines * 9 AS r_bullet,
+        |  n_ellipsis * 10 < n_lines * 3 AS r_ellipsis,
+        |  n_alpha_words * 5 > n_words * 4 AS r_alpha,
+        |  n_stop_hits >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (n_chars_ns BETWEEN n_words * 3 AND n_words * 10)
+        |    AND (n_sym * 10 < n_words)
+        |    AND (n_bullet * 10 < n_lines * 9)
+        |    AND (n_ellipsis * 10 < n_lines * 3)
+        |    AND (n_alpha_words * 5 > n_words * 4)
+        |    AND (n_stop_hits >= 2) AS gopher_pass
+        |FROM c ORDER BY doc_id""".stripMargin,
 
 
     // unigram-LM surprisal: per-token -ln p quantized to micro-nats BEFORE

@@ -193,6 +193,76 @@ object Corpus {
           lit(0L), (acc, x) => acc + x)).as("dsir_micro"))
   }
 
+  /** The eight stopwords whose containment the Gopher gate requires
+    * (Rae et al. 2021, appendix A "quality filtering": a document must
+    * contain at least two of them). Distinct from [[graft.functions
+    * .TextFunctions.StopwordsEn]], which is a lang-ID signal list —
+    * the gate's list is part of the published rule, so it is pinned
+    * here verbatim. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, appendix A) — the
+    * published heuristic gate a crawl-scale pipeline runs before any
+    * model-based scoring: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` / `...` / `…`), bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word fraction, and
+    * required-stopword containment. Output: one row per document with
+    * `n_words`, each rule as a boolean column, and the conjunction
+    * `gopher_pass`.
+    *
+    * Every ratio rule is spelled as an INTEGER cross-multiplication
+    * (`10·n_sym < n_words` instead of `n_sym/n_words < 0.1`), so the
+    * gate is division-free: no floats, no null-on-empty-denominator
+    * edge (an empty doc has `n_lines = 1`, `n_words = 1` under the
+    * house tokenizer), and the DuckDB oracle replays bit-exactly.
+    *
+    * Scale shape: a pure two-projection scan — arrays (tokens, lines)
+    * computed ONCE in the first projection, counts read the aliased
+    * arrays, flags read the aliased counts (the no-recompute rule —
+    * interpreted expressions get no CSE). No join, no shuffle,
+    * stream-safe; the flags prune onto the parquet scan when used as a
+    * filter. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    // '...' replacement removes exactly 3 chars per non-overlapping
+    // occurrence (left-to-right in both engines), so the length delta
+    // is always a multiple of 3 and the /3 is exact
+    val dots = (length(t) - length(regexp_replace(t, "\\.\\.\\.", "")))
+      .cast("long").divide(lit(3)).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val uniEll = (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    val arrs = df.select(col(idCol), t,
+      tokens(t).as("__toks"), split(t, "\n").as("__lines"))
+    val counts = arrs.select(col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      length(regexp_replace(t, "\\s+", "")).cast("long").as("n_chars_ns"),
+      (hashes + dots + uniEll).as("n_sym"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(filter(col("__lines"), l => l.rlike("^\\s*[-*•]")))
+        .cast("long").as("n_bullet"),
+      size(filter(col("__lines"), l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast("long").as("n_ellipsis"),
+      size(filter(col("__toks"), w => w.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha_words"),
+      size(filter(array(GopherStopwords.map(lit): _*),
+        w => array_contains(col("__toks"), w))).cast("long").as("n_stop_hits"))
+    val flags = counts.select(col(idCol), col("n_words"),
+      col("n_words").between(minWords, maxWords).as("r_word_count"),
+      col("n_chars_ns").between(col("n_words") * 3, col("n_words") * 10)
+        .as("r_word_len"),
+      (col("n_sym") * 10 < col("n_words")).as("r_symbol"),
+      (col("n_bullet") * 10 < col("n_lines") * 9).as("r_bullet"),
+      (col("n_ellipsis") * 10 < col("n_lines") * 3).as("r_ellipsis"),
+      (col("n_alpha_words") * 5 > col("n_words") * 4).as("r_alpha"),
+      (col("n_stop_hits") >= 2).as("r_stopwords"))
+    flags.withColumn("gopher_pass",
+      col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stopwords"))
+  }
+
   /** Zipf-skew-safe instances⋈counts join: the top-`headVocab` count rows
     * (a bounded TakeOrdered — ties at the cutoff broken on the key
     * columns for determinism) join by broadcast-hash, so the hot keys

@@ -342,6 +342,57 @@ class CorpusSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
 
+  // ------------------------------------------------------- gopherRules
+
+  // a doc that passes every Gopher rule: 50+ plain English words with
+  // stopword coverage, no symbols, no bullets
+  private val cleanDoc: String =
+    (("the quick brown fox jumps over and rests with " * 6) +
+      "that dogs have been known to be wary of it").trim
+
+  test("gopherRules: a clean document passes every rule") {
+    val out = Corpus.gopherRules(docs(1L -> cleanDoc), "text", "doc_id")
+      .collect()(0)
+    val flags = Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stopwords", "gopher_pass")
+    flags.foreach { f =>
+      assert(out.getAs[Boolean](f), s"$f must pass for the clean doc")
+    }
+  }
+
+  test("gopherRules: each rule trips on its own violation") {
+    def flagsOf(text: String): Map[String, Boolean] = {
+      val r = Corpus.gopherRules(docs(1L -> text), "text", "doc_id",
+        minWords = 5L).collect()(0)
+      Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stopwords", "gopher_pass")
+        .map(f => f -> r.getAs[Boolean](f)).toMap
+    }
+    // too short (minWords = 5 to keep the other fixtures small)
+    assert(!flagsOf("the cat")("r_word_count"))
+    // mean word length > 10 chars
+    val long = flagsOf("extraordinarily incomprehensibilities " * 4)
+    assert(!long("r_word_len") && !long("gopher_pass"))
+    // symbol soup: ≥1 symbol per 10 words ('#' and both ellipsis forms)
+    assert(!flagsOf("the cat sat on # mat with … and that ...")("r_symbol"))
+    // 9 of 10 lines bullet-started (ratio must be < 0.9)
+    assert(!flagsOf(
+      (("- the cat and that\n" * 9) + "of dogs with fleas"))("r_bullet"))
+    // 1 of 2 lines ellipsis-ended (ratio must be < 0.3)
+    assert(!flagsOf(
+      "the cat sat down...\nand that dog have fleas with it")("r_ellipsis"))
+    // numeric soup: alphabetic-word fraction ≤ 0.8
+    assert(!flagsOf("the cat 1 2 3 4 5 and that 9")("r_alpha"))
+    // only one of the eight required stopwords present
+    assert(!flagsOf("cats eat the fresh fish daily")("r_stopwords"))
+  }
+
+  test("gopherRules: scan-local plan (no Exchange)") {
+    val out = Corpus.gopherRules(docs(1L -> cleanDoc), "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must be scan-local:\n$plan")
+  }
+
   test("dsirWeights: null text scores 0, never null (oracle LEFT JOIN parity)") {
     // target is aaa-heavier than raw, so the on-target doc's llr is
     // strictly positive (equal distributions would put it at exactly 0)
