@@ -39,6 +39,20 @@ private[graft] object QueriesVector {
       }),
 
 
+      // hard-negative mining: per anchor, top-k cosine among DIFFERENT-
+      // label vectors (contrastive-training prep; broadcast anchors +
+      // bounded per-partition heaps — Similarity.hardNegatives scaladoc)
+      "q_hard_negatives" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.hardNegatives(
+            corpus = emb, anchors = emb.filter(col("vec_id") < 4),
+            vecCol = "embedding", idCol = "vec_id", labelCol = "label", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
       // IVF-style ANN: centroid cells assigned by pure projection (no
       // shuffle), nprobe=2. Centroids are TRAINED — 2 Lloyd rounds from
       // the deterministic vec_id < 8 seeds (Similarity.kmeansCentroids,
@@ -121,6 +135,20 @@ private[graft] object QueriesVector {
         |    ROW_NUMBER() OVER (ORDER BY cos DESC, c.vec_id) AS rank
         |  FROM c, q WHERE c.vec_id <> q.query_id)
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |                  label AS al
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings)
+        |SELECT query_id, vec_id, cos, rank FROM (
+        |  SELECT a.query_id, c.vec_id,
+        |    list_dot_product(c.cv, a.qv)
+        |      / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(a.qv, a.qv))) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a.query_id
+        |                       ORDER BY cos DESC, c.vec_id) AS rank
+        |  FROM c, a WHERE c.label <> a.al)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf" -> OracleSql.annIvf(),
 

@@ -102,6 +102,32 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** Hard-negative mining for contrastive training data (the in-batch /
+    * mined-negatives prep of DPR, Karpukhin et al. 2020): for each anchor,
+    * the k corpus vectors MOST similar by cosine among those with a
+    * DIFFERENT label — the near-miss negatives that make a contrastive
+    * objective informative. Same scale shape as [[bruteForceTopK]]: the
+    * anchor set is broadcast (never the corpus), the label-inequality
+    * predicate rides the broadcast join, and the per-partition bounded
+    * heap prunes each partition to ≤ k rows per anchor before the one
+    * final shuffle — no stage funnels the scored corpus through a single
+    * partition. Null labels are excluded from BOTH sides (`=!=`
+    * null-propagates, matching SQL `<>`). Self-pairs need no extra
+    * guard: an anchor shares its own label. Returns (query_id, vec_id,
+    * cos, rank). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    vecCol: String, idCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"))
+    val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__al"))
+    val scored = c.join(broadcast(a), col("__cl") =!= col("__al"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
+  }
+
   /** IVF-style ANN: the corpus is partitioned into cells by nearest
     * centroid; a query scores only candidates in its 2 closest cells
     * (nprobe=2). Cell assignment is a PURE PROJECTION — the centroids are

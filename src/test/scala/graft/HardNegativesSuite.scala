@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Hard-negative mining (Similarity.hardNegatives): label exclusion,
+  * cosine ranking, determinism on ties. The q_hard_negatives oracle
+  * pins the same semantics end-to-end against DuckDB. */
+class HardNegativesSuite extends SparkSpec {
+
+  // axis-aligned fixture: anchor 0 is +x with label 0; the only
+  // different-label vectors are 2 (exactly +x, cos 1), 3 (diagonal,
+  // cos √2/2) and 4 (+y, cos 0). Vector 1 shares label 0 and must
+  // never surface, however similar.
+  private def vecs = spark.sql(
+    """SELECT * FROM VALUES
+      |  (0L, array(1.0F, 0.0F), 0),
+      |  (1L, array(0.9F, 0.1F), 0),
+      |  (2L, array(2.0F, 0.0F), 1),
+      |  (3L, array(1.0F, 1.0F), 1),
+      |  (4L, array(0.0F, 1.0F), 2)
+      |AS t(vec_id, embedding, label)""".stripMargin)
+
+  test("ranks different-label vectors by cosine, same-label never surfaces") {
+    val out = Similarity.hardNegatives(
+      corpus = vecs, anchors = vecs.filter(col("vec_id") === 0),
+      vecCol = "embedding", idCol = "vec_id", labelCol = "label", k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(!out.map(_.getLong(1)).contains(1L), "same-label vector leaked")
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    // magnitude-invariant: vec 2 is anchor-parallel at 2x length, cos 1
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("k bounds each anchor's list; multiple anchors mine independently") {
+    val out = Similarity.hardNegatives(
+      corpus = vecs, anchors = vecs.filter(col("vec_id") <= 2),
+      vecCol = "embedding", idCol = "vec_id", labelCol = "label", k = 2)
+      .collect()
+    val byAnchor = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byAnchor.keySet == Set(0L, 1L, 2L))
+    assert(byAnchor.values.forall(_ == 2), s"k=2 per anchor: $byAnchor")
+    // anchor 2 (label 1) mines from labels {0, 2}: best is the parallel
+    // label-0 pair, never its own-label diagonal vec 3
+    val a2 = out.filter(_.getLong(0) == 2L).sortBy(_.getInt(3)).map(_.getLong(1))
+    assert(a2.toSeq == Seq(0L, 1L))
+  }
+
+  test("cosine ties break on vec_id ascending (deterministic replay)") {
+    // two identical different-label vectors tie at cos 1 against the
+    // anchor; rank order must be id order
+    val tied = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0F, 0.0F), 0),
+        |  (5L, array(1.0F, 0.0F), 1),
+        |  (6L, array(1.0F, 0.0F), 1)
+        |AS t(vec_id, embedding, label)""".stripMargin)
+    val out = Similarity.hardNegatives(
+      corpus = tied, anchors = tied.filter(col("vec_id") === 0),
+      vecCol = "embedding", idCol = "vec_id", labelCol = "label", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 6L))
+  }
+}
