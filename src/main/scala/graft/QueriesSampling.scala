@@ -70,6 +70,17 @@ private[graft] object QueriesSampling {
           .arrange("doc_id").df),
 
 
+      // temperature-flattened language mixture (τ=0.5): per-domain keep
+      // rates (n_min/n_s)^0.5 — sqrt is IEEE-correctly-rounded, so the
+      // cut replays bit-exactly (Sampling.temperatureMixture scaladoc)
+      "q_temperature_mix" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.temperatureMixture(Tables.df(s, dir, "documents"),
+            "doc_id", "lang", tau = 0.5)
+            .select(col("doc_id"), col("lang")))
+          .arrange("doc_id").df),
+
+
       // deterministic train/val/test split assignment (80/10/10)
       "q_split" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -114,6 +125,20 @@ private[graft] object QueriesSampling {
         |        % 1000000
         |      < round(least(1.0, greatest(0.0, n_chars / 2000.0)) * 1000000, 0)::BIGINT
         |ORDER BY doc_id""".stripMargin,
+
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        round(sqrt(mn::DOUBLE / n::DOUBLE) * 1000000, 0)::BIGINT AS cut
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substring(md5('graft_tmix_42_' || d.doc_id), 1, 12))::BIGINT
+        |        % 1000000 < r.cut
+        |ORDER BY d.doc_id""".stripMargin,
 
 
     "q_stratified" ->

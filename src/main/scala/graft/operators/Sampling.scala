@@ -118,6 +118,43 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-flattened domain mixture — the multinomial τ-sampling
+    * of multilingual/multi-domain pretraining (public recipe of XLM-R,
+    * Conneau et al. 2020 §3.1, and mT5): resample so domain `s`'s share
+    * moves from its natural `n_s/N` toward `p_s ∝ n_s^τ`. Realized as a
+    * per-domain DETERMINISTIC keep rate, largest-rate-normalized so no
+    * domain is oversampled: `rate_s = (n_min / n_s)^(1−τ)` — the
+    * smallest domain keeps everything, a domain `m×` bigger keeps
+    * `m^(τ−1)` of its rows. `tau = 1` is the natural mixture (all rates
+    * 1); `tau = 0` equalizes expected counts at `n_min` per domain.
+    *
+    * `tau = 0.5` (the common default) is spelled `sqrt`, which IEEE 754
+    * requires to be correctly rounded — the rate, and therefore the
+    * membership cut, replays BIT-EXACTLY in any compliant engine. Other
+    * `tau` go through `pow`, whose last-ulp behavior is only
+    * per-value-tested cross-engine (the ln contract of
+    * [[Corpus.lmScore]]); prefer 0.5 in oracle-checked pipelines.
+    *
+    * Scale shape: one count aggregation bounded at one row per domain,
+    * a one-row min broadcast onto it (the quantileGate scalar pattern),
+    * and the resulting per-domain cuts broadcast-join back onto the
+    * corpus — the big table is scanned, never shuffled, and the gate
+    * itself is the usual scan-local [[hashBucket]] predicate. */
+  def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
+                         tau: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"temperatureMixture: tau in [0,1], got $tau")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val mn = counts.agg(min("__n").as("__mn"))
+    val ratio = col("__mn").cast("double") / col("__n").cast("double")
+    val rate = if (tau == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - tau))
+    val cuts = counts.crossJoin(broadcast(mn))
+      .select(col(domainCol),
+        round(rate * lit(Mod.toDouble), 0).cast("long").as("__cut"))
+    df.join(broadcast(cuts), Seq(domainCol))
+      .filter(hashBucket(col(idCol), "tmix", seed) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Deterministic global shuffle: a total order by sampling hash (ties
     * broken by id). At scale this is ONE range-partitioned sort — exactly
     * what a training-data writer needs to decorrelate adjacent documents

@@ -133,6 +133,67 @@ class SamplingSuite extends SparkSpec {
     assert(plan.contains("Broadcast"), s"threshold must broadcast:\n$plan")
   }
 
+  test("temperatureMixture: tau endpoints — natural at 1, equalized at 0") {
+    // skewed domains: a=1000, b=250, c=40
+    val df = toDf(spark)(
+      "id" -> (0 until 1290),
+      "dom" -> ((0 until 1000).map(_ => "a") ++ (0 until 250).map(_ => "b")
+        ++ (0 until 40).map(_ => "c"))).df
+    val natural = Sampling.temperatureMixture(df, "id", "dom", tau = 1.0)
+    assert(natural.count() == 1290L, "tau=1 keeps every row")
+    val eq = Sampling.temperatureMixture(df, "id", "dom", tau = 0.0)
+      .groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected count per domain is n_min = 40; hash noise ~ ±2σ ≈ ±13
+    assert(eq("c") == 40L, "smallest domain keeps everything")
+    assert(math.abs(eq("a") - 40L) < 25 && math.abs(eq("b") - 40L) < 25,
+      s"tau=0 equalizes expected counts at n_min: $eq")
+  }
+
+  test("temperatureMixture: tau=0.5 flattens monotonically, deterministic") {
+    val df = toDf(spark)(
+      "id" -> (0 until 1290),
+      "dom" -> ((0 until 1000).map(_ => "a") ++ (0 until 250).map(_ => "b")
+        ++ (0 until 40).map(_ => "c"))).df
+    val got = Sampling.temperatureMixture(df, "id", "dom")
+      .groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected: a = 1000·√(40/1000) = 200, b = 250·√(40/250) = 100, c = 40
+    assert(got("c") == 40L)
+    assert(math.abs(got("a") - 200L) < 45 && math.abs(got("b") - 100L) < 35,
+      s"tau=0.5 expected ≈ (200, 100, 40): $got")
+    // shares flattened but natural order preserved (a > b > c still)
+    assert(got("a") > got("b") && got("b") > got("c"))
+    val again = Sampling.temperatureMixture(df, "id", "dom")
+      .collect().map(_.getLong(1)).toSet
+    assert(Sampling.temperatureMixture(df, "id", "dom")
+      .collect().map(_.getLong(1)).toSet == again, "deterministic replay")
+  }
+
+  test("temperatureMixture plan: corpus never shuffles (cuts broadcast)") {
+    val df = toDf(spark)(
+      "id" -> (0 until 100),
+      "dom" -> (0 until 100).map(i => if (i < 80) "a" else "b")).df
+    val plan = Sampling.temperatureMixture(df, "id", "dom")
+      .queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"per-domain cuts must broadcast onto the scan:\n$plan")
+    // the STREAMED (corpus) subtree prints between the join node and its
+    // BroadcastExchange build side; the tiny counts agg may shuffle, the
+    // corpus must not
+    val streamed = plan.substring(joinIdx,
+      plan.indexOf("BroadcastExchange", joinIdx))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"corpus side of the gate must not repartition:\n$plan")
+  }
+
+  test("temperatureMixture rejects tau outside [0,1]") {
+    val df = ids(10).withColumn("dom", lit("a"))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "id", "dom", tau = 1.5)
+    }
+  }
+
   test("chunkDocuments windows with stride overlap and keeps the tail") {
     val df = toDf(spark)(
       "id" -> Seq(1),
