@@ -150,6 +150,22 @@ private[graft] object QueriesCorpus {
       }),
 
 
+      // C4 page cleaning (Raffel et al. 2020): terminal-punctuation /
+      // min-words / boilerplate line rules + lorem-ipsum / brace /
+      // 3-sentence doc flags — scan-local (Corpus.c4Clean scaladoc)
+      // the synthetic docs are one-line word soup, so the page is first
+      // sentence-chunked deterministically (every 6 words → ".\n") to
+      // exercise the line rules; both engines apply the same rewrite
+      "q_c4_clean" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.operators.Corpus.c4Clean(
+            Tables.df(s, dir, "documents").withColumn("text",
+              regexp_replace(col("text"),
+                "(\\w+ \\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n")),
+            "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
       // Gopher quality rules (Rae et al. 2021): the published heuristic
       // document gate as integer cross-multiplied flags — division-free,
       // scan-local (Corpus.gopherRules scaladoc)
@@ -411,6 +427,40 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
         |WHERE dsir_micro::DOUBLE >= t
         |ORDER BY doc_id""".stripMargin,
+
+
+    // C4 cleaning: same line lambda as Spark's HOF; sentence count is a
+    // length delta (regexp_replace needs DuckDB's explicit 'g' flag)
+    "q_c4_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '(\w+ \w+ \w+ \w+ \w+ \w+) ', '\1.' || chr(10), 'g') AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM s),
+        |k AS (
+        |  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(rtrim(l), '[.!?"”]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    -- DuckDB renders the empty list's join as NULL; Spark's
+        |    -- array_join is '' — coalesce to the Spark value
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+        |    len(kept)::BIGINT AS n_kept,
+        |    (n_lines - len(kept))::BIGINT AS n_dropped
+        |  FROM k)
+        |SELECT doc_id, clean_text, n_kept, n_dropped,
+        |  (NOT contains(lower(text), 'lorem ipsum'))
+        |    AND (NOT contains(text, '{'))
+        |    AND (length(clean_text)
+        |         - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3)
+        |    AS c4_keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
 
     // Gopher rules: all-integer comparisons (no float in the whole

@@ -193,6 +193,46 @@ object Corpus {
           lit(0L), (acc, x) => acc + x)).as("dsir_micro"))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, the published
+    * Common-Crawl recipe): LINE rules keep only lines that end in
+    * terminal punctuation (`.` `!` `?` `"` `”` after trailing-space
+    * strip), carry at least `minLineWords` words, and don't mention
+    * "javascript"; DOC rules flag pages containing "lorem ipsum" or a
+    * curly brace, or whose CLEANED text has fewer than 3
+    * sentence-terminal marks. Output: (idCol, clean_text, n_kept,
+    * n_dropped, c4_keep) — the caller filters on `c4_keep` and/or
+    * replaces the text column with `clean_text`.
+    *
+    * Complementary to [[Dedup.dedupLines]]: that op drops lines by
+    * CROSS-document frequency (one shuffle); this one is pure per-doc
+    * string logic — scan-local, no shuffle, stream-safe. The line
+    * array is computed once, the filtered array once, and every
+    * downstream column reads the aliased arrays (the no-recompute
+    * rule). Sentence counting is a length delta (division-free integer,
+    * like [[gopherRules]]), so the DuckDB oracle replays bit-exactly. */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+              minLineWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val keepLine: Column => Column = l =>
+      rtrim(l).rlike("[.!?\"”]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    df.select(col(idCol), t.as("__t"), split(t, "\n").as("__lines"))
+      .select(col(idCol), col("__t"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        filter(col("__lines"), keepLine).as("__kept"))
+      .select(col(idCol), col("__t"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("n_lines") - size(col("__kept"))).cast("long").as("n_dropped"))
+      .select(col(idCol), col("clean_text"), col("n_kept"), col("n_dropped"),
+        (!lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{") &&
+          (length(col("clean_text")) -
+            length(regexp_replace(col("clean_text"), "[.!?]", ""))) >= 3)
+          .as("c4_keep"))
+  }
+
   /** The eight stopwords whose containment the Gopher gate requires
     * (Rae et al. 2021, appendix A "quality filtering": a document must
     * contain at least two of them). Distinct from [[graft.functions

@@ -342,6 +342,46 @@ class CorpusSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
 
+  // ------------------------------------------------------- c4Clean
+
+  test("c4Clean: line rules — terminal punct, min words, boilerplate") {
+    val out = Corpus.c4Clean(docs(
+      1L -> List(
+        "This line has enough words and ends well.",   // kept
+        "Too short.",                                  // < 5 words
+        "this line has five words but no terminal punctuation", // no punct
+        "Please enable javascript to view this page.", // boilerplate
+        "Quoted lines are fine when they end like \"this.\"" // kept (quote)
+      ).mkString("\n")), "text", "doc_id").collect()(0)
+    assert(out.getAs[String]("clean_text") ==
+      "This line has enough words and ends well.\n" +
+        "Quoted lines are fine when they end like \"this.\"")
+    assert(out.getAs[Long]("n_kept") == 2L)
+    assert(out.getAs[Long]("n_dropped") == 3L)
+  }
+
+  test("c4Clean: doc flags — lorem ipsum, braces, sentence minimum") {
+    val goodBody = List(
+      "The first sentence of this page ends properly.",
+      "The second sentence of this page also ends.",
+      "The third sentence of this page ends too.").mkString("\n")
+    def keepOf(text: String): Boolean =
+      Corpus.c4Clean(docs(1L -> text), "text", "doc_id")
+        .collect()(0).getAs[Boolean]("c4_keep")
+    assert(keepOf(goodBody))
+    assert(!keepOf(goodBody + "\nSome Lorem Ipsum filler text appears here."))
+    assert(!keepOf(goodBody + "\nfunction() { return 1; }"))
+    // fewer than 3 sentence marks in the CLEANED text
+    assert(!keepOf("Only one kept sentence survives the line rules here."))
+  }
+
+  test("c4Clean: scan-local plan (no Exchange)") {
+    val out = Corpus.c4Clean(docs(1L -> "A fine sentence stays right here."),
+      "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cleaning must be scan-local:\n$plan")
+  }
+
   // ------------------------------------------------------- gopherRules
 
   // a doc that passes every Gopher rule: 50+ plain English words with
