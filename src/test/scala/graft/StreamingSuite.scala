@@ -95,6 +95,42 @@ class StreamingSuite extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("gopherRules and c4Clean run on an unbounded stream (scan-local gates)") {
+    // both quality gates are pure projections per their scaladoc claims —
+    // no state, no watermark, batch output is the exact spec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inDir = Paths.get("/tmp/graft_stream_quality")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+    val gated = graft.operators.Corpus.gopherRules(stream, "text", "doc_id")
+    assert(gated.isStreaming)
+    val q1 = gated.select("doc_id", "gopher_pass")
+      .writeStream.format("memory").queryName("graft_gopher_stream")
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val gotG = spark.table("graft_gopher_stream").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val wantG = graft.operators.Corpus.gopherRules(docs, "text", "doc_id")
+      .select("doc_id", "gopher_pass").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(gotG == wantG && gotG.nonEmpty)
+
+    val cleaned = graft.operators.Corpus.c4Clean(stream, "text", "doc_id")
+    assert(cleaned.isStreaming)
+    val q2 = cleaned.select("doc_id", "n_kept", "c4_keep")
+      .writeStream.format("memory").queryName("graft_c4_stream")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val gotC = spark.table("graft_c4_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val wantC = graft.operators.Corpus.c4Clean(docs, "text", "doc_id")
+      .select("doc_id", "n_kept", "c4_keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(gotC == wantC && gotC.nonEmpty)
+  }
+
   test("winnow ingest screen fast tier runs on an unbounded stream") {
     // winnowIncrementalTiered's scan-local tier (kernel fingerprints +
     // plan-embedded store membership count) is a pure projection filter —
