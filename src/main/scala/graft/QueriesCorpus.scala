@@ -16,6 +16,31 @@ import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Mul
   * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
 private[graft] object QueriesCorpus {
 
+  /** One word-n-gram stats CTE pair for the q_repetition_rules oracle:
+    * `g{n}` = the house shingle convention (< n tokens → one whole-doc
+    * shingle, the q_repetition spelling), `s{n}` = duplicated-gram chars
+    * and the lexicographic-(count, chars) top gram — the quadratic
+    * distinct×count spelling is fine HERE (sf0.01 oracle only); the
+    * Spark side runs the sorted-fold kernel (dupRunStats). */
+  private def repGramCte(n: Int): String =
+    s"""g$n AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(0, len(toks) - ${n - 1}),
+       |                i -> array_to_string(toks[i+1:i+$n], ' ')) END AS gs
+       |  FROM d),
+       |s$n AS (
+       |  SELECT doc_id,
+       |    COALESCE(list_sum(list_transform(list_distinct(gs),
+       |      x -> CASE WHEN len(list_filter(gs, y -> y = x)) > 1
+       |                THEN len(list_filter(gs, y -> y = x)) * length(x)
+       |                ELSE 0 END)), 0)::BIGINT AS dup_chars,
+       |    COALESCE(list_max(list_transform(list_distinct(gs),
+       |      x -> [len(list_filter(gs, y -> y = x)),
+       |            len(list_filter(gs, y -> y = x)) * length(x)]))[2],
+       |      0)::BIGINT AS top_chars
+       |  FROM g$n)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
 
@@ -163,6 +188,16 @@ private[graft] object QueriesCorpus {
               regexp_replace(col("text"),
                 "(\\w+ \\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n")),
             "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
+      // Gopher repetition-removal rules (Rae et al. 2021 table A1):
+      // dup-line fractions + top/dup word-n-gram char coverage, one
+      // sorted fold per gram size (Corpus.repetitionRules scaladoc)
+      "q_repetition_rules" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.operators.Corpus.repetitionRules(
+            Tables.df(s, dir, "documents"), "text", "doc_id"))
           .arrange("doc_id").df),
 
 
@@ -461,6 +496,63 @@ private[graft] object QueriesCorpus {
         |         - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3)
         |    AS c4_keep
         |FROM c ORDER BY doc_id""".stripMargin,
+
+
+    // repetition rules: line stats + one g/s CTE pair per gram size
+    // (repGramCte); flags are the same integer cross-multiplications
+    "q_repetition_rules" -> {
+      val gramCtes = (2 to 10).map(repGramCte).mkString(",\n")
+      val joins = (2 to 10).map(n => s"JOIN s$n USING (doc_id)").mkString(" ")
+      val flags = Seq(
+        "n_dup_lines * 10 <= n_lines * 3 AS r_dup_line",
+        "dup_line_chars * 5 <= n_line_chars AS r_dup_line_char",
+        "top_2gram_chars * 100 <= n_chars * 20 AS r_top_2gram",
+        "top_3gram_chars * 100 <= n_chars * 18 AS r_top_3gram",
+        "top_4gram_chars * 100 <= n_chars * 16 AS r_top_4gram",
+        "dup_5gram_chars * 100 <= n_chars * 15 AS r_dup_5gram",
+        "dup_6gram_chars * 100 <= n_chars * 14 AS r_dup_6gram",
+        "dup_7gram_chars * 100 <= n_chars * 13 AS r_dup_7gram",
+        "dup_8gram_chars * 100 <= n_chars * 12 AS r_dup_8gram",
+        "dup_9gram_chars * 100 <= n_chars * 11 AS r_dup_9gram",
+        "dup_10gram_chars * 100 <= n_chars * 10 AS r_dup_10gram")
+      val passConj = flags.map(_.split(" AS ")(0).trim)
+        .map(c => s"($c)").mkString("\n    AND ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+         |         string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |lstat AS (
+         |  SELECT doc_id,
+         |    length(text)::BIGINT AS n_chars,
+         |    len(lines)::BIGINT AS n_lines,
+         |    (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+         |    (length(text) - (len(lines) - 1))::BIGINT AS n_line_chars,
+         |    COALESCE(list_sum(list_transform(list_distinct(lines),
+         |      x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+         |                THEN len(list_filter(lines, y -> y = x)) * length(x)
+         |                ELSE 0 END)), 0)::BIGINT AS dup_line_chars
+         |  FROM d),
+         |$gramCtes,
+         |j AS (
+         |  SELECT l.*,
+         |    s2.top_chars AS top_2gram_chars,
+         |    s3.top_chars AS top_3gram_chars,
+         |    s4.top_chars AS top_4gram_chars,
+         |    s5.dup_chars AS dup_5gram_chars,
+         |    s6.dup_chars AS dup_6gram_chars,
+         |    s7.dup_chars AS dup_7gram_chars,
+         |    s8.dup_chars AS dup_8gram_chars,
+         |    s9.dup_chars AS dup_9gram_chars,
+         |    s10.dup_chars AS dup_10gram_chars
+         |  FROM lstat l $joins)
+         |SELECT doc_id, n_chars, n_lines, n_dup_lines, n_line_chars,
+         |  dup_line_chars, top_2gram_chars, top_3gram_chars, top_4gram_chars,
+         |  dup_5gram_chars, dup_6gram_chars, dup_7gram_chars, dup_8gram_chars,
+         |  dup_9gram_chars, dup_10gram_chars,
+         |  ${flags.mkString(",\n  ")},
+         |  $passConj AS repetition_pass
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
 
     // Gopher rules: all-integer comparisons (no float in the whole

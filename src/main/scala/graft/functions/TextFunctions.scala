@@ -165,6 +165,55 @@ object TextFunctions {
       },
       acc => acc("best"))
 
+  /** Duplicate-run character stats of a string-array column, computed as
+    * ONE fold over the sorted array (the [[maxRunCount]] technique —
+    * the distinct×count spelling is quadratic per row and stragglers a
+    * long doc). Returns a struct:
+    *   - `dup_chars`: Σ over elements occurring ≥ 2 of count·strlen —
+    *     the "characters inside duplicated elements" numerator of the
+    *     Gopher repetition rules (all occurrences count, the public
+    *     convention);
+    *   - `best_count` / `best_chars`: the run stats of the
+    *     lexicographic-(count, chars) max element — the "most frequent
+    *     n-gram" numerator. The (count, then chars) tie rule is what a
+    *     `list_max` over [count, chars] pairs replays exactly in SQL;
+    *     a both-tie leaves chars equal, so the residual first-in-sort
+    *     preference is value-neutral.
+    *
+    * The phantom initial run (prev = "", run = 0) closes harmlessly:
+    * 0·len = 0 chars, run ≥ 2 false, (0,0) never beats. A REAL leading
+    * empty string merges into that phantom run — also harmless, its
+    * char contribution is 0 either way. */
+  def dupRunStats(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"),
+        lit(0L).as("bc"), lit(0L).as("bh")),
+      (acc, x) => {
+        val same = x === acc("prev")
+        val closedChars = acc("run") * length(acc("prev")).cast("long")
+        val closedDup = acc("dup") +
+          when(acc("run") >= 2L, closedChars).otherwise(lit(0L))
+        val better = acc("run") > acc("bc") ||
+          (acc("run") === acc("bc") && closedChars > acc("bh"))
+        struct(
+          x.as("prev"),
+          when(same, acc("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc("dup")).otherwise(closedDup).as("dup"),
+          when(same || !better, acc("bc")).otherwise(acc("run")).as("bc"),
+          when(same || !better, acc("bh")).otherwise(closedChars).as("bh"))
+      },
+      acc => {
+        val closedChars = acc("run") * length(acc("prev")).cast("long")
+        val better = acc("run") > acc("bc") ||
+          (acc("run") === acc("bc") && closedChars > acc("bh"))
+        struct(
+          (acc("dup") + when(acc("run") >= 2L, closedChars).otherwise(lit(0L)))
+            .as("dup_chars"),
+          when(better, acc("run")).otherwise(acc("bc")).as("best_count"),
+          when(better, closedChars).otherwise(acc("bh")).as("best_chars"))
+      })
+
   /** Fraction of the document taken by its most frequent token — the
     * companion repetition signal ([[maxRunCount]] over the tokens).
     * Pass a pre-computed token-array column. */

@@ -233,6 +233,72 @@ object Corpus {
           .as("c4_keep"))
   }
 
+  /** Gopher repetition-removal rules (Rae et al. 2021, appendix A table
+    * A1 — the published companion to [[gopherRules]]): a document is
+    * repetition-flagged when
+    *   - > 30% of its lines are duplicates (occurrences beyond the
+    *     first, the public counting convention), or
+    *   - > 20% of its line characters sit inside duplicated lines, or
+    *   - its most frequent word {2,3,4}-gram covers > {20,18,16}% of the
+    *     text's characters, or
+    *   - its duplicated word {5..10}-grams cover > {15,14,13,12,11,10}%
+    *     of the text's characters (count·len summed over grams occurring
+    *     ≥ 2 — the public approximation of "contained characters").
+    * The paragraph twin of the line rules is the same machinery with a
+    * paragraph separator; the house text layer is line-based (the
+    * [[Dedup.dedupLines]] convention), so line rules are what ships.
+    *
+    * Each rule is an integer cross-multiplication over per-doc counts
+    * (`num·100 ≤ thresh·denom`, pass = not-over-threshold — the
+    * division-free [[gopherRules]] contract, DuckDB-bit-exact). Every
+    * expensive per-row value — the token array, each gram array's
+    * sorted duplicate-run fold ([[graft.functions.TextFunctions
+    * .dupRunStats]], O(g log g) per row, not the quadratic
+    * distinct×count spelling) — is computed ONCE in its own projection
+    * stage (no-recompute rule). Scan-local, no shuffle, stream-safe. */
+  def repetitionRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val topThresh = Seq(2 -> 20, 3 -> 18, 4 -> 16)  // top-gram char %
+    val dupThresh = Seq(5 -> 15, 6 -> 14, 7 -> 13,  // dup-gram char %
+      8 -> 12, 9 -> 11, 10 -> 10)
+    val arrs = df.select(col(idCol), t.as("__t"),
+      split(t, "\n").as("__lines"), tokens(t).as("__toks"))
+    val folds = arrs.select(
+      Seq(col(idCol), col("__t"), col("__lines"),
+        dupRunStats(col("__lines")).as("__ls")) ++
+        (topThresh ++ dupThresh).map { case (n, _) =>
+          dupRunStats(wordShinglesFromTokens(col("__toks"), n)).as(s"__g$n")
+        }: _*)
+    val counts = folds.select(
+      Seq(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(array_distinct(col("__lines"))))
+          .cast("long").as("n_dup_lines"),
+        // line chars = text minus the n_lines−1 separators
+        (length(col("__t")) - (size(col("__lines")) - 1))
+          .cast("long").as("n_line_chars"),
+        col("__ls")("dup_chars").as("dup_line_chars")) ++
+        topThresh.map { case (n, _) =>
+          col(s"__g$n")("best_chars").as(s"top_${n}gram_chars") } ++
+        dupThresh.map { case (n, _) =>
+          col(s"__g$n")("dup_chars").as(s"dup_${n}gram_chars") }: _*)
+    val flagCols =
+      Seq(("r_dup_line", col("n_dup_lines") * 10 <= col("n_lines") * 3),
+        ("r_dup_line_char", col("dup_line_chars") * 5 <= col("n_line_chars"))) ++
+        topThresh.map { case (n, p) =>
+          (s"r_top_${n}gram",
+            col(s"top_${n}gram_chars") * 100 <= col("n_chars") * p) } ++
+        dupThresh.map { case (n, p) =>
+          (s"r_dup_${n}gram",
+            col(s"dup_${n}gram_chars") * 100 <= col("n_chars") * p) }
+    val flagged = counts.select(
+      counts.columns.map(col) ++
+        flagCols.map { case (name, c) => c.as(name) }: _*)
+    flagged.withColumn("repetition_pass",
+      flagCols.map(f => col(f._1)).reduce(_ && _))
+  }
+
   /** The eight stopwords whose containment the Gopher gate requires
     * (Rae et al. 2021, appendix A "quality filtering": a document must
     * contain at least two of them). Distinct from [[graft.functions

@@ -342,6 +342,44 @@ class CorpusSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
 
+  // ------------------------------------------------------- repetitionRules
+
+  test("repetitionRules: distinct-word text passes every rule") {
+    val out = Corpus.repetitionRules(
+      docs(1L -> (0 until 60).map(i => s"w$i").mkString(" ")),
+      "text", "doc_id").collect()(0)
+    assert(out.getAs[Boolean]("repetition_pass"))
+    assert(out.getAs[Long]("n_dup_lines") == 0L)
+    assert(out.getAs[Long]("dup_5gram_chars") == 0L)
+  }
+
+  test("repetitionRules: duplicate lines and hot n-grams trip their rules") {
+    val lineDup = Corpus.repetitionRules(
+      docs(1L -> "dup line\ndup line\ndup line\nunique tail"),
+      "text", "doc_id").collect()(0)
+    // 2 of 4 lines are repeat occurrences (> 30%), and their chars
+    // dominate (> 20%)
+    assert(!lineDup.getAs[Boolean]("r_dup_line"))
+    assert(!lineDup.getAs[Boolean]("r_dup_line_char"))
+    assert(!lineDup.getAs[Boolean]("repetition_pass"))
+
+    val hot = Corpus.repetitionRules(
+      docs(1L -> ("ab cd " * 30).trim), "text", "doc_id").collect()(0)
+    // "ab cd" covers 30·5 of ~179 chars (> 20%) — and the dup-gram
+    // family trips too (every 5..10-gram repeats)
+    assert(!hot.getAs[Boolean]("r_top_2gram"))
+    assert(!hot.getAs[Boolean]("r_dup_5gram"))
+    assert(!hot.getAs[Boolean]("repetition_pass"))
+    assert(hot.getAs[Long]("top_2gram_chars") == 150L)
+  }
+
+  test("repetitionRules: scan-local plan (no Exchange)") {
+    val plan = Corpus.repetitionRules(
+      docs(1L -> "some plain text"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must be scan-local:\n$plan")
+  }
+
   // ------------------------------------------------------- c4Clean
 
   test("c4Clean: line rules — terminal punct, min words, boilerplate") {

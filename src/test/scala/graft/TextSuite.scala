@@ -150,4 +150,26 @@ class TextSuite extends SparkSpec {
     assert(row.getDouble(0) == 3.0 / 5.0) // {a,b,c} of 5 tokens
     assert(row.getDouble(1) == 3.0 / 5.0) // 'a' appears 3 of 5
   }
+
+  test("dupRunStats: duplicate chars and lexicographic-(count,chars) top") {
+    def stats(xs: String*): (Long, Long, Long) = {
+      // the no-element literal array is VOID-typed; cast pins string
+      val arr = array(xs.map(lit): _*).cast("array<string>")
+      val r = toDf(spark)("id" -> Seq(1)).df
+        .select(dupRunStats(arr).as("s"))
+        .select(col("s")("dup_chars"), col("s")("best_count"),
+          col("s")("best_chars")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // a×3 (3 chars) + b×2 (2 chars) duplicated; top run is a: (3, 3)
+    assert(stats("a", "b", "a", "ccc", "b", "a") == (5L, 3L, 3L))
+    // count tie (2,4) vs (2,2) → chars break the tie toward "aa"
+    assert(stats("aa", "aa", "b", "b") == (6L, 2L, 4L))
+    // no duplicates: dup 0; top is the longest single ("ccc", 1 run)
+    assert(stats("a", "bb", "ccc") == (0L, 1L, 3L))
+    // empty array: all zeros (the phantom init run never counts)
+    assert(stats() == (0L, 0L, 0L))
+    // real empty strings merge into the phantom run at zero chars
+    assert(stats("", "", "x") == (0L, 2L, 0L))
+  }
 }
