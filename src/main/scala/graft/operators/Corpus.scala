@@ -250,23 +250,69 @@ object Corpus {
     *
     * Each rule is an integer cross-multiplication over per-doc counts
     * (`num·100 ≤ thresh·denom`, pass = not-over-threshold — the
-    * division-free [[gopherRules]] contract, DuckDB-bit-exact). Every
-    * expensive per-row value — the token array, each gram array's
-    * sorted duplicate-run fold ([[graft.functions.TextFunctions
-    * .dupRunStats]], O(g log g) per row, not the quadratic
-    * distinct×count spelling) — is computed ONCE in its own projection
-    * stage (no-recompute rule). Scan-local, no shuffle, stream-safe. */
+    * division-free [[gopherRules]] contract, DuckDB-bit-exact). The 14
+    * counts come from ONE codegen'd kernel call per row
+    * ([[org.apache.spark.sql.graftshim.RepetitionStats]]: tokenize
+    * once, all nine gram sizes counted in a single compiled pass — the
+    * interpreted nine-fold spelling, kept as [[repetitionRulesHof]],
+    * costs ~10× and is the bit-identity pin). Scan-local, no shuffle,
+    * stream-safe. */
   def repetitionRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{RepetitionStats, Shim}
+    val stats = df.select(col(idCol),
+      Shim.toColumn(RepetitionStats(Shim.toExpression(col(textCol))))
+        .as("__rs"))
+    val counts = stats.select(
+      Seq(col(idCol)) ++ RepCountNames.zipWithIndex.map { case (name, i) =>
+        col("__rs")(i).as(name)
+      }: _*)
+    repetitionFlags(counts)
+  }
+
+  /** The 14 count columns, in [[org.apache.spark.sql.graftshim.GraftHash
+    * .repetitionStats]] slot order. */
+  private val RepCountNames: Seq[String] =
+    Seq("n_chars", "n_lines", "n_dup_lines", "n_line_chars",
+      "dup_line_chars") ++
+      RepTopThresh.map { case (n, _) => s"top_${n}gram_chars" } ++
+      RepDupThresh.map { case (n, _) => s"dup_${n}gram_chars" }
+
+  private def RepTopThresh = Seq(2 -> 20, 3 -> 18, 4 -> 16)  // top-gram char %
+  private def RepDupThresh = Seq(5 -> 15, 6 -> 14, 7 -> 13,  // dup-gram char %
+    8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** Flag projection shared by the kernel path and the HOF pin: every
+    * rule reads the aliased count columns. */
+  private def repetitionFlags(counts: DataFrame): DataFrame = {
+    val flagCols =
+      Seq(("r_dup_line", col("n_dup_lines") * 10 <= col("n_lines") * 3),
+        ("r_dup_line_char", col("dup_line_chars") * 5 <= col("n_line_chars"))) ++
+        RepTopThresh.map { case (n, p) =>
+          (s"r_top_${n}gram",
+            col(s"top_${n}gram_chars") * 100 <= col("n_chars") * p) } ++
+        RepDupThresh.map { case (n, p) =>
+          (s"r_dup_${n}gram",
+            col(s"dup_${n}gram_chars") * 100 <= col("n_chars") * p) }
+    val flagged = counts.select(
+      counts.columns.map(col) ++
+        flagCols.map { case (name, c) => c.as(name) }: _*)
+    flagged.withColumn("repetition_pass",
+      flagCols.map(f => col(f._1)).reduce(_ && _))
+  }
+
+  /** Interpreted Column formulation of [[repetitionRules]] — nine
+    * [[graft.functions.TextFunctions.dupRunStats]] sorted folds — kept
+    * as the reference semantics the codegen kernel is pinned
+    * bit-identical to (the winnowFingerprintsHof convention). */
+  private[graft] def repetitionRulesHof(df: DataFrame, textCol: String,
+                                        idCol: String): DataFrame = {
     val t = col(textCol)
-    val topThresh = Seq(2 -> 20, 3 -> 18, 4 -> 16)  // top-gram char %
-    val dupThresh = Seq(5 -> 15, 6 -> 14, 7 -> 13,  // dup-gram char %
-      8 -> 12, 9 -> 11, 10 -> 10)
     val arrs = df.select(col(idCol), t.as("__t"),
       split(t, "\n").as("__lines"), tokens(t).as("__toks"))
     val folds = arrs.select(
       Seq(col(idCol), col("__t"), col("__lines"),
         dupRunStats(col("__lines")).as("__ls")) ++
-        (topThresh ++ dupThresh).map { case (n, _) =>
+        (RepTopThresh ++ RepDupThresh).map { case (n, _) =>
           dupRunStats(wordShinglesFromTokens(col("__toks"), n)).as(s"__g$n")
         }: _*)
     val counts = folds.select(
@@ -279,24 +325,11 @@ object Corpus {
         (length(col("__t")) - (size(col("__lines")) - 1))
           .cast("long").as("n_line_chars"),
         col("__ls")("dup_chars").as("dup_line_chars")) ++
-        topThresh.map { case (n, _) =>
+        RepTopThresh.map { case (n, _) =>
           col(s"__g$n")("best_chars").as(s"top_${n}gram_chars") } ++
-        dupThresh.map { case (n, _) =>
+        RepDupThresh.map { case (n, _) =>
           col(s"__g$n")("dup_chars").as(s"dup_${n}gram_chars") }: _*)
-    val flagCols =
-      Seq(("r_dup_line", col("n_dup_lines") * 10 <= col("n_lines") * 3),
-        ("r_dup_line_char", col("dup_line_chars") * 5 <= col("n_line_chars"))) ++
-        topThresh.map { case (n, p) =>
-          (s"r_top_${n}gram",
-            col(s"top_${n}gram_chars") * 100 <= col("n_chars") * p) } ++
-        dupThresh.map { case (n, p) =>
-          (s"r_dup_${n}gram",
-            col(s"dup_${n}gram_chars") * 100 <= col("n_chars") * p) }
-    val flagged = counts.select(
-      counts.columns.map(col) ++
-        flagCols.map { case (name, c) => c.as(name) }: _*)
-    flagged.withColumn("repetition_pass",
-      flagCols.map(f => col(f._1)).reduce(_ && _))
+    repetitionFlags(counts)
   }
 
   /** The eight stopwords whose containment the Gopher gate requires

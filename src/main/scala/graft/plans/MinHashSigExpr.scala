@@ -156,6 +156,90 @@ object GraftHash {
     new GenericArrayData(Array(grams.length.toLong, distinct, best))
   }
 
+  /** All 14 Gopher repetition-rule counts in ONE pass over the text —
+    * the compiled twin of the Column formulation in
+    * `Corpus.repetitionRulesHof` (nine `dupRunStats` sorted folds run
+    * interpreted and re-tokenize per gram size; this kernel tokenizes
+    * once). Layout:
+    *   [0] n_chars   [1] n_lines   [2] n_dup_lines
+    *   [3] n_line_chars   [4] dup_line_chars
+    *   [5..7]  top-{2,3,4}-gram chars (count·len of the
+    *           lexicographic-(count, chars) max gram — hashmap
+    *           iteration order can't matter: a both-tie leaves the
+    *           emitted chars equal)
+    *   [8..13] duplicated-{5..10}-gram chars (count·len over grams
+    *           occurring ≥ 2)
+    * Char counts are Unicode code points (Spark/DuckDB `length`
+    * semantics, NOT Java UTF-16 units); line split is the `\n` regex
+    * with -1 limit (trailing empties kept) and grams follow the
+    * [[ngramStats]] whole-doc-under-n convention. */
+  def repetitionStats(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    val out = new Array[Long](14)
+    val nChars = cp(s)
+    val lines = s.split("\n", -1)
+    val lineCounts = new java.util.HashMap[String, Int]
+    var i = 0
+    while (i < lines.length) {
+      lineCounts.merge(lines(i), 1, Integer.sum _); i += 1
+    }
+    var dupLines = 0L
+    var dupLineChars = 0L
+    val lit = lineCounts.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      val c = e.getValue
+      if (c > 1) {
+        dupLines += c - 1
+        dupLineChars += c.toLong * cp(e.getKey)
+      }
+    }
+    out(0) = nChars
+    out(1) = lines.length.toLong
+    out(2) = dupLines
+    out(3) = nChars - (lines.length - 1)
+    out(4) = dupLineChars
+    val ts = tokens(text)
+    val sb = new java.lang.StringBuilder
+    var n = 2
+    while (n <= 10) {
+      val gramCounts = new java.util.HashMap[String, Int]
+      if (ts.length < n) gramCounts.put(ts.mkString(" "), 1)
+      else {
+        var p = 0
+        while (p <= ts.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ts(p + j))
+            j += 1
+          }
+          gramCounts.merge(sb.toString, 1, Integer.sum _)
+          p += 1
+        }
+      }
+      var dupChars = 0L
+      var bestCount = 0L
+      var bestChars = 0L
+      val git = gramCounts.entrySet().iterator()
+      while (git.hasNext) {
+        val e = git.next()
+        val c = e.getValue.toLong
+        val chars = c * cp(e.getKey)
+        if (c > 1) dupChars += chars
+        if (c > bestCount || (c == bestCount && chars > bestChars)) {
+          bestCount = c; bestChars = chars
+        }
+      }
+      if (n <= 4) out(5 + (n - 2)) = bestChars
+      else out(8 + (n - 5)) = dupChars
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sorted DISTINCT hash48 values of the word n-shingles of `text` —
     * same construction contract ([[scanWindowHashes]]). */
   def distinctShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
@@ -510,6 +594,31 @@ case class NgramStats(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.ngramStats($text, $n);")
+  }
+}
+
+/** Codegen'd Gopher repetition-rule counts from the raw text column —
+  * see [[GraftHash.repetitionStats]] for the 14-slot layout. Same
+  * [[MinHashSig]] design: one compiled kernel call per row keeps the
+  * whole tokenize→gram→count pipeline inside whole-stage codegen; the
+  * interpreted spelling (nine sorted `aggregate` folds) is retained as
+  * the reference semantics and bit-identity pin. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text => s"${ev.value} = $gh.repetitionStats($text);")
   }
 }
 

@@ -75,6 +75,12 @@ class CodegenSuite extends SparkSpec {
             org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
             2)).as("st"))
       assert(rep.limit(3).collect().length == 3)
+      val rep14 = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.RepetitionStats(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text"))))
+          .as("rs"))
+      assert(rep14.limit(3).collect().length == 3)
       val dirty = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.AnyShingleInSet(

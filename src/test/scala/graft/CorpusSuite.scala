@@ -373,6 +373,29 @@ class CorpusSuite extends SparkSpec {
     assert(hot.getAs[Long]("top_2gram_chars") == 150L)
   }
 
+  test("repetitionRules kernel equals the interpreted fold spelling") {
+    // tricky shapes: empty text, duplicate empty lines, unicode incl.
+    // non-BMP (code-point length, not UTF-16 units), heavy repetition,
+    // whitespace runs, single token
+    val tricky = docs(
+      1L -> "",
+      2L -> "\n\n",
+      3L -> "café 😀 café 😀 café",
+      4L -> ("ab cd " * 30).trim,
+      5L -> "  tabs\tand \n spaced   out \n lines here  ",
+      6L -> "word",
+      7L -> "dup line\ndup line\nuniq")
+    val real = graft.sources.Tables.df(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    Seq(tricky, real).foreach { df =>
+      val viaKernel = Corpus.repetitionRules(df, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      val viaHof = Corpus.repetitionRulesHof(df, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(viaKernel == viaHof)
+    }
+  }
+
   test("repetitionRules: scan-local plan (no Exchange)") {
     val plan = Corpus.repetitionRules(
       docs(1L -> "some plain text"), "text", "doc_id")
