@@ -477,7 +477,7 @@ private[graft] object QueriesCorpus {
         |k AS (
         |  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
         |    list_filter(lines, l ->
-        |      regexp_matches(rtrim(l), '[.!?"”]$')
+        |      regexp_matches(rtrim(l), '[.!?"”]\z')
         |      AND len(string_split_regex(trim(l), '\s+')) >= 5
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM d),
@@ -575,7 +575,7 @@ private[graft] object QueriesCorpus {
         |    len(list_filter(lines,
         |      l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT AS n_bullet,
         |    len(list_filter(lines,
-        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT AS n_ellipsis,
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*\z')))::BIGINT AS n_ellipsis,
         |    len(list_filter(toks,
         |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
         |    len(list_filter(['the','be','to','of','and','that','have','with'],
@@ -584,17 +584,17 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, n_words,
         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
         |  n_chars_ns BETWEEN n_words * 3 AND n_words * 10 AS r_word_len,
-        |  n_sym * 10 < n_words AS r_symbol,
-        |  n_bullet * 10 < n_lines * 9 AS r_bullet,
-        |  n_ellipsis * 10 < n_lines * 3 AS r_ellipsis,
-        |  n_alpha_words * 5 > n_words * 4 AS r_alpha,
+        |  n_sym * 10 <= n_words AS r_symbol,
+        |  n_bullet * 10 <= n_lines * 9 AS r_bullet,
+        |  n_ellipsis * 10 <= n_lines * 3 AS r_ellipsis,
+        |  n_alpha_words * 5 >= n_words * 4 AS r_alpha,
         |  n_stop_hits >= 2 AS r_stopwords,
         |  (n_words BETWEEN 50 AND 100000)
         |    AND (n_chars_ns BETWEEN n_words * 3 AND n_words * 10)
-        |    AND (n_sym * 10 < n_words)
-        |    AND (n_bullet * 10 < n_lines * 9)
-        |    AND (n_ellipsis * 10 < n_lines * 3)
-        |    AND (n_alpha_words * 5 > n_words * 4)
+        |    AND (n_sym * 10 <= n_words)
+        |    AND (n_bullet * 10 <= n_lines * 9)
+        |    AND (n_ellipsis * 10 <= n_lines * 3)
+        |    AND (n_alpha_words * 5 >= n_words * 4)
         |    AND (n_stop_hits >= 2) AS gopher_pass
         |FROM c ORDER BY doc_id""".stripMargin,
 

@@ -213,8 +213,11 @@ object Corpus {
   def c4Clean(df: DataFrame, textCol: String, idCol: String,
               minLineWords: Int = 5): DataFrame = {
     val t = col(textCol)
+    // \z, not $: Java's default-mode $ also matches BEFORE a final line
+    // terminator (\r left by CRLF splits, U+2028/29, U+0085), RE2's $
+    // only at end of string — \z means end-of-input in both engines
     val keepLine: Column => Column = l =>
-      rtrim(l).rlike("[.!?\"”]$") &&
+      rtrim(l).rlike("[.!?\"”]\\z") &&
         size(split(trim(l), "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript")
     df.select(col(idCol), t.as("__t"), split(t, "\n").as("__lines"))
@@ -350,8 +353,10 @@ object Corpus {
     * `n_words`, each rule as a boolean column, and the conjunction
     * `gopher_pass`.
     *
-    * Every ratio rule is spelled as an INTEGER cross-multiplication
-    * (`10·n_sym < n_words` instead of `n_sym/n_words < 0.1`), so the
+    * The paper removes a document strictly past each threshold, so a
+    * boundary-exact document passes. Every ratio rule is spelled as an
+    * INTEGER cross-multiplication
+    * (`10·n_sym ≤ n_words` instead of `n_sym/n_words ≤ 0.1`), so the
     * gate is division-free: no floats, no null-on-empty-denominator
     * edge (an empty doc has `n_lines = 1`, `n_words = 1` under the
     * house tokenizer), and the DuckDB oracle replays bit-exactly.
@@ -381,20 +386,24 @@ object Corpus {
       size(col("__lines")).cast("long").as("n_lines"),
       size(filter(col("__lines"), l => l.rlike("^\\s*[-*•]")))
         .cast("long").as("n_bullet"),
-      size(filter(col("__lines"), l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      // \z, not $ — the c4Clean line-terminator caveat applies here too
+      size(filter(col("__lines"), l => l.rlike("(\\.\\.\\.|…)\\s*\\z")))
         .cast("long").as("n_ellipsis"),
       size(filter(col("__toks"), w => w.rlike("[A-Za-z]")))
         .cast("long").as("n_alpha_words"),
       size(filter(array(GopherStopwords.map(lit): _*),
         w => array_contains(col("__toks"), w))).cast("long").as("n_stop_hits"))
+    // the paper REMOVES strictly past each threshold, so a document
+    // sitting exactly on a boundary passes (<=/>=, the repetitionRules
+    // convention)
     val flags = counts.select(col(idCol), col("n_words"),
       col("n_words").between(minWords, maxWords).as("r_word_count"),
       col("n_chars_ns").between(col("n_words") * 3, col("n_words") * 10)
         .as("r_word_len"),
-      (col("n_sym") * 10 < col("n_words")).as("r_symbol"),
-      (col("n_bullet") * 10 < col("n_lines") * 9).as("r_bullet"),
-      (col("n_ellipsis") * 10 < col("n_lines") * 3).as("r_ellipsis"),
-      (col("n_alpha_words") * 5 > col("n_words") * 4).as("r_alpha"),
+      (col("n_sym") * 10 <= col("n_words")).as("r_symbol"),
+      (col("n_bullet") * 10 <= col("n_lines") * 9).as("r_bullet"),
+      (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("r_ellipsis"),
+      (col("n_alpha_words") * 5 >= col("n_words") * 4).as("r_alpha"),
       (col("n_stop_hits") >= 2).as("r_stopwords"))
     flags.withColumn("gopher_pass",
       col("r_word_count") && col("r_word_len") && col("r_symbol") &&

@@ -143,7 +143,13 @@ object Sampling {
   def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
                          tau: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(tau >= 0.0 && tau <= 1.0, s"temperatureMixture: tau in [0,1], got $tau")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    // a NULL domain is excluded from BOTH the rate computation and the
+    // output (the equi-join below drops null keys anyway): without the
+    // filter, a handful of null-domain rows would form the null GROUP,
+    // capture min(n), and silently collapse every real domain's keep
+    // rate. Filter or impute the domain upstream to keep those rows.
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
     val mn = counts.agg(min("__n").as("__mn"))
     val ratio = col("__mn").cast("double") / col("__n").cast("double")
     val rate = if (tau == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - tau))

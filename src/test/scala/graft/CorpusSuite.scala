@@ -476,16 +476,54 @@ class CorpusSuite extends SparkSpec {
     assert(!long("r_word_len") && !long("gopher_pass"))
     // symbol soup: ≥1 symbol per 10 words ('#' and both ellipsis forms)
     assert(!flagsOf("the cat sat on # mat with … and that ...")("r_symbol"))
-    // 9 of 10 lines bullet-started (ratio must be < 0.9)
+    // 10 of 11 lines bullet-started (> 0.9 trips; exactly 0.9 passes —
+    // the paper's strict-removal boundary, pinned below)
     assert(!flagsOf(
-      (("- the cat and that\n" * 9) + "of dogs with fleas"))("r_bullet"))
-    // 1 of 2 lines ellipsis-ended (ratio must be < 0.3)
+      (("- the cat and that\n" * 10) + "of dogs with fleas"))("r_bullet"))
+    // 1 of 2 lines ellipsis-ended (> 0.3)
     assert(!flagsOf(
       "the cat sat down...\nand that dog have fleas with it")("r_ellipsis"))
     // numeric soup: alphabetic-word fraction ≤ 0.8
     assert(!flagsOf("the cat 1 2 3 4 5 and that 9")("r_alpha"))
     // only one of the eight required stopwords present
     assert(!flagsOf("cats eat the fresh fish daily")("r_stopwords"))
+  }
+
+  test("gopherRules: boundary-exact documents pass (strict-removal rule)") {
+    def flags(text: String): org.apache.spark.sql.Row =
+      Corpus.gopherRules(docs(1L -> text), "text", "doc_id",
+        minWords = 1L).collect()(0)
+    // exactly 1 symbol per 10 words — ratio 0.1, NOT removed
+    assert(flags("w1 w2 w3 w4 w5 w6 w7 w8 w9 #").getAs[Boolean]("r_symbol"))
+    // exactly 9 of 10 bullet lines — ratio 0.9, NOT removed
+    assert(flags(("- a b\n" * 9) + "c d").getAs[Boolean]("r_bullet"))
+    // exactly 3 of 10 ellipsis-ended lines — ratio 0.3, NOT removed
+    assert(flags(("x y...\n" * 3) + ("a b\n" * 6) + "c d")
+      .getAs[Boolean]("r_ellipsis"))
+    // exactly 4 of 5 alphabetic words — ratio 0.8, NOT removed
+    assert(flags("ab cd ef gh 42").getAs[Boolean]("r_alpha"))
+  }
+
+  test("gopherRules and c4Clean: \\z blocks line-terminator anchor fakes") {
+    // Java's default-mode $ also matches BEFORE a final line terminator
+    // (\r from CRLF splits, U+2028), RE2's only at end of string; both
+    // rules anchor with \z, so terminator-bearing lines behave the same
+    // in both engines. rtrim strips only spaces — the \r stays.
+    val crlf = "This sentence would end fine.\r\nAnd that one would too.\r"
+    val c4 = Corpus.c4Clean(docs(1L -> crlf), "text", "doc_id").collect()(0)
+    assert(c4.getAs[Long]("n_kept") == 0L, "\\r-terminated lines must drop")
+    // 1 of 2 lines ends "…" + U+2028: Java \s does not consume U+2028,
+    // so with \z the line is NOT ellipsis-counted (with $, it would be
+    // → 0.5 > 0.3 would trip the rule)
+    val ls = "the first plain line of it\nthe second then ends…\u2028"
+    val g = Corpus.gopherRules(docs(1L -> ls), "text", "doc_id",
+      minWords = 1L).collect()(0)
+    assert(g.getAs[Boolean]("r_ellipsis"))
+    // a trailing \r after the dots IS \s-consumed — counted in BOTH
+    // engines alike (1 of 1 line → trips)
+    val cr = Corpus.gopherRules(docs(1L -> "it just ends...\r"), "text",
+      "doc_id", minWords = 1L).collect()(0)
+    assert(!cr.getAs[Boolean]("r_ellipsis"))
   }
 
   test("gopherRules: scan-local plan (no Exchange)") {

@@ -187,6 +187,22 @@ class SamplingSuite extends SparkSpec {
       s"corpus side of the gate must not repartition:\n$plan")
   }
 
+  test("temperatureMixture: null domains neither set the floor nor survive") {
+    // 2 null-domain rows must NOT become the smallest domain (which
+    // would collapse b's rate to sqrt(2/1000)); they are excluded
+    val df = toDf(spark)(
+      "id" -> (0 until 1012),
+      "dom" -> ((0 until 1000).map(_ => "a") ++ (0 until 10).map(_ => "b")
+        ++ Seq(null, null))).df
+    val got = Sampling.temperatureMixture(df, "id", "dom", tau = 0.0)
+      .groupBy("dom").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(!got.contains(None), "null-domain rows must not survive")
+    assert(got(Some("b")) == 10L, "smallest REAL domain keeps everything")
+    assert(math.abs(got(Some("a")) - 10L) < 15,
+      s"tau=0 equalizes at the real min, not the null group's count: $got")
+  }
+
   test("temperatureMixture rejects tau outside [0,1]") {
     val df = ids(10).withColumn("dom", lit("a"))
     intercept[IllegalArgumentException] {
