@@ -321,6 +321,58 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("RepetitionStats kernel equals a driver-side model for random text") {
+    // the kernel re-implements line splits, the house tokenizer, all nine
+    // gram sizes, and code-point char counts in one pass; any divergence
+    // (UTF-16 vs code-point lengths, trailing-empty splits, whole-doc
+    // shingles under n, tie rules) must surface under adversarial text
+    val genText = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("a", "b", "ab"), Gen.const(" "), Gen.const("\n"),
+        Gen.const("\t"), Gen.const("é"), Gen.const("😀"), Gen.const("\r")))
+    } yield cs.mkString
+    def model(text: String): Seq[Long] = {
+      def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+      def runs(xs: Seq[String]): Map[String, Int] =
+        xs.groupBy(identity).view.mapValues(_.size).toMap
+      val lines = text.split("\n", -1).toSeq
+      val lr = runs(lines)
+      // replicate UTF8String.trim (space-only) + regex-split semantics
+      val toks = java.util.regex.Pattern.compile("\\s+")
+        .split(text.replaceAll("^ +| +$", ""), -1).toSeq
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val head = Seq(
+        cp(text), lines.length.toLong,
+        lr.valuesIterator.collect { case c if c > 1 => (c - 1).toLong }.sum,
+        cp(text) - (lines.length - 1),
+        lr.collect { case (l, c) if c > 1 => c * cp(l) }.sum)
+      val tops = (2 to 4).map { n =>
+        // iterator, not Map.map — tuple results would collapse on the
+        // count key and drop candidates
+        runs(grams(n)).iterator
+          .map { case (g, c) => (c.toLong, c * cp(g)) }
+          .maxOption(Ordering[(Long, Long)]).map(_._2).getOrElse(0L)
+      }
+      val dups = (5 to 10).map { n =>
+        runs(grams(n)).collect { case (g, c) if c > 1 => c * cp(g) }.sum
+      }
+      head ++ tops ++ dups
+    }
+    forAll(genText, n = 15) { text =>
+      val got = toDf(spark)("id" -> Seq(1L), "t" -> Seq(text)).df
+        .select(org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.RepetitionStats(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("t"))))
+          .as("rs"))
+        .head().getSeq[Long](0)
+      assert(got == model(text),
+        s"text=${text.map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
   test("winnowCandidates equals driver-side fingerprint intersections") {
     // with bucketCap large enough to never cut, the operator's pair
     // counts must equal |fps(a) ∩ fps(b)| for every doc pair — computed
