@@ -192,6 +192,20 @@ private[graft] object QueriesDedup {
             "text", "doc_id", n = 5)
             .select(col("doc_id")))
           .arrange("doc_id").df
+      }),
+
+
+      // contamination REPORT: per-doc distinct-5-gram overlap counts vs
+      // the bench split (the auditing twin of q_decontam's filter —
+      // Dedup.contaminationScore scaladoc; kernel fast path)
+      "q_contamination" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.contaminationScore(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "text", "doc_id", n = 5))
+          .arrange("doc_id").df
       })
   )
 
@@ -296,6 +310,34 @@ private[graft] object QueriesDedup {
         |        WHERE NOT is_bench)
         |SELECT doc_id FROM d
         |WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // contamination score: distinctness on the 48-bit HASH (not the
+    // gram) so any md5 collision counts once in both engines
+    "q_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    doc_id % 10 = 0 AS is_bench
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_bench, unnest(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i+1:i+5], ' ')) END) AS g
+        |  FROM d),
+        |dh AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |    ('0x' || substring(md5(g), 1, 12))::BIGINT AS h
+        |  FROM sh),
+        |bh AS (SELECT DISTINCT h FROM dh WHERE is_bench)
+        |SELECT dh.doc_id,
+        |  COUNT(*)::BIGINT AS n_shingles,
+        |  SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |  SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM dh LEFT JOIN bh ON dh.h = bh.h
+        |WHERE NOT is_bench
+        |GROUP BY dh.doc_id
+        |ORDER BY dh.doc_id""".stripMargin
   )
 }

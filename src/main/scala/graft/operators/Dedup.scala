@@ -585,6 +585,61 @@ object Dedup {
     df.filter(coalesce(!dirty, lit(true)))
   }
 
+  /** Contamination REPORT — the scoring twin of [[decontaminate]]: per
+    * corpus document, its distinct word-`n`-gram hash count, how many of
+    * those grams sit in the benchmark set, and the binary flag —
+    * pipelines publish the overlap RATE (and audit which docs drove it),
+    * not just the filtered corpus. Returns (idCol, n_shingles, n_hits,
+    * contaminated); callers report `n_hits / n_shingles` per policy.
+    *
+    * Fast path = decontaminate's: the collected sorted bench set rides
+    * two codegen'd kernels per row ([[org.apache.spark.sql.graftshim
+    * .DistinctShingleHashes]] + [[org.apache.spark.sql.graftshim
+    * .SortedMembershipCount]]) — one corpus scan, no explode, no join,
+    * no shuffle, stream-safe. An oversized bench set takes the
+    * relational tier: per-doc distinct hashes explode once, left-join
+    * the broadcast bench set, one groupBy on id. Distinctness is on the
+    * 48-bit HASH in both tiers and the oracle (two grams that collide
+    * count once everywhere — hash-level parity). Null text scores
+    * (0, 0, false) on both tiers (kernel nulls are coalesced; the
+    * fallback's explode drops the row and the left join restores it). */
+  def contaminationScore(df: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int = 8,
+                         maxSetShingles: Int = 2000000): DataFrame = {
+    import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim, SortedMembershipCount}
+    val benchShingles = benchShingleHashes(bench, textCol, n).distinct()
+    val head = probeLongs(benchShingles, "__h", maxSetShingles)
+    if (head.length <= maxSetShingles) {
+      val sorted = head
+      java.util.Arrays.sort(sorted)
+      df.select(col(idCol),
+          Shim.toColumn(DistinctShingleHashes(
+            Shim.toExpression(col(textCol)), n)).as("__hs"))
+        .select(col(idCol),
+          coalesce(size(col("__hs")).cast("long"), lit(0L)).as("n_shingles"),
+          coalesce(Shim.toColumn(SortedMembershipCount(
+            Shim.toExpression(col("__hs")), sorted)), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+    } else {
+      val perDoc = df
+        .select(col(idCol), tokens(col(textCol)).as("__tk"))
+        .select(col(idCol),
+          explode(array_distinct(transform(
+            wordShinglesFromTokens(col("__tk"), n), s => hash48(s)))).as("__h"))
+        .join(broadcast(benchShingles.withColumn("__hit", lit(1L))),
+          Seq("__h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("__ns"),
+          sum(coalesce(col("__hit"), lit(0L))).as("__nh"))
+      df.select(col(idCol))
+        .join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__ns"), lit(0L)).as("n_shingles"),
+          coalesce(col("__nh"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+    }
+  }
+
   /** Cross-document exact substring duplication (RefinedWeb-style exact
     * window dedup, the within-corpus twin of [[decontaminate]]): for each
     * document, how many of its word `n`-gram windows also appear in ANY

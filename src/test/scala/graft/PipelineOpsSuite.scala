@@ -108,6 +108,46 @@ class PipelineOpsSuite extends SparkSpec {
     assert(spans.nonEmpty, s"filter not inside WholeStageCodegen:\n$plan")
   }
 
+  test("contaminationScore counts per-doc bench overlap, tiers agree") {
+    // corpus doc 1 shares the 3-gram "a b c" with the bench; doc 2 is
+    // clean; doc 3 is null text → (0, 0, false), not a dropped row
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("a b c d", "x y z w", null)).df
+    val bench = toDf(spark)("doc_id" -> Seq(10L),
+      "text" -> Seq("q a b c r")).df
+    def run(cap: Int) = Dedup.contaminationScore(corpus, bench,
+      "text", "doc_id", n = 3, maxSetShingles = cap)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    val fast = run(2000000)
+    // doc 1: shingles {a b c, b c d} → 1 hit; doc 2: 2 shingles, 0 hits
+    assert(fast == Seq((1L, 2L, 1L, true), (2L, 2L, 0L, false),
+      (3L, 0L, 0L, false)))
+    assert(run(0) == fast, "relational tier must equal the kernel tier")
+  }
+
+  test("contaminationScore fast path: scan-local, codegen'd membership count") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val fast = Dedup.contaminationScore(corpus, bench, "text", "doc_id", n = 5)
+    val slow = Dedup.contaminationScore(corpus, bench, "text", "doc_id", n = 5,
+      maxSetShingles = 0)
+    val a = fast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val b = slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b, "fast/fallback divergence on the real corpus")
+    assert(a.exists(_._3 > 0) && a.exists(_._3 == 0),
+      "fixture should mix contaminated and clean docs")
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fast path still joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"fast path shuffles:\n$plan")
+    assert(plan.contains("sorted_membership_count"), plan)
+  }
+
   test("exactIncremental drops known fingerprints, dedups within the batch") {
     val corpus = toDf(spark)(
       "doc_id" -> Seq(1, 2),
