@@ -472,7 +472,7 @@ private[graft] object QueriesCorpus {
         |    '(\w+ \w+ \w+ \w+ \w+ \w+) ', '\1.' || chr(10), 'g') AS text
         |  FROM documents),
         |d AS (
-        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  SELECT doc_id, text, string_split_regex(text, '\r?\n') AS lines
         |  FROM s),
         |k AS (
         |  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,

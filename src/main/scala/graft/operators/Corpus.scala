@@ -220,7 +220,12 @@ object Corpus {
       rtrim(l).rlike("[.!?\"”]\\z") &&
         size(split(trim(l), "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript")
-    df.select(col(idCol), t.as("__t"), split(t, "\n").as("__lines"))
+    // \r?\n, not \n: a CRLF crawl page split on bare \n leaves every
+    // line with a trailing \r that rtrim (spaces only) keeps, so the
+    // terminal-punctuation anchor never matches and the WHOLE page is
+    // dropped — the reference C4 recipe strips \r. The pattern is
+    // portable to RE2/DuckDB (string_split_regex in the oracle).
+    df.select(col(idCol), t.as("__t"), split(t, "\r?\n").as("__lines"))
       .select(col(idCol), col("__t"),
         size(col("__lines")).cast("long").as("n_lines"),
         filter(col("__lines"), keepLine).as("__kept"))
@@ -377,6 +382,11 @@ object Corpus {
       .cast("long").divide(lit(3)).cast("long")
     val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     val uniEll = (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    // deliberately \n (not \r?\n, the c4Clean choice): the two line
+    // rules below are \r-proof as written — the bullet prefix ignores a
+    // trailing \r and the ellipsis anchor's \s* consumes it (parity
+    // suite-pinned) — and the split must stay bit-identical to the
+    // repetitionRules kernel's, which shares this convention
     val arrs = df.select(col(idCol), t,
       tokens(t).as("__toks"), split(t, "\n").as("__lines"))
     val counts = arrs.select(col(idCol),

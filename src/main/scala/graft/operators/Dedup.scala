@@ -38,6 +38,50 @@ object Dedup {
     df.select(col(c)).limit(lim).as(enc).collect()
   }
 
+  /** Persist → probe → release lifecycle shared by the tiered membership
+    * ops ([[decontaminate]], [[contaminationScore]],
+    * [[winnowIncrementalTiered]]): pin the distinct single-long-column
+    * `store`, probe its head ONCE, and dispatch. Small tier: the probe
+    * fully consumed the store, so the pin is dropped and `small`
+    * receives the SORTED head array. Large tier: `requireBatch` refuses
+    * a streaming input FIRST (before paying a snapshot of an oversized
+    * store), then the store is eagerly truncated through the hot cache
+    * — reliable checkpoint when a dir is configured (survives executor
+    * loss), else localCheckpoint (the connectedComponents trade) — so
+    * the RETURNED plan reads materialized blocks instead of re-deriving
+    * the store scan + distinct at execution; the pin is dropped (the
+    * blocks live with the snapshot plan and are reaped by
+    * ContextCleaner when it is collected) and `large` receives the
+    * snapshot. EVERY throw path drops the pin — the probe itself can
+    * fail at runtime (corrupt input, cancelled job) and a retrying
+    * long-running driver would otherwise leak one cached copy per
+    * attempt; unpersist is idempotent, so the success paths' own
+    * releases make the catch a no-op there. */
+  private def tieredOverStore(store: DataFrame, c: String, cap: Int)
+                             (requireBatch: => Unit)
+                             (small: Array[Long] => DataFrame)
+                             (large: DataFrame => DataFrame): DataFrame = {
+    store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = probeLongs(store, c, cap)
+      if (head.length <= cap) {
+        store.unpersist(blocking = false)
+        java.util.Arrays.sort(head)
+        small(head)
+      } else {
+        requireBatch
+        val snap =
+          if (store.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            store.checkpoint(true)
+          else store.localCheckpoint(true)
+        store.unpersist(blocking = false)
+        large(snap)
+      }
+    } catch {
+      case t: Throwable => store.unpersist(blocking = false); throw t
+    }
+  }
+
   /** Capped LSH bucket build — the scale contract every candidate stage
     * shares. Discipline from [[Corpus.postings]] ("the aggregation buffer
     * is bounded by maxDf ids per token by construction"), strengthened:
@@ -443,56 +487,30 @@ object Dedup {
                               k: Int = 5, w: Int = 4, minShared: Long = 2L,
                               maxSetFps: Int = 2000000): DataFrame = {
     // the probe and (on the fallback tier) the returned plan both read
-    // the store — persist so the corpus scan + distinct shuffle are paid
-    // once, not re-derived per consumer (the clusterByPairs discipline)
+    // the store — the tieredOverStore lifecycle pays the corpus scan +
+    // distinct shuffle once, not per consumer (clusterByPairs rule)
     val store = corpus
       .select(explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // EVERY throw path must drop the pin, not just the hand-picked
-    // streaming refusal below: the probe itself can fail at runtime
-    // (corrupt input, cancelled job), and a retrying long-running
-    // driver would otherwise leak one cached store copy per attempt.
-    // unpersist is idempotent, so the success paths' own releases make
-    // the catch a no-op there.
-    try {
-      val head = probeLongs(store, "fp", maxSetFps)
-      if (head.length <= maxSetFps) {
-        // probe fully consumed the store — nothing else reads it
-        store.unpersist(blocking = false)
-        import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
-        java.util.Arrays.sort(head)
-        val shared = Shim.toColumn(SortedMembershipCount(
-          Shim.toExpression(winnowFingerprints(col(textCol), k, w)), head))
-        // null text → null count; the relational tier's null-text doc
-        // never reaches the join, so it survives there — match it
-        newDocs.filter(coalesce(shared < minShared, lit(true)))
-      } else {
-        // the relational tier aggregates per new doc — fine in batch,
-        // unsupported on an unwatermarked stream; fail with the reason
-        // instead of Spark's generic unsupported-operation analysis
-        // error (the catch below drops the store pin)
-        require(!newDocs.isStreaming,
-          s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
-            s"($maxSetFps) and the relational fallback cannot run on a " +
-            "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
-            "pre-shrink the store")
-        // eager-truncate through the hot cache so the RETURNED plan reads
-        // materialized blocks instead of re-deriving the scan + distinct
-        // at execution, then drop the persist pin — the blocks live with
-        // the plan and are reaped by ContextCleaner when it is collected.
-        // Reliable checkpoint when a dir is configured (survives executor
-        // loss); else localCheckpoint (the connectedComponents trade).
-        val snap =
-          if (corpus.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            store.checkpoint(true)
-          else store.localCheckpoint(true)
-        store.unpersist(blocking = false)
-        winnowScreenOverDistinctFps(newDocs, textCol, idCol, snap,
-          k, w, minShared)
-      }
-    } catch {
-      case t: Throwable => store.unpersist(blocking = false); throw t
+    tieredOverStore(store, "fp", maxSetFps) {
+      // the relational tier aggregates per new doc — fine in batch,
+      // unsupported on an unwatermarked stream; fail with the reason
+      // instead of Spark's generic unsupported-operation analysis error
+      require(!newDocs.isStreaming,
+        s"winnowIncrementalTiered: the corpus store exceeds maxSetFps " +
+          s"($maxSetFps) and the relational fallback cannot run on a " +
+          "stream — raise maxSetFps (sorted longs, 8 bytes each) or " +
+          "pre-shrink the store")
+    } { head =>
+      import org.apache.spark.sql.graftshim.{Shim, SortedMembershipCount}
+      val shared = Shim.toColumn(SortedMembershipCount(
+        Shim.toExpression(winnowFingerprints(col(textCol), k, w)), head))
+      // null text → null count; the relational tier's null-text doc
+      // never reaches the join, so it survives there — match it
+      newDocs.filter(coalesce(shared < minShared, lit(true)))
+    } { snap =>
+      winnowScreenOverDistinctFps(newDocs, textCol, idCol, snap,
+        k, w, minShared)
     }
   }
 
@@ -537,24 +555,29 @@ object Dedup {
                     idCol: String, n: Int = 8,
                     maxSetShingles: Int = 2000000): DataFrame = {
     val benchShingles = benchShingleHashes(bench, textCol, n).distinct()
-    // one bounded action decides the strategy: grab at most cap+1 hashes
-    val head = probeLongs(benchShingles, "__h", maxSetShingles)
-    if (head.length <= maxSetShingles) {
+    // tieredOverStore: one bounded probe decides the strategy, and the
+    // bench scan + distinct are paid ONCE — the fallback joins a
+    // truncated snapshot, not a re-derivation (ADVICE r15)
+    tieredOverStore(benchShingles, "__h", maxSetShingles) {
+      require(!df.isStreaming,
+        s"decontaminate: the bench shingle set exceeds maxSetShingles " +
+          s"($maxSetShingles) and the relational fallback aggregates per " +
+          "id — not runnable on a stream; raise maxSetShingles (sorted " +
+          "longs, 8 bytes each) or use decontaminateBloom")
+    } { sorted =>
       import org.apache.spark.sql.graftshim.{AnyShingleInSet, Shim}
-      val sorted = head
-      java.util.Arrays.sort(sorted)
       val dirty = Shim.toColumn(AnyShingleInSet(
         Shim.toExpression(col(textCol)), n, sorted))
       // null text has no shingles → clean (matches the join path, where
       // a null-text doc never reaches the semi-join)
       df.filter(coalesce(!dirty, lit(true)))
-    } else {
+    } { snap =>
       val contaminated = df
         .select(col(idCol), tokens(col(textCol)).as("__tk"))
         .select(col(idCol),
           explode(wordShinglesFromTokens(col("__tk"), n)).as("__sh"))
         .select(col(idCol), hash48(col("__sh")).as("__h"))
-        .join(broadcast(benchShingles), Seq("__h"), "left_semi")
+        .join(broadcast(snap), Seq("__h"), "left_semi")
         .select(col(idCol))
         .distinct()
       // contaminated-id cardinality is data-dependent (worst case the
@@ -608,10 +631,13 @@ object Dedup {
                          maxSetShingles: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim, SortedMembershipCount}
     val benchShingles = benchShingleHashes(bench, textCol, n).distinct()
-    val head = probeLongs(benchShingles, "__h", maxSetShingles)
-    if (head.length <= maxSetShingles) {
-      val sorted = head
-      java.util.Arrays.sort(sorted)
+    tieredOverStore(benchShingles, "__h", maxSetShingles) {
+      require(!df.isStreaming,
+        s"contaminationScore: the bench shingle set exceeds " +
+          s"maxSetShingles ($maxSetShingles) and the relational fallback " +
+          "aggregates per id — not runnable on a stream; raise " +
+          "maxSetShingles (sorted longs, 8 bytes each)")
+    } { sorted =>
       df.select(col(idCol),
           Shim.toColumn(DistinctShingleHashes(
             Shim.toExpression(col(textCol)), n)).as("__hs"))
@@ -620,13 +646,13 @@ object Dedup {
           coalesce(Shim.toColumn(SortedMembershipCount(
             Shim.toExpression(col("__hs")), sorted)), lit(0L)).as("n_hits"))
         .withColumn("contaminated", col("n_hits") > 0)
-    } else {
+    } { snap =>
       val perDoc = df
         .select(col(idCol), tokens(col(textCol)).as("__tk"))
         .select(col(idCol),
           explode(array_distinct(transform(
             wordShinglesFromTokens(col("__tk"), n), s => hash48(s)))).as("__h"))
-        .join(broadcast(benchShingles.withColumn("__hit", lit(1L))),
+        .join(broadcast(snap.withColumn("__hit", lit(1L))),
           Seq("__h"), "left")
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("__ns"),

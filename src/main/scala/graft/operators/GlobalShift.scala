@@ -105,12 +105,28 @@ object GlobalShift {
     * rows ≈ 128 MB of transient driver heap at 32-byte values. */
   private val MaxBoundaryRows: Long = 1L << 22
 
-  private def build(df: DataFrame, name: String, c: Column, n: Int,
+  /** `tamperCountsForTest` is a TEST SEAM (identity in production): it
+    * distorts only the GUARD's view of the pass-1 counts, so the suite
+    * can simulate a pass-2/pass-1 partition mismatch — the snapshot
+    * recompute case — without having to force real block loss. */
+  private[graft] def build(df: DataFrame, name: String, c: Column, n: Int,
                     order: Seq[Column], default: Any,
-                    isLead: Boolean): (DataFrame, DataFrame) = {
+                    isLead: Boolean,
+                    tamperCountsForTest: Map[Int, Long] => Map[Int, Long] =
+                      identity): (DataFrame, DataFrame) = {
     require(order.nonEmpty, "GlobalShift: need at least one order column")
     require(n >= 1, s"GlobalShift: n must be >= 1, got $n")
     val okNames = order.indices.map(i => s"__ok$i")
+    // reserved internal names: withColumn would silently OVERWRITE an
+    // input column of the same name and the final drop would erase it —
+    // fail loudly instead (the operator's guard discipline)
+    val reserved = okNames.toSet ++
+      Set("__sv", "__pid", "__bi", "__fill", "__have", "__has", "__j")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"GlobalShift: input columns ${clash.mkString(", ")} collide with " +
+        "reserved internal names (__sv, __pid, __bi, __fill, __have, " +
+        "__has, __j, __ok<i>) — rename them first")
     val keyed = order.zip(okNames)
       .foldLeft(df) { case (d, (oc, nm)) => d.withColumn(nm, oc) }
       .withColumn("__sv", c) // shift source materialized pre-shuffle
@@ -209,24 +225,33 @@ object GlobalShift {
     val biCol = row_number().over(w)
     // misalignment guard (the GlobalRank rule): if pass 2 recomputes
     // lost snapshot blocks, range boundaries are resampled per job and
-    // a pass-2 pid may not exist in pass 1's count map — boundary rows
-    // would then silently miss their fills and take the local shift's
-    // null/interior value. Fail loudly on that case. Like GlobalRank's
-    // guard, this catches ONLY pids absent from the pass-1 map: a
-    // recompute that resamples boundaries while keeping the same
-    // non-empty pid set still misattaches fills SILENTLY — which is why
-    // the snapshot persist + managed/releasable lifecycle (not this
-    // guard) is the actual correctness mechanism, and the guard is a
-    // best-effort tripwire. Skipped only on empty input (no rows can
-    // reach the guard anyway).
+    // pass 2's partitions no longer match pass 1's count map — boundary
+    // rows would then silently miss (or misattach) their fills. Two
+    // checks, both in-plan: (1) the pass-2 pid must exist in the pass-1
+    // map; (2) PASS-PARITY: the pass-2 partition's recount (an
+    // unbounded count over the same __pid partitioning — it reuses the
+    // pass-2 sort, no extra exchange) must EQUAL pass 1's count. (2)
+    // catches the resampled-boundaries-same-pid-set recompute (1)
+    // cannot: any row that moved across a boundary changes some
+    // partition's count. Still best-effort — a pathological resample
+    // that permutes rows while preserving every per-pid count would
+    // pass both — so the snapshot persist + managed/releasable
+    // lifecycle remains the actual correctness mechanism; the guard
+    // converts the likely failure modes into loud errors. Skipped only
+    // on empty input (no rows can reach the guard anyway).
+    val guardCounts = tamperCountsForTest(counts)
     val guardedBi =
-      if (counts.isEmpty) biCol
+      if (guardCounts.isEmpty) biCol
       else {
-        val known = element_at(typedLit(counts), col("__pid"))
-        when(known.isNull, raise_error(concat(
+        val known = element_at(typedLit(guardCounts), col("__pid"))
+        val recount = count(lit(1)).over(Window.partitionBy(col("__pid")))
+        when(known.isNull || known =!= recount, raise_error(concat(
           lit("GlobalShift: range-partition misalignment between strip " +
-            "and shift passes, pid="),
-          col("__pid").cast("string")))).otherwise(biCol)
+            "and shift passes (snapshot recomputed with different " +
+            "boundaries?), pid="),
+          col("__pid").cast("string"),
+          lit(" pass1="), coalesce(known.cast("string"), lit("absent")),
+          lit(" pass2="), recount.cast("string")))).otherwise(biCol)
       }
     val defLit =
       if (default == null) lit(null).cast(svType) else lit(default).cast(svType)

@@ -134,4 +134,42 @@ class GlobalShiftSuite extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v", "prev"))
     release()
   }
+
+  test("input columns colliding with reserved internal names refuse up front") {
+    val bad = frame.withColumn("__pid", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      GlobalShift.withGlobalLagReleasable(
+        bad, "prev", col("v"), 1, Seq(col("k")))
+    }
+    assert(e.getMessage.contains("__pid"), e.getMessage)
+    // __ok<i> order-key aliases are reserved too
+    val bad2 = frame.withColumn("__ok0", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalShift.withGlobalLeadReleasable(
+        bad2, "next", col("v"), 1, Seq(col("k")))
+    }
+    assert(e2.getMessage.contains("__ok0"), e2.getMessage)
+  }
+
+  test("pass-parity guard trips loudly when pass-2 counts diverge from pass 1") {
+    // simulate the snapshot-recompute case via the test seam: the guard
+    // believes pass 1 saw one more row per partition than pass 2 has —
+    // exactly what a boundary-resampling recompute looks like from the
+    // guard's vantage point
+    val (out, snap) = GlobalShift.build(
+      frame, "prev", col("v"), 2, Seq(col("k")), null, isLead = false,
+      tamperCountsForTest = m => m.map { case (p, n) => p -> (n + 1) })
+    val e = intercept[Exception] { out.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("misalignment")), e)
+    snap.unpersist()
+    // untampered, the same build executes clean (the guard recount
+    // matches pass 1) — pinning that the parity check has no false trips
+    val (ok, snap2) = GlobalShift.build(
+      frame, "prev", col("v"), 2, Seq(col("k")), null, isLead = false)
+    assert(got(ok, "prev") == expectedLag(2))
+    snap2.unpersist()
+  }
 }
