@@ -145,7 +145,7 @@ private[graft] object QueriesJoins {
     // union + one window (no inequality-join explosion); DuckDB's native
     // ASOF JOIN is the oracle
     "q_asof_join" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = ev.filter(col("event_type") === "view")
@@ -162,7 +162,7 @@ private[graft] object QueriesJoins {
     // view within 1 hour (pandas merge_asof direction='forward'); the
     // DuckDB oracle reuses native backward ASOF on negated timestamps
     "q_asof_forward" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.eventsUs(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = ev.filter(col("event_type") === "view")
@@ -181,9 +181,9 @@ private[graft] object QueriesJoins {
       // 6-hour windows placed every 36 hours from the first event; the
       // bin rewrite keeps it a hash join (never a nested-loop cartesian)
       "q_range_join" -> ((s: SparkSession, dir: String) => {
-        val ev = Tables.df(s, dir, "events")
+        val ev = Tables.eventsUs(s, dir)
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("t_us"))
+            col("ts_us").as("t_us"))
         val t0 = ev.agg(min(col("t_us")).as("t0"))
         val windows = s.range(20).toDF("window_id")
           .crossJoin(broadcast(t0))

@@ -56,7 +56,8 @@ private[graft] object QueriesStreaming {
       "q_stream_sessions" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
           graft.streaming.Streaming.statefulSessions(
-            Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+            Tables.eventsUs(s, dir).withColumn("ts_utc",
+              Tables.tsStamp(Tables.df(s, dir, "events"))),
             gapUs = 30L * 60 * 1000000L).toDF()
             .select(col("user_id"), col("session_start_us"),
               col("n_events"), col("dur_us")))
@@ -66,7 +67,7 @@ private[graft] object QueriesStreaming {
     "q_sessionize" -> ((s: SparkSession, dir: String) =>
       graft.api.DataTable(
         graft.operators.Sessionize.sessionStats(
-          Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          Tables.eventsUs(s, dir),
           "user_id", "ts_us",
           gapTicks = 30L * 60 * 1000000L, tieBreak = col("event_id"),
           ticksPerSecond = 1e6))

@@ -56,7 +56,7 @@ private[graft] object QueriesWindows {
     // both engines (ts div 1000 ↔ epoch_us, the established mapping).
     "q_rolling_time" -> ((s: SparkSession, dir: String) =>
       graft.api.DataTable(
-        Tables.df(s, dir, "events").withColumn("ts_us", expr("ts div 1000")))
+        Tables.eventsUs(s, dir))
         .withRollingRange("hour_cents",
           sum(round(col("value") * 100.0, 0).cast("long")),
           col("ts_us"), 3600L * 1000000L,

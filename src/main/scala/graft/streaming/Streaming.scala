@@ -251,10 +251,11 @@ object Streaming {
     * an ordinary hash join + range filter, which is the oracle parity
     * path (`q_attribution`). Self-joining one source stream filtered
     * two ways is the supported pattern for same-feed event types.
-    * Input needs `user_id`, `event_type`, `event_id`, `ts` (ns long). */
+    * Input needs `user_id`, `event_type`, `event_id`, `ts` (nano long
+    * or timestamp — normalized by [[graft.sources.Tables.tsStamp]]). */
   def attributionJoin(events: DataFrame, boundSec: Long = 1800L,
                       watermark: String = "2 hours"): DataFrame = {
-    val base = events.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    val base = events.withColumn("ts_utc", graft.sources.Tables.tsStamp(events))
     def side(t: String, idAs: String, tsAs: String) = {
       val s0 = base.filter(col("event_type") === t)
         .select(col("user_id"), col("event_id").as(idAs), col("ts_utc").as(tsAs))

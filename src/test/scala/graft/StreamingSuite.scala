@@ -14,7 +14,10 @@ class StreamingSuite extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def withTsUtc(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+    df.withColumn("ts_utc", graft.sources.Tables.tsStamp(df))
+
+  private def withTsUs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts_us", graft.sources.Tables.tsMicros(df))
 
   test("streaming hourly rollup matches batch (watermark + window + memory sink)") {
     // stage the events file into a stream-source directory
@@ -202,8 +205,7 @@ class StreamingSuite extends SparkSpec {
 
   test("session_window streaming matches batch Sessionize semantics") {
     import graft.operators.Sessionize
-    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = withTsUs(withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
     // built-in session_window (batch mode) vs our lag+sum sessionizer:
     // same gap, same per-session event counts
     val viaWindow = Streaming.sessionRollup(events, gap = "30 minutes")
@@ -257,8 +259,7 @@ class StreamingSuite extends SparkSpec {
   test("mapGroupsWithState running counts match batch groupBy (custom keyed state)") {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val withUs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts_us", expr("ts div 1000"))
+    val withUs = (df: org.apache.spark.sql.DataFrame) => withTsUs(df)
     val stream = withUs(spark.readStream.schema(schema).parquet(inDir))
     val query = Streaming.runningUserCounts(stream).toDF()
       .writeStream.format("memory").queryName("graft_state")
@@ -282,8 +283,7 @@ class StreamingSuite extends SparkSpec {
 
   test("flatMapGroupsWithState sessions: batch path equals the lag-based sessionizer") {
     import graft.operators.Sessionize
-    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = withTsUs(withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
     val gapUs = 30L * 60 * 1000000L
     val got = Streaming.statefulSessions(events, gapUs)
       .collect().map(e => (e.user_id, e.session_start_us, e.n_events, e.dur_us)).toSet
@@ -302,8 +302,7 @@ class StreamingSuite extends SparkSpec {
     val inDir = "/tmp/graft_stream_events"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val gapUs = 30L * 60 * 1000000L
-    val stream = withTsUtc(spark.readStream.schema(schema).parquet(inDir))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val stream = withTsUs(withTsUtc(spark.readStream.schema(schema).parquet(inDir)))
       .withWatermark("ts_utc", "2 hours")
     val query = Streaming.statefulSessions(stream, gapUs).toDF()
       .writeStream.format("memory").queryName("graft_fmgs")
@@ -314,8 +313,7 @@ class StreamingSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // batch reference: the full session set, and the per-user LAST session
     // (which only a watermark timeout can close on the stream)
-    val events = withTsUtc(spark.read.parquet(s"$sfDir/events.parquet"))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = withTsUs(withTsUtc(spark.read.parquet(s"$sfDir/events.parquet")))
     val all = Streaming.statefulSessions(events, gapUs)
       .collect().map(e => (e.user_id, e.session_start_us, e.n_events, e.dur_us)).toSet
     val lastPerUser = all.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
