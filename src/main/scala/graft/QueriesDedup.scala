@@ -6,7 +6,7 @@ import graft.api._
 import graft.sources.Tables
 import graft.Queries._
 import graft.functions.TextFunctions._
-import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
+import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, FpStore, Layout, Multimodal, Outliers, Pack, RangeJoin, Sampling, Similarity}
 
 /** Deduplication surface: exact/incremental dedup, the LSH candidate
   * families (MinHash/SimHash/winnow/edit/embedding), transitive
@@ -37,6 +37,38 @@ private[graft] object QueriesDedup {
             docs.filter(col("doc_id") >= 400),
             docs.filter(col("doc_id") < 400), "text", "doc_id")
             .select(col("doc_id"), col("fp")))
+          .arrange("doc_id").df
+      }),
+
+
+      // the maintained-store ingestion chain (FpStore scaladoc): corpus
+      // fps seed the store; TWO successive batches are each screened
+      // against the store state their predecessors left (batch-2 text
+      // already admitted in batch 1 is dropped by the appended delta,
+      // not by rescanning anything), survivors land in the clean-corpus
+      // parquet sink and their fps append; a final compact folds the
+      // three deltas. Output = the sink read back, tagged per batch.
+      "q_dedup_incr_store" -> ((s: SparkSession, dir: String) => {
+        val store = roundtripDir("fpstore", dir)
+        val sink = roundtripDir("fpstore_sink", dir)
+        FpStore.destroy(store)
+        val docs = Tables.df(s, dir, "documents")
+        FpStore.create(s, store,
+          docs.filter(col("doc_id") % 4 < 2)
+            .select(fingerprint(col("text")).as("fp")))
+        def ingest(batch: DataFrame, tag: String): Unit = {
+          Dedup.exactIncrementalAgainstFps(batch, "text", "doc_id",
+              FpStore.read(s, store), "fp")
+            .select(col("doc_id"), col("fp"))
+            .write.mode("overwrite").parquet(s"$sink/$tag")
+          FpStore.append(s, store, s.read.parquet(s"$sink/$tag"))
+        }
+        ingest(docs.filter(col("doc_id") % 4 === 2), "b1")
+        ingest(docs.filter(col("doc_id") % 4 === 3), "b2")
+        FpStore.compact(s, store)
+        graft.api.DataTable(
+          s.read.parquet(s"$sink/b1").withColumn("batch", lit(1L))
+            .unionByName(s.read.parquet(s"$sink/b2").withColumn("batch", lit(2L))))
           .arrange("doc_id").df
       }),
 
@@ -229,6 +261,29 @@ private[graft] object QueriesDedup {
         |SELECT min(doc_id) AS doc_id, fp FROM batch
         |WHERE fp NOT IN (SELECT fp FROM known)
         |GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    // the chained two-batch replay: batch 1 screens against the corpus
+    // fp set, batch 2 against corpus ∪ batch-1 survivors — exactly the
+    // store state each ingest saw
+    "q_dedup_incr_store" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |k0 AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 < 2),
+        |b1 AS (
+        |  SELECT min(doc_id) AS doc_id, fp FROM f
+        |  WHERE doc_id % 4 = 2 AND fp NOT IN (SELECT fp FROM k0)
+        |  GROUP BY fp),
+        |k1 AS (SELECT fp FROM k0 UNION SELECT fp FROM b1),
+        |b2 AS (
+        |  SELECT min(doc_id) AS doc_id, fp FROM f
+        |  WHERE doc_id % 4 = 3 AND fp NOT IN (SELECT fp FROM k1)
+        |  GROUP BY fp)
+        |SELECT doc_id, fp, 1::BIGINT AS batch FROM b1
+        |UNION ALL
+        |SELECT doc_id, fp, 2::BIGINT AS batch FROM b2
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
 
