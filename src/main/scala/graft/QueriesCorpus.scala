@@ -16,6 +16,27 @@ import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Mul
   * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
 private[graft] object QueriesCorpus {
 
+  /** Pinned quality-classifier model (Corpus.trainQualityClassifier on
+    * the sf0.001 documents, epochs = 150, lr = 4.0): the distillation
+    * target is the Gopher min-word-count gate (≥ 50 tokens — the one
+    * published heuristic with variance on the synthetic word-soup
+    * corpus; production training swaps in curated-vs-crawl labels, same
+    * machinery). The label is exactly linearly separable in hashed
+    * count space (n_tokens = Σ_j c_j) and the trained model reaches
+    * train accuracy 1.0 — both re-derived and pinned in CorpusSuite, so
+    * a testdata refresh that shifts the corpus fails the suite instead
+    * of silently drifting the ledger. */
+  private[graft] val QcWeights: Seq[Long] = Seq(
+    578966L, 0L, 484746L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+    0L, 0L, 348778L, 0L, 418615L, 0L, 634363L, 335858L, 531288L, 0L,
+    478130L, 996096L, 0L, 0L, 581488L, 729305L, 0L, 0L, 0L, 0L, 98878L,
+    0L, 839797L, 0L, 61371L, 742109L, 0L, 0L, 227651L, 190772L, 0L, 0L,
+    1027483L, 0L, 380190L, 480623L, 0L, 483077L, 0L, 114847L, 0L,
+    1287974L, 0L, 0L, 0L, -768286L, 0L, 751295L, 0L, 0L)
+  private[graft] val QcBias: Long = -25750753L
+  private[graft] val QcEpochs = 150
+  private[graft] val QcLr = 4.0
+
   /** One word-n-gram stats CTE pair for the q_repetition_rules oracle:
     * `g{n}` = the house shingle convention (< n tokens → one whole-doc
     * shingle, the q_repetition spelling), `s{n}` = duplicated-gram chars
@@ -173,6 +194,19 @@ private[graft] object QueriesCorpus {
             "dsir_micro", 0.75))
           .arrange("doc_id").df
       }),
+
+
+      // trained linear quality classifier (fastText/CCNet-style gate):
+      // logistic model over hashed bag-of-words counts, trained by
+      // Corpus.trainQualityClassifier (deterministic distributed GD)
+      // and applied with PINNED integer micro-weights — scoring is a
+      // pure integer-dot-product projection, scan-local, stream-safe
+      "q_quality_classifier" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.qualityClassifierScore(
+            Tables.df(s, dir, "documents"), "text", "doc_id",
+            QcWeights, QcBias))
+          .arrange("doc_id").df),
 
 
       // C4 page cleaning (Raffel et al. 2020): terminal-punctuation /
@@ -462,6 +496,32 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
         |WHERE dsir_micro::DOUBLE >= t
         |ORDER BY doc_id""".stripMargin,
+
+
+    // quality classifier: the pinned micro-weights spliced as a VALUES
+    // relation; per-token-instance weight sum ≡ the count-vector dot
+    // product (the q_dsir replay shape); bucket = the q_feature_hash
+    // token hash; null/token-free docs score the bare bias via the
+    // LEFT JOIN + COALESCE
+    "q_quality_classifier" -> {
+      val values = QcWeights.zipWithIndex
+        .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+      s"""WITH w(j, wt) AS (VALUES $values),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    string_split_regex(trim(text), '\\s+'),
+         |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64)) AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT d.doc_id,
+         |    (COALESCE(SUM(w.wt), 0) + ($QcBias))::BIGINT AS qc_micro
+         |  FROM documents d
+         |  LEFT JOIN tok ON tok.doc_id = d.doc_id
+         |  LEFT JOIN w ON w.j = tok.h
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, qc_micro, qc_micro > 0 AS qc_keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
 
     // C4 cleaning: same line lambda as Spark's HOF; sentence count is a

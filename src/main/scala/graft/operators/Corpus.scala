@@ -193,6 +193,98 @@ object Corpus {
           lit(0L), (acc, x) => acc + x)).as("dsir_micro"))
   }
 
+  /** Trained linear quality classifier — the fastText/CCNet-style gate:
+    * full-batch logistic regression over hashing-trick bag-of-words
+    * counts ([[graft.functions.TextFunctions.featureHash]]), positives =
+    * the curated/target slice, negatives = raw text. Returns the model
+    * as integer micro-weights `(w[dim], bias)` for
+    * [[qualityClassifierScore]] (quantized by the lloyd
+    * `floor(x·scale + 0.5)` rule, exact for either sign).
+    *
+    * DETERMINISTIC DISTRIBUTED TRAINING: each epoch broadcasts the
+    * weights as plan literals; the per-document logit and sigmoid are
+    * pure row-local double arithmetic (array-order fold — no shuffle
+    * touches a float), and the residual is quantized to micro units
+    * per document BEFORE the gradient aggregate, so every distributed
+    * sum in training is over LONGS — order-insensitive, bit-identical
+    * across runs, partitionings, and cluster sizes. The weight update
+    * itself is driver-side double math over those exact integers.
+    * Gradient magnitudes stay far inside Int64 for any realistic batch
+    * (|rq| ≤ 10^6 · lr-bounded counts); training on ≫10^10 docs should
+    * raise `dim` rather than this scale.
+    *
+    * Plan per epoch: one pruned scan of each side, the residual
+    * projection, posexplode of the dim counts (+1 sentinel bucket for
+    * the bias gradient), ONE partial-agged shuffle bounded at `dim`+1
+    * rows out, collected to the driver (the dsirWeights/BM25
+    * one-scalar-broadcast pattern). Null/absent text is excluded from
+    * training (it carries no token evidence either way). */
+  def trainQualityClassifier(pos: DataFrame, neg: DataFrame,
+                             textCol: String, dim: Int = 64,
+                             epochs: Int = 30, lr: Double = 1.0,
+                             quantScale: Double = 1e6): (Seq[Long], Long) = {
+    val data = pos.select(col(textCol).as("__t"), lit(1.0).as("__y"))
+      .unionByName(neg.select(col(textCol).as("__t"), lit(0.0).as("__y")))
+      .filter(col("__t").isNotNull)
+    // the per-doc feature vector, with the constant bias feature as
+    // bucket `dim` — one expression shared by every pass
+    val x = concat(featureHash(col("__t"), dim), array(lit(1L)))
+    // Diagonal curvature bound: the logistic Hessian satisfies
+    // H ≼ (1/4) XᵀX, so preconditioning each coordinate by
+    // h_j = 1 + (1/4n)·Σ_d c_dj² makes unit `lr` stable regardless of
+    // the raw count scale (plain GD needs lr < 4/‖x‖² ≈ 0.04 on
+    // 50-token docs and crawls or oscillates at any fixed rate). The
+    // sums are exact integer aggregates — ONE extra bounded shuffle,
+    // paid once. The +1 floor keeps never-hit buckets inert.
+    val sq = data
+      .select(posexplode(x).as(Seq("__j", "__c")))
+      .groupBy("__j").agg(sum(col("__c") * col("__c")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val n = sq.getOrElse(dim, 0L).toDouble // Σ 1² = doc count
+    require(n > 0, "trainQualityClassifier: no labeled documents")
+    val h = Array.tabulate(dim + 1)(j => 1.0 + sq.getOrElse(j, 0L) / (4.0 * n))
+    val w = Array.fill(dim + 1)(0.0) // w(dim) = bias
+    for (_ <- 0 until epochs) {
+      val wLit = array(w.toIndexedSeq.take(dim).map(lit): _*)
+      val z = aggregate(
+        zip_with(featureHash(col("__t"), dim), wLit,
+          (c, wj) => c.cast("double") * wj),
+        lit(0.0), (acc, v) => acc + v) + lit(w(dim))
+      val rq = floor((lit(1.0) / (lit(1.0) + exp(-z)) - col("__y"))
+        * quantScale + lit(0.5)).cast("long")
+      val grads = data
+        .select(rq.as("__rq"), posexplode(x).as(Seq("__j", "__c")))
+        .groupBy("__j").agg(sum(col("__c") * col("__rq")).as("__g"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      for (j <- 0 to dim)
+        w(j) -= lr * (grads.getOrElse(j, 0L) / quantScale) / (n * h(j))
+    }
+    (w.toIndexedSeq.take(dim).map(v => math.floor(v * quantScale + 0.5).toLong),
+      math.floor(w(dim) * quantScale + 0.5).toLong)
+  }
+
+  /** Score documents with a trained (or pinned) quality-classifier
+    * model: `qc_micro` = the micro-quantized logit (count-vector ·
+    * micro-weights + micro-bias — pure INTEGER dot product, so any
+    * engine replays it bit-exactly), `qc_keep` = logit > 0 (sigmoid >
+    * 0.5 without ever computing a float). Pure projection over a pruned
+    * scan — no join, no shuffle, stateless → stream-safe (the gopher/C4
+    * gate shape). Null text carries no token evidence and scores the
+    * bare bias, mirroring the oracle's LEFT JOIN + COALESCE replay (the
+    * dsirWeights null rule). */
+  def qualityClassifierScore(df: DataFrame, textCol: String, idCol: String,
+                             weightsMicro: Seq[Long],
+                             biasMicro: Long): DataFrame = {
+    val wCol = array(weightsMicro.map(lit): _*)
+    df.select(col(idCol),
+      when(col(textCol).isNull, lit(biasMicro)).otherwise(
+        aggregate(
+          zip_with(featureHash(col(textCol), weightsMicro.length), wCol,
+            (c, wj) => c * wj),
+          lit(biasMicro), (acc, x) => acc + x)).as("qc_micro"))
+      .withColumn("qc_keep", col("qc_micro") > lit(0L))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the published
     * Common-Crawl recipe): LINE rules keep only lines that end in
     * terminal punctuation (`.` `!` `?` `"` `”` after trailing-space

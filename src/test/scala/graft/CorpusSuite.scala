@@ -553,4 +553,86 @@ class CorpusSuite extends SparkSpec {
     assert(got(2L) == 0L, s"null-text doc must score 0, got ${got(2L)}")
     assert(got(1L).asInstanceOf[Long] > 0L, "on-target doc outscores")
   }
+
+  // --------------------------------------------- quality classifier
+
+  test("qualityClassifierScore: all-ones weights recover the token count") {
+    // every token lands in SOME bucket, so a uniform unit weight vector
+    // scores qc_micro = n_tokens + bias — a bucket-independent identity
+    // that checks the whole count-vector dot product by hand
+    val d = docs(1L -> "a b c d e", 2L -> "x", 3L -> "")
+    val out = Corpus.qualityClassifierScore(
+        d, "text", "doc_id", Seq.fill(64)(1L), 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 5L + 10L)
+    assert(out(2L) == 1L + 10L)
+    // "" tokenizes to one empty token (the dsir convention, both engines)
+    assert(out(3L) == 1L + 10L)
+  }
+
+  test("qualityClassifierScore: targeted bucket weight and null text") {
+    import graft.functions.TextFunctions.featureHash
+    val bucket = spark.range(1)
+      .select(featureHash(lit("spark"), 64).as("v"))
+      .collect()(0).getSeq[Long](0).indexWhere(_ == 1L)
+    val w = Seq.tabulate(64)(j => if (j == bucket) 1000L else 0L)
+    val d = docs(1L -> "spark spark plain", 2L -> "plain only")
+      .union(docs(3L -> "x").withColumn("text",
+        when(col("doc_id") === 3L, lit(null: String))))
+    val out = Corpus.qualityClassifierScore(d, "text", "doc_id", w, -500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // "plain"/"only" may collide into the spark bucket — recompute the
+    // expected counts through the kernel rather than assuming zero
+    def cnt(text: String): Long = spark.range(1)
+      .select(featureHash(lit(text), 64).as("v"))
+      .collect()(0).getSeq[Long](0)(bucket)
+    assert(out(1L) == (cnt("spark spark plain") * 1000L - 500L,
+      cnt("spark spark plain") * 1000L - 500L > 0L))
+    assert(out(2L) == (cnt("plain only") * 1000L - 500L,
+      cnt("plain only") * 1000L - 500L > 0L))
+    // null text scores the bare bias (the oracle's LEFT JOIN replay)
+    assert(out(3L) == (-500L, false))
+  }
+
+  test("qualityClassifierScore: scan-local plan (no Exchange)") {
+    val plan = Corpus.qualityClassifierScore(
+        docs(1L -> "a"), "text", "doc_id",
+        QueriesCorpus.QcWeights, QueriesCorpus.QcBias)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
+  }
+
+  test("trainQualityClassifier is deterministic across runs") {
+    val d = docs(
+      1L -> "a b c d e f g h", 2L -> "a b", 3L -> "c d e f",
+      4L -> "g h a b c", 5L -> "x y z", 6L -> "x")
+    def run() = Corpus.trainQualityClassifier(
+      d.filter(col("doc_id") <= 3), d.filter(col("doc_id") > 3),
+      "text", epochs = 3, lr = 1.0)
+    assert(run() == run())
+  }
+
+  test("pinned quality-classifier model equals fresh training on the fixture") {
+    // the ledger's pinned weights ARE the trained model: re-derive them
+    // from the sf0.001 corpus with the pinned config. The distillation
+    // label is the Gopher min-word-count gate (>= 50 tokens), exactly
+    // linearly separable in hashed count space (n_tokens = sum of the
+    // count vector), and training converges to accuracy 1.0 on it —
+    // if a driver testdata refresh shifts the corpus, this fails loudly
+    // instead of letting the ledger drift from its provenance.
+    import graft.functions.TextFunctions.tokens
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labeled = d.withColumn("__q", size(tokens(col("text"))) >= 50)
+    val (w, b) = Corpus.trainQualityClassifier(
+      labeled.filter(col("__q")), labeled.filter(!col("__q")),
+      "text", epochs = QueriesCorpus.QcEpochs, lr = QueriesCorpus.QcLr)
+    assert(w == QueriesCorpus.QcWeights, "pinned weights drifted")
+    assert(b == QueriesCorpus.QcBias, "pinned bias drifted")
+    // the trained gate fully distills the (separable) rule
+    val scored = Corpus.qualityClassifierScore(d, "text", "doc_id", w, b)
+      .join(labeled.select(col("doc_id"), col("__q")), Seq("doc_id"))
+    assert(scored.filter(col("qc_keep") =!= col("__q")).count() == 0L,
+      "trained gate must reach train accuracy 1.0 on the separable label")
+  }
 }
