@@ -47,15 +47,9 @@ object Queries {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       scratchDirs.forEach { d =>
         // belt-and-braces: never walk outside our own scratch namespace
-        if (d.startsWith("/tmp/graft_")) {
-          val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p)) {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-            finally walk.close()
-          }
-        }
+        if (d.startsWith("/tmp/graft_"))
+          graft.operators.FpStore.deleteRecursively(
+            java.nio.file.Paths.get(d))
       }
     }))
   }

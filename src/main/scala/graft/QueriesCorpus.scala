@@ -510,7 +510,8 @@ private[graft] object QueriesCorpus {
          |tok AS (
          |  SELECT doc_id, unnest(list_transform(
          |    string_split_regex(trim(text), '\\s+'),
-         |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64)) AS h
+         |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT
+         |            % ${QcWeights.length})) AS h
          |  FROM documents),
          |s AS (
          |  SELECT d.doc_id,

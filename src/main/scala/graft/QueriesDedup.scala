@@ -271,14 +271,19 @@ private[graft] object QueriesDedup {
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents),
         |k0 AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 < 2),
+        |-- NOT EXISTS, not NOT IN: Spark's left_anti keeps a null-fp
+        |-- probe row, while NOT IN's three-valued logic would drop it
+        |-- (or empty the batch if a null entered the known set)
         |b1 AS (
-        |  SELECT min(doc_id) AS doc_id, fp FROM f
-        |  WHERE doc_id % 4 = 2 AND fp NOT IN (SELECT fp FROM k0)
+        |  SELECT min(doc_id) AS doc_id, fp FROM f b
+        |  WHERE doc_id % 4 = 2
+        |    AND NOT EXISTS (SELECT 1 FROM k0 WHERE k0.fp = b.fp)
         |  GROUP BY fp),
         |k1 AS (SELECT fp FROM k0 UNION SELECT fp FROM b1),
         |b2 AS (
-        |  SELECT min(doc_id) AS doc_id, fp FROM f
-        |  WHERE doc_id % 4 = 3 AND fp NOT IN (SELECT fp FROM k1)
+        |  SELECT min(doc_id) AS doc_id, fp FROM f b
+        |  WHERE doc_id % 4 = 3
+        |    AND NOT EXISTS (SELECT 1 FROM k1 WHERE k1.fp = b.fp)
         |  GROUP BY fp)
         |SELECT doc_id, fp, 1::BIGINT AS batch FROM b1
         |UNION ALL

@@ -53,15 +53,16 @@ private[graft] object QueriesStreaming {
       // Dataset timeouts don't exist and the open session flushes at end
       // of group, so the emitted sessions are exactly the gap rule's —
       // lag + running-sum replays them in DuckDB (same 30-min gap)
-      "q_stream_sessions" -> ((s: SparkSession, dir: String) =>
+      "q_stream_sessions" -> ((s: SparkSession, dir: String) => {
+        val ev = Tables.eventsUs(s, dir)
         graft.api.DataTable(
           graft.streaming.Streaming.statefulSessions(
-            Tables.eventsUs(s, dir).withColumn("ts_utc",
-              Tables.tsStamp(Tables.df(s, dir, "events"))),
+            ev.withColumn("ts_utc", Tables.tsStamp(ev)),
             gapUs = 30L * 60 * 1000000L).toDF()
             .select(col("user_id"), col("session_start_us"),
               col("n_events"), col("dur_us")))
-          .arrange("user_id", "session_start_us").df),
+          .arrange("user_id", "session_start_us").df
+      }),
 
 
     "q_sessionize" -> ((s: SparkSession, dir: String) =>

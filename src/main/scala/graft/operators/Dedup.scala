@@ -56,7 +56,15 @@ object Dedup {
     * fail at runtime (corrupt input, cancelled job) and a retrying
     * long-running driver would otherwise leak one cached copy per
     * attempt; unpersist is idempotent, so the success paths' own
-    * releases make the catch a no-op there. */
+    * releases make the catch a no-op there.
+    *
+    * The pin is taken BEFORE the probe even though the small tier's
+    * probe is its only consumer — a deliberate trade: on the small tier
+    * the cache writes are bounded by the (small) store itself and by
+    * the partitions the `limit` probe actually consumes, while on the
+    * large tier the pre-probe pin is what lets the checkpoint
+    * materialize from cache instead of re-deriving the oversized
+    * scan + distinct (the expensive case this lifecycle exists for). */
   private def tieredOverStore(store: DataFrame, c: String, cap: Int)
                              (requireBatch: => Unit)
                              (small: Array[Long] => DataFrame)

@@ -54,7 +54,9 @@ object FpStore {
 
   def exists(path: String): Boolean = deltaDirs(path).nonEmpty
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Recursive delete (walk deepest-first). Shared with the scratch-dir
+    * shutdown hook in [[graft.Queries]] so the idiom has one home. */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)
       try walk.sorted(Comparator.reverseOrder())

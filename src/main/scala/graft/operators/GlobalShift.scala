@@ -127,6 +127,12 @@ object GlobalShift {
       s"GlobalShift: input columns ${clash.mkString(", ")} collide with " +
         "reserved internal names (__sv, __pid, __bi, __fill, __have, " +
         "__has, __j, __ok<i>) — rename them first")
+    // the OUTPUT name hits the same machinery: the result would be
+    // written into an internal slot and erased by the closing drop —
+    // the caller would get a frame with no output column at all
+    require(!reserved(name),
+      s"GlobalShift: output name '$name' collides with a reserved " +
+        "internal name — pick another")
     val keyed = order.zip(okNames)
       .foldLeft(df) { case (d, (oc, nm)) => d.withColumn(nm, oc) }
       .withColumn("__sv", c) // shift source materialized pre-shuffle

@@ -149,6 +149,13 @@ class GlobalShiftSuite extends SparkSpec {
         bad2, "next", col("v"), 1, Seq(col("k")))
     }
     assert(e2.getMessage.contains("__ok0"), e2.getMessage)
+    // a reserved OUTPUT name would be written into the internal slot
+    // and erased by the closing drop — refuse it the same way
+    val e3 = intercept[IllegalArgumentException] {
+      GlobalShift.withGlobalLagReleasable(
+        frame, "__sv", col("v"), 1, Seq(col("k")))
+    }
+    assert(e3.getMessage.contains("output name"), e3.getMessage)
   }
 
   test("pass-parity guard trips loudly when pass-2 counts diverge from pass 1") {
