@@ -132,6 +132,23 @@ class StreamingSuite extends SparkSpec {
       .select("doc_id", "n_kept", "c4_keep").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
     assert(gotC == wantC && gotC.nonEmpty)
+
+    // the trained classifier gate is the same shape — pinned-weight
+    // integer projection, no state — so it streams unchanged too
+    val scored = graft.operators.Corpus.qualityClassifierScore(
+      stream, "text", "doc_id", QueriesCorpus.QcWeights, QueriesCorpus.QcBias)
+    assert(scored.isStreaming)
+    val q3 = scored
+      .writeStream.format("memory").queryName("graft_qc_stream")
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val gotQ = spark.table("graft_qc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val wantQ = graft.operators.Corpus.qualityClassifierScore(
+      docs, "text", "doc_id", QueriesCorpus.QcWeights, QueriesCorpus.QcBias)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(gotQ == wantQ && gotQ.nonEmpty)
   }
 
   test("winnow ingest screen fast tier runs on an unbounded stream") {
