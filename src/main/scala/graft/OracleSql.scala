@@ -508,4 +508,59 @@ object OracleSql {
        |SELECT l_orderkey, l_linenumber, ($morton)::BIGINT AS zkey
        |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
+
+  /** Shared BPE CTE chain replaying [[graft.operators.Corpus.bpeTrain]]
+    * round by round (the lloydCtes pattern for iterative training): v0 =
+    * the word histogram with char-level start sequences + `</w>`; each
+    * round i = weighted adjacent-pair counts → (c DESC, pair ASC)
+    * argmax → the double-space literal-replace merge application
+    * (Corpus.bpeApplyMerge — identical left-to-right non-overlapping
+    * literal semantics in both engines). */
+  private def bpeCtes(k: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT word, COUNT(*)::BIGINT AS n,
+        |    ltrim(trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>') AS seq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, SUM(n)::BIGINT AS c FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(syms)),
+         |      j -> syms[j] || ' ' || syms[j+1])) AS pair
+         |    FROM (SELECT n, string_split(seq, ' ') AS syms FROM v${i - 1}))
+         |  GROUP BY pair),
+         |m$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |v$i AS (
+         |  SELECT word, n,
+         |    trim(regexp_replace(
+         |      replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |        ' ' || replace(m.pair, ' ', '  ') || ' ',
+         |        ' ' || replace(m.pair, ' ', '') || ' '),
+         |      ' {2,}', ' ', 'g')) AS seq
+         |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  def bpeMerges(k: Int): String = {
+    val unions = (1 to k).map(i =>
+      s"SELECT $i::BIGINT AS round, pair, c AS weighted_count FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(k)}\n$unions\nORDER BY round"
+  }
+
+  def bpeTokenize(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |inst AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT i.doc_id, SUM(len(string_split(v.seq, ' ')))::BIGINT AS s
+       |  FROM inst i JOIN v$k v ON v.word = i.word
+       |  GROUP BY i.doc_id)
+       |SELECT d.doc_id, COALESCE(c.s, 0)::BIGINT AS n_bpe_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -37,6 +37,10 @@ private[graft] object QueriesCorpus {
   private[graft] val QcEpochs = 150
   private[graft] val QcLr = 4.0
 
+  /** Merge rounds for the BPE queries — shared by the Spark trainer and
+    * the generated oracle CTE chain. */
+  private[graft] val BpeMerges = 8
+
   /** One word-n-gram stats CTE pair for the q_repetition_rules oracle:
     * `g{n}` = the house shingle convention (< n tokens → one whole-doc
     * shingle, the q_repetition spelling), `s{n}` = duplicated-gram chars
@@ -192,6 +196,33 @@ private[graft] object QueriesCorpus {
               docs.filter(col("doc_id") % 10 === 0),
               "text", "doc_id"),
             "dsir_micro", 0.75))
+          .arrange("doc_id").df
+      }),
+
+
+      // BPE merge training (Sennrich et al. 2016): the first 8 learned
+      // merge rules with weighted counts — trained on the word
+      // histogram (corpus scanned once; rounds iterate over the vocab
+      // only), oracle re-derives every round independently
+      "q_bpe_merges" -> ((s: SparkSession, dir: String) => {
+        val (_, merges) = Corpus.bpeTrain(
+          Tables.df(s, dir, "documents"), "text", merges = BpeMerges)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
+          .toDF("round", "pair", "weighted_count")
+          .orderBy("round")
+      }),
+
+
+      // tokenize with the trained BPE vocab: per-doc subword counts via
+      // the broadcast word→pieces lookup (the production tokenizer
+      // shape — no per-document merge re-application)
+      "q_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val (vocab, _) = Corpus.bpeTrain(docs, "text", merges = BpeMerges)
+        graft.api.DataTable(
+          Corpus.bpeTokenCounts(docs, "text", "doc_id", vocab))
           .arrange("doc_id").df
       }),
 
@@ -496,6 +527,12 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
         |WHERE dsir_micro::DOUBLE >= t
         |ORDER BY doc_id""".stripMargin,
+
+
+    // BPE: generated round-by-round CTE replay (OracleSql.bpeCtes)
+    "q_bpe_merges" -> OracleSql.bpeMerges(BpeMerges),
+
+    "q_bpe_tokenize" -> OracleSql.bpeTokenize(BpeMerges),
 
 
     // quality classifier: the pinned micro-weights spliced as a VALUES

@@ -285,6 +285,110 @@ object Corpus {
       .withColumn("qc_keep", col("qc_micro") > lit(0L))
   }
 
+  /** Character-level starting sequence for BPE: one space-separated
+    * symbol per character plus the `</w>` end-of-word marker (so
+    * word-final merges stay distinct from word-interior ones, the
+    * published convention). ASCII corpora only — Java's `.` walks
+    * UTF-16 units while RE2's walks code points, so astral characters
+    * would split differently cross-engine. Empty word → just the
+    * marker. */
+  private[graft] def bpeInitSeq(w: Column): Column =
+    ltrim(concat(trim(regexp_replace(w, "(.)", "$1 ")), lit(" </w>")))
+
+  /** Apply one learned merge to a space-separated symbol sequence using
+    * ONLY literal string replacement (no regex on data — RE2 has no
+    * lookbehind, so a regex spelling could not be replayed): doubling
+    * every gap gives each symbol an exclusive space on both sides, so
+    * the literal pattern ` A  B ` matches exactly whole-symbol
+    * adjacency, consecutive occurrences share no characters
+    * (left-to-right non-overlapping replace = BPE's greedy application
+    * in both engines), and the final run-collapse restores canonical
+    * single-space form. */
+  private[graft] def bpeApplyMerge(seq: Column, pair: String): Column = {
+    val search = " " + pair.replace(" ", "  ") + " "
+    val merged = " " + pair.replace(" ", "") + " "
+    trim(regexp_replace(
+      org.apache.spark.sql.functions.replace(
+        concat(lit(" "),
+          org.apache.spark.sql.functions.replace(seq, lit(" "), lit("  ")),
+          lit(" ")),
+        lit(search), lit(merged)),
+      " {2,}", " "))
+  }
+
+  /** BPE merge training (Sennrich et al. 2016) — tokenizer training as
+    * a corpus operator. Trains on the WORD HISTOGRAM, the standard
+    * scale trick: the corpus is scanned ONCE for token counts (one
+    * shuffle, output bounded by vocabulary size), and every merge round
+    * iterates over the vocabulary only — pair statistics are weighted
+    * by word frequency, so the result is identical to training on the
+    * raw corpus at a training cost independent of corpus row count.
+    * Each round: adjacent-symbol pairs weighted by `n` → one
+    * vocabulary-bounded aggregate → the (count DESC, pair ASC) argmax
+    * collects ONE row to the driver → the merge applies as a pure
+    * projection ([[bpeApplyMerge]]). All counts are long sums —
+    * deterministic at any partitioning (the trainQualityClassifier
+    * rule).
+    *
+    * Returns (vocab, merges): `vocab` = (word, n, seq) with `seq` the
+    * final symbol sequence per distinct word — the word→pieces lookup
+    * table a tokenizer ships; `merges` = the ordered merge rules with
+    * their weighted counts. The histogram is pinned during training and
+    * released on return, so consuming `vocab` later replays one
+    * corpus-scan histogram rebuild (document cost, not a leak).
+    * Stops early when no adjacent pair remains. */
+  def bpeTrain(df: DataFrame, textCol: String,
+               merges: Int = 8): (DataFrame, Seq[(String, Long)]) = {
+    val hist = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seqCol: Column = bpeInitSeq(col("word"))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var exhausted = false
+      while (picked.length < merges && !exhausted) {
+        val top = hist.select(col("n"), seqCol.as("seq"))
+          .select(col("n"), split(col("seq"), " ").as("syms"))
+          .select(col("n"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy("pair").agg(sum("n").as("c"))
+          .orderBy(col("c").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          picked += pair -> top(0).getLong(1)
+          seqCol = bpeApplyMerge(seqCol, pair)
+        }
+      }
+      (hist.select(col("word"), col("n"), seqCol.as("seq")), picked.toSeq)
+    } finally hist.unpersist(blocking = false)
+  }
+
+  /** Tokenize with a trained BPE vocab: per-document subword count via
+    * a broadcast word→pieces lookup — the production tokenizer shape
+    * (train once on the histogram, apply by lookup; per-document merge
+    * re-application never happens). Null/token-free documents restore
+    * as 0 through the left join (the oracle's COALESCE replay). Words
+    * absent from `vocab` (foreign corpus) are dropped by the inner
+    * instance join — train on the corpus you tokenize, or pre-extend
+    * the vocab, for full coverage. */
+  def bpeTokenCounts(df: DataFrame, textCol: String, idCol: String,
+                     vocab: DataFrame): DataFrame = {
+    val pieces = vocab.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("__k"))
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(idCol).agg(sum("__k").as("__s"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__s"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** C4-style page cleaning (Raffel et al. 2020 §2.2, the published
     * Common-Crawl recipe): LINE rules keep only lines that end in
     * terminal punctuation (`.` `!` `?` `"` `”` after trailing-space

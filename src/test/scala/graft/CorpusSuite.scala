@@ -635,4 +635,60 @@ class CorpusSuite extends SparkSpec {
     assert(scored.filter(col("qc_keep") =!= col("__q")).count() == 0L,
       "trained gate must reach train accuracy 1.0 on the separable label")
   }
+
+  // ----------------------------------------------------------- BPE
+
+  test("bpeApplyMerge: whole-symbol, non-overlapping, boundary-safe") {
+    def apply1(seq: String, pair: String): String =
+      spark.range(1).select(Corpus.bpeApplyMerge(lit(seq), pair).as("s"))
+        .collect()(0).getString(0)
+    // consecutive occurrences both merge (exclusive-space trick)
+    assert(apply1("a b a b", "a b") == "ab ab")
+    // a pair must match whole symbols, never a symbol suffix/prefix
+    assert(apply1("xa b", "a b") == "xa b")
+    assert(apply1("a bx", "a b") == "a bx")
+    // overlapping run merges greedily left-to-right (BPE application)
+    assert(apply1("a a a", "a a") == "aa a")
+    assert(apply1("c a b d", "a b") == "c ab d")
+  }
+
+  test("bpeTrain learns the hand-computed merge sequence and stops early") {
+    // hist: "ab"x2, "ac"x1. Round 1 pairs: (a b):2, (b </w>):2,
+    // (a c):1, (c </w>):1 — tie broken pair-ASC → "a b". Then
+    // "ab </w>":2, then "a c":1 ('a c' < 'c </w>'), then "ac </w>":1,
+    // then NO pairs remain → early stop at 4 of 8 requested.
+    val d = docs(1L -> "ab ab ac")
+    val (vocab, merges) = Corpus.bpeTrain(d, "text", merges = 8)
+    assert(merges == Seq("a b" -> 2L, "ab </w>" -> 2L,
+      "a c" -> 1L, "ac </w>" -> 1L))
+    val seqs = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs == Map("ab" -> "ab</w>", "ac" -> "ac</w>"))
+    // tokenize via the trained lookup: every word is one piece now
+    val counts = Corpus.bpeTokenCounts(d, "text", "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L))
+  }
+
+  test("bpeTrain is deterministic and weights pairs by word frequency") {
+    val d = docs(1L -> "aa bb", 2L -> "aa aa bb", 3L -> null)
+    def run() = Corpus.bpeTrain(d, "text", merges = 3)._2
+    val m = run()
+    assert(m == run())
+    // "aa" x3 gives both (a a) and (a </w>) count 3 — the ASC
+    // tiebreak picks "a </w>" ('<' 0x3C sorts before 'a' 0x61),
+    // and the count weights by word frequency (3, not 2)
+    assert(m.head == ("a </w>" -> 3L))
+  }
+
+  test("bpeTokenCounts: broadcast lookup plan; null text restores as 0") {
+    val d = docs(1L -> "ab ab", 2L -> null)
+    val (vocab, _) = Corpus.bpeTrain(d, "text", merges = 2)
+    val out = Corpus.bpeTokenCounts(d, "text", "doc_id", vocab)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab lookup must broadcast, not shuffle the instances:\n$plan")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 0L)
+    assert(got(1L) >= 2L)
+  }
 }
