@@ -532,14 +532,19 @@ object OracleSql {
          |    FROM (SELECT n, string_split(seq, ' ') AS syms FROM v${i - 1}))
          |  GROUP BY pair),
          |m$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |-- LEFT JOIN, not CROSS JOIN: when merges exhaust before round
+         |-- $i, m$i is EMPTY and a cross join would wipe v$i (and every
+         |-- later vocab) — pass seq through unchanged instead, matching
+         |-- the Spark trainer's early stop
          |v$i AS (
          |  SELECT word, n,
-         |    trim(regexp_replace(
-         |      replace(' ' || replace(seq, ' ', '  ') || ' ',
-         |        ' ' || replace(m.pair, ' ', '  ') || ' ',
-         |        ' ' || replace(m.pair, ' ', '') || ' '),
-         |      ' {2,}', ' ', 'g')) AS seq
-         |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
+         |    CASE WHEN m.pair IS NULL THEN seq ELSE
+         |      trim(regexp_replace(
+         |        replace(' ' || replace(seq, ' ', '  ') || ' ',
+         |          ' ' || replace(m.pair, ' ', '  ') || ' ',
+         |          ' ' || replace(m.pair, ' ', '') || ' '),
+         |        ' {2,}', ' ', 'g')) END AS seq
+         |  FROM v${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     (v0 +: rounds).mkString(",\n")
   }
