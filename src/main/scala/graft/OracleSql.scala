@@ -456,6 +456,83 @@ object OracleSql {
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
+  /** Shared product-quantization CTE chain, replaying
+    * `Similarity.pqCodebooks` + the final encode round for round: per
+    * subspace `s`, `sub$s` slices the subvector, `cb0_$s` seeds from
+    * vec_id < ncode, then `iters` Lloyd rounds of squared-L2 assignment
+    * (`(x·x − 2·x·c) + c·c` — the exact dot-expansion op order the Spark
+    * side computes, every term a list_dot_product left-fold), quantized
+    * long-sum means, and a LEFT JOIN + COALESCE empty-code pass-through;
+    * `a${iters}_$s` holds the final 0-based code per vec_id. */
+  private def pqCtes(m: Int, d: Int, ncode: Int, iters: Int): String = {
+    val S = "1000000.0"
+    def sub(s: Int) =
+      s"""sub$s AS (SELECT vec_id, list_slice(v, ${s * d + 1}, ${s * d + d}) AS x
+         |  FROM e)""".stripMargin
+    def cb0(s: Int) =
+      s"cb0_$s AS (SELECT vec_id AS code, x AS cw FROM sub$s WHERE vec_id < $ncode)"
+    def dN(i: Int, s: Int) =
+      s"""d${i}_$s AS (SELECT t.vec_id, c.code,
+         |    (${dot("t.x", "t.x")} - 2.0*${dot("t.x", "c.cw")}) + ${dot("c.cw", "c.cw")} AS d2
+         |  FROM sub$s t CROSS JOIN cb${i}_$s c)""".stripMargin
+    def aN(i: Int, s: Int) =
+      s"""a${i}_$s AS (SELECT vec_id, MIN(code) AS code FROM (
+         |    SELECT vec_id, code, d2, MIN(d2) OVER (PARTITION BY vec_id) AS mn
+         |    FROM d${i}_$s) x
+         |  WHERE d2 = mn GROUP BY vec_id)""".stripMargin
+    def gN(i: Int, s: Int) =
+      s"""g${i}_$s AS (SELECT a.code, t.pos,
+         |    (SUM(CAST(floor(b.x[t.pos] * $S + 0.5) AS BIGINT)))::BIGINT AS sm,
+         |    COUNT(*) AS cnt
+         |  FROM a${i - 1}_$s a JOIN sub$s b USING (vec_id)
+         |  CROSS JOIN unnest(range(1, ${d + 1})) AS t(pos)
+         |  GROUP BY a.code, t.pos)""".stripMargin
+    def nN(i: Int, s: Int) =
+      s"""n${i}_$s AS (SELECT code, list(sm / (cnt * $S) ORDER BY pos) AS cw
+         |  FROM g${i}_$s GROUP BY code)""".stripMargin
+    def cbN(i: Int, s: Int) =
+      s"""cb${i}_$s AS (SELECT pv.code, COALESCE(n.cw, pv.cw) AS cw
+         |  FROM cb${i - 1}_$s pv LEFT JOIN n${i}_$s n USING (code))""".stripMargin
+    val chains = (0 until m).flatMap { s =>
+      Seq(sub(s), cb0(s)) ++
+        (0 until iters).flatMap(i =>
+          Seq(dN(i, s), aN(i, s), gN(i + 1, s), nN(i + 1, s), cbN(i + 1, s))) ++
+        Seq(dN(iters, s), aN(iters, s))
+    }
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${chains.mkString(",\n")}""".stripMargin
+  }
+
+  /** Replays q_pq_encode: the trained per-subspace code of every vector. */
+  def pqEncode(m: Int = 4, d: Int = 16, ncode: Int = 8,
+               iters: Int = 1): String = {
+    val cols = (0 until m).map(s => s"a${iters}_$s.code AS code_$s").mkString(", ")
+    val joins = (0 until m).map(s => s"JOIN a${iters}_$s USING (vec_id)").mkString(" ")
+    s"""WITH ${pqCtes(m, d, ncode, iters)}
+       |SELECT vec_id, $cols FROM e $joins ORDER BY vec_id""".stripMargin
+  }
+
+  /** Replays q_ann_pq (Similarity.pqTopK): reconstruct every corpus
+    * vector from its codewords (list concat across subspaces), cosine
+    * against the exact query vectors, top-k per query. */
+  def annPq(m: Int = 4, d: Int = 16, ncode: Int = 8, iters: Int = 1,
+            k: Int = 10, nq: Int = 4): String = {
+    val concats = (0 until m).map(s => s"c$s.cw").mkString(" || ")
+    val joins = (0 until m).map(s =>
+      s"JOIN a${iters}_$s x$s USING (vec_id) JOIN cb${iters}_$s c$s ON c$s.code = x$s.code")
+      .mkString("\n  ")
+    s"""WITH ${pqCtes(m, d, ncode, iters)},
+       |rec AS (SELECT e.vec_id, $concats AS rv FROM e
+       |  $joins),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq)
+       |SELECT query_id, vec_id, cos, rank FROM (
+       |  SELECT q.query_id, r.vec_id, ${cosExpr("r.rv", "q.qv")} AS cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY cos DESC, r.vec_id) AS BIGINT) AS rank
+       |  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Replays [[graft.operators.Bm25.score]] with the SAME constants and
     * the SAME parenthesization (every floating-point operation happens in
     * the same order, so with the micro-scaled rounding the scores are

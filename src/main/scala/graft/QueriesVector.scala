@@ -73,6 +73,38 @@ private[graft] object QueriesVector {
       }),
 
 
+      // product-quantization encode: per-subspace codebooks trained by
+      // Lloyd (m=4 × ncode=8 over dim 64), every vector compressed to 4
+      // codes — the memory lever for billion-vector indexes; training
+      // and encode replay relationally (quantized means, dot-expansion
+      // L2), so the oracle is exact
+      "q_pq_encode" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+          dim = 64, m = 4, ncode = 8, iters = 1)
+        graft.api.DataTable(
+          Similarity.pqEncode(emb, "embedding", "vec_id", books)
+            .select(col("vec_id") +: (0 until 4).map(i =>
+              element_at(col("codes"), i + 1).cast("long").as(s"code_$i")): _*))
+          .arrange("vec_id").df
+      }),
+
+
+      // ADC search over the PQ-compressed corpus: codes → codeword
+      // reconstruction (literal-array projection) → cosine vs the exact
+      // query vectors → bounded-heap top-k; exact oracle
+      "q_ann_pq" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+          dim = 64, m = 4, ncode = 8, iters = 1)
+        graft.api.DataTable(
+          Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4), books,
+            "embedding", "vec_id", "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
       // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
       "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -149,6 +181,10 @@ private[graft] object QueriesVector {
         |                       ORDER BY cos DESC, c.vec_id) AS rank
         |  FROM c, a WHERE c.label <> a.al)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_encode" -> OracleSql.pqEncode(),
+
+    "q_ann_pq" -> OracleSql.annPq(),
 
     "q_ann_ivf" -> OracleSql.annIvf(),
 

@@ -246,6 +246,132 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the `dim`-dimensional
+    * space is split into `m` contiguous subspaces of `d = dim/m`
+    * components; each subspace gets its own `ncode`-centroid codebook
+    * trained by per-subspace Lloyd rounds. A vector then compresses to
+    * `m` small codes (here m=4 bytes vs 64 floats — the memory lever
+    * that makes billion-vector indexes fit in RAM at 100 TB scale).
+    *
+    * Determinism / cross-engine exactness (the [[kmeansAssign]]
+    * discipline): seeds are the subvectors of the `ncode` smallest
+    * vec_ids; assignment is squared-L2 via the dot expansion
+    * `(x·x − 2·x·c) + c·c` — every term a left-fold [[VectorFunctions
+    * .dot]], the exact op sequence DuckDB's `list_dot_product` runs, so
+    * distances are bit-comparable; argmin ties take the smallest code;
+    * means go through quantized long sums. A codeword that loses every
+    * member keeps its previous value (the oracle replays this with a
+    * LEFT JOIN + COALESCE).
+    *
+    * Scale shape per Lloyd round: assignment is a PURE PROJECTION
+    * (literal codebooks — no join, no shuffle); the update is ONE
+    * shuffle of (pos, code) partial sums with map-side combine, then an
+    * m×ncode×d-row collect — aggregate results, not data. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, m: Int = 4, ncode: Int = 8, iters: Int = 1,
+                  quantScale: Double = 1e6): Seq[Seq[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"pqCodebooks: dim=$dim must split evenly into m=$m subspaces")
+    val d = dim / m
+    val e = normalized(corpus, vecCol, idCol)
+    val seeds = e.filter(col("vec_id") < ncode).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(seeds.nonEmpty,
+      s"pqCodebooks: no seed vectors with id < $ncode — ids must start " +
+        "near 0 (deterministic seeding keys on the ncode smallest ids)")
+    var books: Seq[Seq[Array[Double]]] =
+      (0 until m).map(s => seeds.toSeq.map(v => v.slice(s * d, s * d + d)))
+    for (_ <- 0 until iters) {
+      val parts = e.withColumn("__codes", pqCodeArray(books, d))
+        .select(col("__codes"), posexplode(col("v")).as(Seq("pos", "val")))
+        .withColumn("code",
+          element_at(col("__codes"), (col("pos") / lit(d)).cast("int") + 1))
+        .groupBy("pos", "code")
+        .agg(sum(floor(col("val") * quantScale + lit(0.5)).cast("long")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .select(col("pos"), col("code"),
+          (col("sm").cast("double") / (col("cnt") * lit(quantScale))).as("cval"))
+        .collect()
+      val upd = parts.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      // codebook size follows the seed count (< ncode only when the corpus
+      // itself is smaller); a code with no members keeps its codeword
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (prev, j) =>
+          Array.tabulate(d)(p => upd.getOrElse((s * d + p, j), prev(p)))
+        }
+      }
+    }
+    books
+  }
+
+  /** 0-based PQ code per subspace, as one `array<int>` projection against
+    * literal codebooks — the encode step is shuffle-free. */
+  private def pqCodeArray(books: Seq[Seq[Array[Double]]], d: Int): Column = {
+    val codes = books.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col("v"), s * d + 1, d)
+      val ds = array(cb.map { cw =>
+        val lc = array(cw.toIndexedSeq.map(lit): _*)
+        (dot(sub, sub) - lit(2.0) * dot(sub, lc)) + lit(selfDot(cw))
+      }: _*)
+      (array_position(ds, array_min(ds)) - lit(1L)).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Driver-side left-fold self-dot — the same IEEE op sequence as
+    * [[VectorFunctions.dot]](a, a) and DuckDB's list_dot_product, so the
+    * pre-folded constant stays bit-comparable cross-engine. */
+  private def selfDot(a: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+
+  /** Encode the corpus to PQ codes: (vec_id, codes array<int>), one code
+    * per subspace, 0-based. Pure projection — at 100 TB this is the
+    * index-build scan, writing m bytes per vector instead of the raw
+    * embedding. */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val d = books.head.head.length
+    normalized(corpus, vecCol, idCol)
+      .withColumn("codes", pqCodeArray(books, d))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ-compressed
+    * corpus: each corpus row is reconstructed from its codewords
+    * (a literal-array lookup projection — the scan reads only the m
+    * codes, never the raw vectors) and scored against the exact query
+    * vector by cosine. Same top-k shape as [[bruteForceTopK]]: broadcast
+    * queries, per-partition bounded heaps, one final shuffle of
+    * ≤ k × partitions rows per query.
+    *
+    * Production folds the per-query codeword dot products into an
+    * m×ncode lookup table (m adds per pair instead of dim multiplies);
+    * the reconstruction form here computes the identical value with the
+    * identical plan shape (projection + broadcast join) and keeps the
+    * arithmetic DuckDB-replayable. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             books: Seq[Seq[Array[Double]]],
+             vecCol: String, idCol: String, queryIdCol: String,
+             k: Int): DataFrame = {
+    val d = books.head.head.length
+    val recon = concat(books.zipWithIndex.map { case (cb, s) =>
+      val cwLit = array(cb.map(cw => array(cw.toIndexedSeq.map(lit): _*)): _*)
+      element_at(cwLit, element_at(col("codes"), s + 1) + lit(1))
+    }: _*)
+    val c = pqEncode(corpus, vecCol, idCol, books)
+      .select(col("vec_id"), recon.as("rv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      toDoubleArray(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("rv"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit
     * hyperplane hash; candidates share the bucket (multi-probe: flip up to
     * `probeBits` of the query's bits). Recall is tunable via plane count

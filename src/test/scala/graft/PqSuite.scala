@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Product quantization: per-subspace codebook training, encode, and ADC
+  * top-k (Similarity.pqCodebooks/pqEncode/pqTopK). */
+class PqSuite extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = Tables.df(spark, sfDir, "embeddings")
+
+  test("iters=0 codebooks are the seed subvectors") {
+    val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 0)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 16)))
+    val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (s <- 0 until 4; j <- 0 until 8)
+      assert(books(s)(j).toSeq == seeds(j).slice(s * 16, s * 16 + 16).toSeq,
+        s"seed mismatch subspace=$s code=$j")
+  }
+
+  test("training is deterministic and changes the seed codebooks") {
+    val a = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 1)
+    val b = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 1)
+    assert(a.map(_.map(_.toSeq)) == b.map(_.map(_.toSeq)))
+    val seeds = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 0)
+    // at least one codeword moved off its seed (training did something)
+    assert(a.map(_.map(_.toSeq)) != seeds.map(_.map(_.toSeq)))
+  }
+
+  test("encode matches a driver-side brute-force argmin (L2, smallest-code ties)") {
+    val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 1)
+    val enc = Similarity.pqEncode(emb, "embedding", "vec_id", books)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val vecs = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(enc.length == vecs.length)
+    def l2(x: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { val d = x(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    vecs.zip(enc).foreach { case ((id, v), (eid, codes)) =>
+      assert(id == eid && codes.length == 4)
+      for (s <- 0 until 4) {
+        val sub = v.slice(s * 16, s * 16 + 16)
+        val dists = books(s).map(cw => l2(sub, cw))
+        val want = dists.indexOf(dists.min) // first min = smallest code
+        assert(codes(s) == want, s"vec=$id subspace=$s")
+      }
+    }
+  }
+
+  test("a codeword with no members survives a training round unchanged") {
+    import spark.implicits._
+    // 4 vectors, dim 4, m=2 (d=2), ncode=3: seeds 0,1,2. Vector 3 sits on
+    // seed 0; seeds 1 and 2 are mutually closest to themselves only. In
+    // subspace terms every code keeps >= 1 member except where noted; we
+    // make seed 2's subvectors orphans by putting ALL non-seed mass on
+    // seed 0 and seed 1 exactly — then code 2 has only its own seed row,
+    // still a member. To orphan a code entirely, duplicate seed 0 as seed
+    // 2: ties go to the smaller code, so code 2 never wins any row and
+    // its codeword must pass through COALESCE-identical.
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(8f, 8f, 8f, 8f)),
+      (2L, Array(0f, 0f, 0f, 0f)), // duplicate of seed 0 -> orphan code
+      (3L, Array(1f, 1f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Similarity.pqCodebooks(rows, "embedding", "vec_id",
+      dim = 4, m = 2, ncode = 3, iters = 0)
+    val trained = Similarity.pqCodebooks(rows, "embedding", "vec_id",
+      dim = 4, m = 2, ncode = 3, iters = 1)
+    for (s <- 0 until 2) {
+      assert(trained(s)(2).toSeq == seeds(s)(2).toSeq,
+        s"orphan code 2 moved in subspace $s")
+      // code 0 absorbed vec 0, 2, 3 -> mean of (0,0),(0,0),(1,1)
+      assert(trained(s)(0).toSeq != seeds(s)(0).toSeq)
+    }
+  }
+
+  test("pqTopK reconstructs only codewords and ranks 1..k per query") {
+    val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 1)
+    val out = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 2), books,
+      "embedding", "vec_id", "vec_id", k = 5)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      rs.foreach(r => assert(r.getLong(1) != r.getLong(0))) // no self-pair
+    }
+  }
+
+  test("pqTopK broadcasts the query side (corpus never shuffles for the join)") {
+    val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+      dim = 64, m = 4, ncode = 8, iters = 1)
+    val plan = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 2), books,
+      "embedding", "vec_id", "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
