@@ -135,7 +135,27 @@ private[graft] object QueriesLayout {
         graft.api.DataTable(
           Diagnostics.histogram(Tables.df(s, dir, "documents"),
             "n_chars", lo = 0L, hi = 600L, bins = 24))
-          .arrange("bin").df)
+          .arrange("bin").df),
+
+
+      // count-min sketch audit: the exact top-20 tokens joined with
+      // their sketch estimates (est >= exact by construction — the
+      // sketch's shuffle is bounded at depth×width groups, the 100 TB
+      // alternative to an unbounded-vocabulary exact groupBy; md5-derived
+      // hash rows make every counter DuckDB-replayable)
+      "q_countmin" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val top = docs.select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok")).limit(20)
+        val sk = Diagnostics.countMinSketch(docs, "text",
+          depth = 4, width = 256)
+        graft.api.DataTable(
+          top.join(Diagnostics.countMinEstimate(sk, top,
+            depth = 4, width = 256), Seq("tok"))
+            .select(col("tok"), col("n_exact"), col("n_est")))
+          .arrange("tok").df
+      })
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,6 +246,32 @@ private[graft] object QueriesLayout {
         |SELECT bin, COUNT(*)::BIGINT AS n,
         |  0 + bin * 600 / 24 AS lo_edge,
         |  0 + (bin + 1) * 600 / 24 AS hi_edge
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+
+    // count-min: the same md5-derived hash rows ("cm<r>_<token>" hash48
+    // mod width) rebuild the identical counter table; estimate = MIN over
+    // rows, absent buckets read 0
+    "q_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |top AS (
+        |  SELECT tok, COUNT(*)::BIGINT AS n_exact FROM toks GROUP BY tok
+        |  ORDER BY n_exact DESC, tok LIMIT 20),
+        |sk AS (
+        |  SELECT r, bucket, COUNT(*)::BIGINT AS cnt FROM (
+        |    SELECT t.r,
+        |      ('0x' || substring(md5('cm' || t.r || '_' || tok), 1, 12))::BIGINT % 256 AS bucket
+        |    FROM toks CROSS JOIN range(4) t(r)) x
+        |  GROUP BY r, bucket),
+        |pe AS (
+        |  SELECT p.tok, MIN(COALESCE(sk.cnt, 0)) AS n_est FROM (
+        |    SELECT tok, t.r,
+        |      ('0x' || substring(md5('cm' || t.r || '_' || tok), 1, 12))::BIGINT % 256 AS bucket
+        |    FROM top CROSS JOIN range(4) t(r)) p
+        |  LEFT JOIN sk USING (r, bucket) GROUP BY p.tok)
+        |SELECT top.tok, n_exact, n_est FROM top JOIN pe USING (tok)
+        |ORDER BY tok""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pre-flight diagnostics for join/aggregation planning at scale —
@@ -89,5 +89,55 @@ object Diagnostics {
       .agg(count(lit(1)).as("n"))
       .withColumn("lo_edge", lit(lo) + col("bin") * lit(width) / lit(bins.toLong))
       .withColumn("hi_edge", lit(lo) + (col("bin") + 1) * lit(width) / lit(bins.toLong))
+  }
+
+  /** Deterministic count-min sketch (Cormode & Muthukrishnan 2005) over
+    * whitespace tokens: `depth` hash rows × `width` buckets, returned as
+    * the (row, bucket, cnt) counter table.
+    *
+    * The 100 TB argument: an exact token frequency table shuffles one
+    * group per DISTINCT token — unbounded vocabulary, Zipf-skewed keys.
+    * The sketch's shuffle cardinality is bounded at depth × width groups
+    * no matter the corpus, map-side combine collapses each partition to
+    * ≤ depth × width rows before the exchange, and the result always
+    * fits in driver/executor memory (it is broadcastable state for
+    * [[countMinEstimate]]).
+    *
+    * Hash rows are md5-derived (hash48 of "cm<r>_<token>") — no RNG, no
+    * engine-specific hash — so every bucket, and therefore every
+    * estimate, replays bit-identically in DuckDB. */
+  def countMinSketch(df: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1, "countMinSketch: depth must be >= 1")
+    require(width >= 1, "countMinSketch: width must be >= 1")
+    import graft.functions.TextFunctions.tokens
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(posexplode(cmBuckets(col("tok"), depth, width))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Classic CM point estimate for each probe token: MIN over the sketch
+    * rows of the probed counters — an upper bound on the true count
+    * (collisions only inflate). A probe whose bucket is absent from the
+    * sketch reads 0 (no token ever hashed there). `probes` carries one
+    * token per row in `tok`; the sketch side is broadcast (≤ depth ×
+    * width rows by construction), so probing never shuffles the sketch. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+                       depth: Int = 4, width: Int = 256): DataFrame = {
+    val pb = probes.select(col("tok"),
+      posexplode(cmBuckets(col("tok"), depth, width)).as(Seq("row", "bucket")))
+    pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** The depth bucket ids of one token, as an array for posexplode:
+    * element r = hash48("cm<r>_<token>") mod width. */
+  private def cmBuckets(tok: Column, depth: Int, width: Int): Column = {
+    import graft.functions.TextFunctions.hash48
+    array((0 until depth).map(r =>
+      pmod(hash48(concat(lit(s"cm${r}_"), tok)), lit(width.toLong))): _*)
   }
 }

@@ -118,4 +118,47 @@ class DiagnosticsSuite extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
+
+  test("countMin: estimate upper-bounds the exact count for every token") {
+    val df = toDf(spark)("text" -> Seq(
+      "a a a b c", "a b b d e f", "g h a b c c")).df
+    val sk = Diagnostics.countMinSketch(df, "text", depth = 3, width = 8)
+    // sketch is bounded by depth × width and each row sums to the token count
+    val skRows = sk.collect()
+    assert(skRows.length <= 3 * 8)
+    val perRow = skRows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet == Set(17L)) // 17 tokens total, every row sees all
+    val exact = df.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val est = Diagnostics.countMinEstimate(sk, exact, depth = 3, width = 8)
+    val joined = exact.join(est, Seq("tok")).collect()
+    assert(joined.length == 8) // a..h
+    joined.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CM estimate below exact for ${r.getString(0)}")
+    }
+  }
+
+  test("countMin: width large enough -> estimates exact; absent token reads 0") {
+    val df = toDf(spark)("text" -> Seq("x y z", "x y", "x")).df
+    val sk = Diagnostics.countMinSketch(df, "text", depth = 4, width = 4096)
+    import spark.implicits._
+    val probes = Seq("x", "y", "z", "missing").toDF("tok")
+    val est = Diagnostics.countMinEstimate(sk, probes, depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 distinct tokens in 4096 buckets: collisions effectively impossible
+    assert(est("x") == 3L && est("y") == 2L && est("z") == 1L)
+    assert(est("missing") == 0L) // empty buckets read 0, not a join drop
+  }
+
+  test("countMin: sketch probe broadcasts (the sketch is bounded state)") {
+    import spark.implicits._
+    val df = toDf(spark)("text" -> Seq("a b", "b c")).df
+    val sk = Diagnostics.countMinSketch(df, "text", depth = 2, width = 8)
+    val plan = Diagnostics
+      .countMinEstimate(sk, Seq("a").toDF("tok"), depth = 2, width = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast sketch join in:\n$plan")
+  }
 }
