@@ -138,10 +138,14 @@ private[graft] object QueriesWindows {
       val ord = Seq(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_quantity"))
       graft.api.DataTable(
-        graft.operators.GlobalShift.withGlobalLead(
-          graft.operators.GlobalShift.withGlobalLag(
-            lineitem(s, dir).df, "prev_qty", col("l_quantity"), 2, ord),
-          "next_price", col("l_extendedprice"), 3, ord)
+        graft.operators.GlobalShift.withGlobalShifts(
+          lineitem(s, dir).df,
+          Seq(
+            graft.operators.GlobalShift.Shift(
+              "prev_qty", col("l_quantity"), 2, isLead = false),
+            graft.operators.GlobalShift.Shift(
+              "next_price", col("l_extendedprice"), 3, isLead = true)),
+          ord)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_quantity"), col("prev_qty"), col("next_price")))
         .arrange("l_orderkey", "l_linenumber", "l_partkey", "l_quantity").df

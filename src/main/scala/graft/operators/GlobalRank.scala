@@ -139,7 +139,8 @@ object GlobalRank {
   }
 
   /** Core: returns (ranked plan, the persisted snapshot it reads through
-    * — None only on the empty-input short-circuit). */
+    * — None on the deterministic split-point tier and on the empty-input
+    * short-circuit). */
   private def build(df: DataFrame, order: Seq[Column],
                     rankName: String, denseName: String,
                     pctName: String, cumeName: String): (DataFrame, Option[DataFrame]) = {
@@ -155,12 +156,25 @@ object GlobalRank {
     // null). A user-specified count is exempt from AQE coalescing, so
     // both jobs run the identical exchange.
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // persist BEFORE stamping anything downstream: range boundaries are
-    // job-specific (see scaladoc), so the pid assignment must be frozen
-    // once and shared by both passes. Pass 1's collect materializes it.
-    val parted = keyed.repartitionByRange(numParts, okCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucketing tier (see RangeBuckets): a long/double-orderable first
+    // key gets deterministic literal split-point buckets — __pid is a
+    // pure projection, both passes align by construction, nothing
+    // persists (equal keys can never straddle a bucket boundary, the tie
+    // invariant the rank arithmetic builds on). Otherwise the legacy
+    // tier: persist BEFORE stamping anything downstream — range
+    // boundaries are job-specific (see scaladoc), so the pid assignment
+    // must be frozen once and shared by both passes; pass 1's collect
+    // materializes it.
+    val firstType = df.select(order.head).schema.head.dataType
+    val (parted, snapshot) =
+      RangeBuckets.tryBucket(keyed, firstType, okNames.head, numParts) match {
+        case Some(p) => (p, Option.empty[DataFrame])
+        case None =>
+          val p = keyed.repartitionByRange(numParts, okCols: _*)
+            .withColumn("__pid", spark_partition_id())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (p, Some(p))
+      }
 
     // pass 1: per-partition row + distinct-key counts (one row/partition)
     val stats = parted.groupBy("__pid").agg(
@@ -174,7 +188,7 @@ object GlobalRank {
     // type to infer; short-circuit with the same (empty) schema (and
     // release the snapshot — nothing references it)
     if (total == 0L) {
-      parted.unpersist(blocking = false)
+      snapshot.foreach(_.unpersist(blocking = false))
       return (df
         .withColumn(rankName, lit(null).cast("long"))
         .withColumn(denseName, lit(null).cast("long"))
@@ -210,7 +224,7 @@ object GlobalRank {
       .withColumn(pctName, prnk)
       .withColumn(cumeName,
         (col(rankName) + col("__tie") - lit(1L)).cast("double") / lit(total.toDouble))
-      .drop(okNames :+ "__pid" :+ "__tie": _*), Some(parted))
+      .drop(okNames :+ "__pid" :+ "__tie": _*), snapshot)
   }
 
   /** Loan-pattern twin of [[withGlobalRanks]] that releases the snapshot

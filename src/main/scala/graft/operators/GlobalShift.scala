@@ -13,18 +13,35 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, Struct
   * through one task (the documented small-data-only fallback
   * `DataTable.withLag` used to be the only option).
   *
-  * Pass 1 range-partitions on the order keys (persisted snapshot — the
-  * boundaries are job-specific, see the alignment scaladoc on
-  * [[GlobalRank.build]]; same discipline here) and collects each
-  * partition's BOUNDARY STRIP: the last `n` rows' shift values (for
-  * lag; first `n` for lead) — at most n × numPartitions tiny rows,
-  * bounded by the shuffle-partition count, never by data. Pass 2 runs
-  * an ordinary parallel per-partition window shift — exact for every
-  * row beyond the first/last `n` of its partition, because range
-  * partitions are contiguous in the global order — and fills those
-  * boundary rows from the strips via a broadcast (pid, rn) join:
-  * the first row of each partition takes the previous partition's
-  * tail, which is exactly the hand-off GlobalShiftSuite pins.
+  * Pass 1 splits the table into range buckets contiguous in the global
+  * order and collects each bucket's BOUNDARY STRIP: the last `n` rows'
+  * shift values (for lag; first `n` for lead) — at most n × buckets
+  * tiny rows, bounded by the shuffle-partition count, never by data.
+  * Pass 2 runs an ordinary parallel per-bucket window shift — exact for
+  * every row beyond the first/last `n` of its bucket, because buckets
+  * are contiguous in the global order — and fills those boundary rows
+  * from the strips via a broadcast (pid, rn) join: the first row of
+  * each bucket takes the previous bucket's tail, which is exactly the
+  * hand-off GlobalShiftSuite pins.
+  *
+  * BUCKETING — two tiers:
+  *   - Orderable-to-long/double first key (integral, float/double,
+  *     timestamp — the overwhelmingly common case): bucket boundaries
+  *     are LITERAL split points (one approxQuantile job over a scan
+  *     pruned to the first key, snapped into the key's own type), and
+  *     the bucket id is a PURE PROJECTION of the row. Both passes then
+  *     compute identical bucket ids by construction — no snapshot, no
+  *     persist, no cross-job sampling to misalign. At 100 TB this is
+  *     the difference between three column-pruned scans and
+  *     materializing a full-width copy of the table in cache. Ties in
+  *     the first key all land in one bucket (contiguity is preserved;
+  *     only balance degrades, and the remaining order keys never decide
+  *     a bucket).
+  *   - Any other first-key type: the legacy path — sampled
+  *     `repartitionByRange` over all order keys through a persisted
+  *     MEMORY_AND_DISK snapshot (boundaries are job-specific, see the
+  *     alignment scaladoc on [[GlobalRank.build]]), with the
+  *     misalignment guard converting a recompute into a loud error.
   *
   * CONTRACT: `order` must be a UNIQUE total order (the
   * [[graft.api.DataTable.withNtile]] rule): a shift is positional, so
@@ -33,11 +50,12 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, Struct
   * [[GlobalRank]] key contract); non-null keys for cross-engine
   * bit-exactness (Spark ASC NULLS FIRST vs DuckDB NULLS LAST).
   *
-  * Snapshot lifecycle mirrors [[GlobalRank]]: the returned plan reads
+  * Snapshot lifecycle (legacy tier only): the returned plan reads
   * through a MEMORY_AND_DISK snapshot that must stay cached while the
   * plan can still be executed. Plain calls register in a process-wide
   * registry released by the harness ([[releaseSnapshots]]); library
-  * callers use the releasable variant. */
+  * callers use the releasable variant. On the split-point tier both
+  * release hooks are no-ops (there is nothing to unpersist). */
 object GlobalShift {
 
   /** Append global `lag(c, n)` over `order` as column `name` (`default`
@@ -45,31 +63,35 @@ object GlobalShift {
     * in the harness registry — see [[releaseSnapshots]]. */
   def withGlobalLag(df: DataFrame, name: String, c: Column, n: Int,
                     order: Seq[Column], default: Any = null): DataFrame =
-    registered(build(df, name, c, n, order, default, isLead = false))
+    registered(build(df, Seq(Shift(name, c, n, isLead = false, default)), order))
 
   /** Append global `lead(c, n)` over `order` as column `name`. */
   def withGlobalLead(df: DataFrame, name: String, c: Column, n: Int,
                      order: Seq[Column], default: Any = null): DataFrame =
-    registered(build(df, name, c, n, order, default, isLead = true))
+    registered(build(df, Seq(Shift(name, c, n, isLead = true, default)), order))
 
   /** Per-call-release twin (the [[GlobalRank.withGlobalRanksReleasable]]
     * contract: never execute the returned plan after releasing). */
   def withGlobalLagReleasable(df: DataFrame, name: String, c: Column, n: Int,
                               order: Seq[Column], default: Any = null)
       : (DataFrame, () => Boolean) = {
-    val (out, snap) = build(df, name, c, n, order, default, isLead = false)
-    (out, mkRelease(Some(snap)))
+    val (out, snap) =
+      build(df, Seq(Shift(name, c, n, isLead = false, default)), order)
+    (out, mkRelease(snap))
   }
 
   def withGlobalLeadReleasable(df: DataFrame, name: String, c: Column, n: Int,
                                order: Seq[Column], default: Any = null)
       : (DataFrame, () => Boolean) = {
-    val (out, snap) = build(df, name, c, n, order, default, isLead = true)
-    (out, mkRelease(Some(snap)))
+    val (out, snap) =
+      build(df, Seq(Shift(name, c, n, isLead = true, default)), order)
+    (out, mkRelease(snap))
   }
 
-  private def registered(r: (DataFrame, DataFrame)): DataFrame = {
-    liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(r._2)) }
+  private def registered(r: (DataFrame, Option[DataFrame])): DataFrame = {
+    r._2.foreach { s =>
+      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) }
+    }
     r._1
   }
 
@@ -96,8 +118,6 @@ object GlobalShift {
     n
   }
 
-  /** Core. Returns (shifted plan, the persisted snapshot it reads
-    * through). */
   /** Hard bound on strip/fill rows (n × partitions). Beyond it the
     * "boundary hand-off" framing is false — pass 1's collect and the
     * broadcast fill would scale with the shift distance, the exact
@@ -105,129 +125,208 @@ object GlobalShift {
     * rows ≈ 128 MB of transient driver heap at 32-byte values. */
   private val MaxBoundaryRows: Long = 1L << 22
 
-  /** `tamperCountsForTest` is a TEST SEAM (identity in production): it
+  /** One requested shift column: global `lag(value, n)` (or `lead` when
+    * `isLead`) over the shared order, emitted as `name` (`default` when
+    * fewer than `n` rows precede/follow globally). */
+  final case class Shift(name: String, value: Column, n: Int,
+                         isLead: Boolean, default: Any = null)
+
+  /** Several global shifts over ONE shared order in ONE two-pass run —
+    * the API to reach for when adding more than one shift column:
+    * composing single-shift calls would re-execute the upstream plan
+    * once per pass-1 job of every later call, where this runs one
+    * quantile job, one strip job, and one output plan for the whole
+    * batch. */
+  def withGlobalShifts(df: DataFrame, shifts: Seq[Shift],
+                       order: Seq[Column]): DataFrame =
+    registered(build(df, shifts, order))
+
+  def withGlobalShiftsReleasable(df: DataFrame, shifts: Seq[Shift],
+                                 order: Seq[Column])
+      : (DataFrame, () => Boolean) = {
+    val (out, snap) = build(df, shifts, order)
+    (out, mkRelease(snap))
+  }
+
+  /** Core. Returns (shifted plan, the persisted snapshot it reads
+    * through — None on the deterministic split-point tier, which needs
+    * no snapshot).
+    *
+    * `tamperCountsForTest` is a TEST SEAM (identity in production): it
     * distorts only the GUARD's view of the pass-1 counts, so the suite
     * can simulate a pass-2/pass-1 partition mismatch — the snapshot
     * recompute case — without having to force real block loss. */
-  private[graft] def build(df: DataFrame, name: String, c: Column, n: Int,
-                    order: Seq[Column], default: Any,
-                    isLead: Boolean,
+  private[graft] def build(df: DataFrame, shifts: Seq[Shift],
+                    order: Seq[Column],
                     tamperCountsForTest: Map[Int, Long] => Map[Int, Long] =
-                      identity): (DataFrame, DataFrame) = {
+                      identity): (DataFrame, Option[DataFrame]) = {
     require(order.nonEmpty, "GlobalShift: need at least one order column")
-    require(n >= 1, s"GlobalShift: n must be >= 1, got $n")
+    require(shifts.nonEmpty, "GlobalShift: need at least one shift")
+    shifts.foreach(sp => require(sp.n >= 1,
+      s"GlobalShift: n must be >= 1, got ${sp.n} for '${sp.name}'"))
+    require(shifts.map(_.name).distinct.size == shifts.size,
+      s"GlobalShift: duplicate output names in ${shifts.map(_.name)}")
     val okNames = order.indices.map(i => s"__ok$i")
+    val svNames = shifts.indices.map(i => s"__sv$i")
+    val fillNames = shifts.indices.map(i => s"__fill$i")
+    val haveNames = shifts.indices.map(i => s"__have$i")
+    val hasNames = shifts.indices.map(i => s"__has$i")
     // reserved internal names: withColumn would silently OVERWRITE an
     // input column of the same name and the final drop would erase it —
     // fail loudly instead (the operator's guard discipline)
-    val reserved = okNames.toSet ++
-      Set("__sv", "__pid", "__bi", "__fill", "__have", "__has", "__j")
+    val reserved = okNames.toSet ++ svNames ++ fillNames ++ haveNames ++
+      hasNames ++ Set("__pid", "__bi", "__j", "__cnt", "__sv", "__fill",
+        "__have", "__has")
     val clash = df.columns.filter(reserved)
     require(clash.isEmpty,
       s"GlobalShift: input columns ${clash.mkString(", ")} collide with " +
-        "reserved internal names (__sv, __pid, __bi, __fill, __have, " +
-        "__has, __j, __ok<i>) — rename them first")
-    // the OUTPUT name hits the same machinery: the result would be
+        "reserved internal names (__sv<i>, __pid, __bi, __fill<i>, " +
+        "__have<i>, __has<i>, __j, __cnt, __ok<i>) — rename them first")
+    // the OUTPUT names hit the same machinery: the result would be
     // written into an internal slot and erased by the closing drop —
     // the caller would get a frame with no output column at all
-    require(!reserved(name),
-      s"GlobalShift: output name '$name' collides with a reserved " +
-        "internal name — pick another")
-    val keyed = order.zip(okNames)
-      .foldLeft(df) { case (d, (oc, nm)) => d.withColumn(nm, oc) }
-      .withColumn("__sv", c) // shift source materialized pre-shuffle
+    shifts.foreach(sp => require(!reserved(sp.name),
+      s"GlobalShift: output name '${sp.name}' collides with a reserved " +
+        "internal name — pick another"))
+    val keyed = shifts.zip(svNames).foldLeft(
+      order.zip(okNames).foldLeft(df) {
+        case (d, (oc, nm)) => d.withColumn(nm, oc)
+      }) { case (d, (sp, nm)) => d.withColumn(nm, sp.value) }
     val okCols = okNames.map(col)
+    val maxLag = shifts.filter(!_.isLead).map(_.n).maxOption.getOrElse(0)
+    val maxLead = shifts.filter(_.isLead).map(_.n).maxOption.getOrElse(0)
     // explicit partition count — exempt from per-job AQE coalescing,
     // so the strip job and the shift job run the identical exchange
     // (the GlobalRank alignment discipline)
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    require(n.toLong * numParts <= MaxBoundaryRows,
-      s"GlobalShift: shift distance $n × $numParts partitions = " +
-        s"${n.toLong * numParts} boundary rows exceeds $MaxBoundaryRows — " +
-        "a shift this deep is not a boundary hand-off any more (pass 1 " +
-        "would collect and re-broadcast O(n × partitions) rows); " +
-        "reformulate as a join on global rank, or reduce n")
-    val parted = keyed.repartitionByRange(numParts, okCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require((maxLag.toLong + maxLead) * numParts <= MaxBoundaryRows,
+      s"GlobalShift: shift distances (lag $maxLag + lead $maxLead) × " +
+        s"$numParts partitions = ${(maxLag.toLong + maxLead) * numParts} " +
+        s"boundary rows exceeds $MaxBoundaryRows — a shift this deep is " +
+        "not a boundary hand-off any more (pass 1 would collect and " +
+        "re-broadcast O(n × partitions) rows); reformulate as a join on " +
+        "global rank, or reduce n")
+    // ---- bucketing tier (see object scaladoc + RangeBuckets) ----
+    val firstType = df.select(order.head).schema.head.dataType
+    val (parted, snapshot) =
+      RangeBuckets.tryBucket(keyed, firstType, okNames.head, numParts) match {
+        case Some(p) => (p, Option.empty[DataFrame])
+        case None =>
+          val p = keyed.repartitionByRange(numParts, okCols: _*)
+            .withColumn("__pid", spark_partition_id())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (p, Some(p))
+      }
 
-    // pass 1 (materializes the snapshot): boundary strips — per
-    // partition, the n rows nearest the boundary the shift reaches
-    // across (__j = 1 is the row AT the boundary), ≤ n × numParts rows
-    val stripOrder = if (isLead) okCols else okCols.map(_.desc)
-    val stripW = Window.partitionBy(col("__pid")).orderBy(stripOrder: _*)
+    // pass 1: ONE job collects boundary strips AND per-partition counts —
+    // per partition, the first maxLead and last maxLag rows' shift values
+    // (≤ (maxLag + maxLead) × partitions tiny rows, bounded by the
+    // shuffle-partition count, never by data), each row tagged with its
+    // ASCENDING row_number __j and the partition row count __cnt (count
+    // over the same partitioning — no second sort, no second job). The
+    // counts are load-bearing: (1) they translate "i-th row from the
+    // reached boundary" into the ascending row_number pass 2 already
+    // computes, so lag and lead share ONE per-partition sort; (2) they
+    // bound every partition at Int.MaxValue rows — row_number's
+    // IntegerType wraps past that and a wrapped interior row could
+    // silently collide with a boundary fill key — and (3) their key set
+    // is the misalignment-guard domain below (the GlobalRank rule).
+    val stripW = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
+    val cntW = Window.partitionBy(col("__pid"))
+    val headCond =
+      if (maxLead > 0) col("__j") <= maxLead else lit(false)
+    val tailCond =
+      if (maxLag > 0) col("__j") > col("__cnt") - maxLag else lit(false)
     val strip = parted
       .withColumn("__j", row_number().over(stripW))
-      .filter(col("__j") <= n)
-      .select(col("__pid"), col("__j"), col("__sv"))
+      .withColumn("__cnt", count(lit(1)).over(cntW))
+      .filter(headCond || tailCond)
+      .select(col("__pid") +: col("__j") +: col("__cnt") +: svNames.map(col): _*)
       .collect()
-    val byPid: Map[Int, Seq[(Int, Any)]] = strip
-      .map(r => (r.getInt(0), (r.getInt(1), r.get(2))))
-      .groupBy(_._1).map { case (p, a) => (p, a.map(_._2).toSeq.sortBy(_._1)) }
-    val pids = byPid.keys.toSeq.sorted
-    // per-partition row counts (tiny second pass-1 job over the cached
-    // snapshot), load-bearing on BOTH paths: (1) they translate "i-th
-    // row from the reached boundary" into the ASCENDING row_number pass
-    // 2 already computes, so the lead path shares ONE per-partition
-    // sort with the shift window instead of adding an opposite-order
-    // sort of the whole table; (2) they bound every partition at
-    // Int.MaxValue rows — row_number's IntegerType wraps past that and
-    // a wrapped interior row could silently collide with a boundary
-    // fill key — and (3) their key set is the misalignment-guard domain
-    // below (the GlobalRank rule)
-    val counts: Map[Int, Long] = parted.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byPid: Map[Int, Map[Int, Row]] = strip
+      .groupBy(_.getInt(0))
+      .map { case (p, rs) => p -> rs.map(r => r.getInt(1) -> r).toMap }
+    val counts: Map[Int, Long] = strip
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
     counts.foreach { case (p, cnt) =>
       require(cnt <= Int.MaxValue,
         s"GlobalShift: range partition $p holds $cnt rows — row_number " +
           "wraps past Int.MaxValue and boundary fills would be silently " +
           "wrong; raise spark.sql.shuffle.partitions")
     }
+    val pids = byPid.keys.toSeq.sorted
+    // k-th strip value (1-based, nearest-boundary first) of partition q
+    // for shift spec si: heads count from the partition start (lead
+    // hand-off), tails from the end (lag hand-off)
+    def headVal(q: Int, k: Int, si: Int): Any = byPid(q)(k).get(3 + si)
+    def tailVal(q: Int, k: Int, si: Int): Any =
+      byPid(q)(counts(q).toInt - k + 1).get(3 + si)
 
-    // driver-side hand-off: for target partition p, the cross-boundary
-    // sequence b[1], b[2], … (b[1] = nearest row beyond p's boundary in
-    // shift direction) is the in-order concat of neighbor strips —
-    // partitions contribute at most their strip (n rows) each, so the
-    // first n of the concat are exactly the rows any boundary row of p
-    // can need. Row with boundary index i (i-th from the reached
+    // driver-side hand-off: for target partition p and spec s, the
+    // cross-boundary sequence b[1], b[2], … (b[1] = nearest row beyond
+    // p's boundary in the shift direction) is the in-order concat of
+    // neighbor strips — partitions contribute at most n values each, so
+    // the first n of the concat are exactly the rows any boundary row
+    // of p can need. Row with boundary index i (i-th from the reached
     // boundary, 1-based) needs b[n - i + 1]; a fill row is emitted for
-    // EVERY boundary position (with `__have` = false when no global
+    // EVERY boundary position (with `__have<si>` = false when no global
     // predecessor/successor exists) so the join match itself marks
-    // "boundary row" and the miss side is always the local shift.
+    // "boundary row" and the miss side is always the local shift. One
+    // fill ROW per (pid, rn) carries the cells of every spec needing a
+    // fill there (`__has<si>` = false for the rest).
     val fillRows = pids.flatMap { p =>
-      val sources = if (isLead) pids.filter(_ > p) else pids.filter(_ < p).reverse
-      val b = sources.flatMap(q => byPid(q).map(_._2)).take(n)
       val cnt = counts(p)
-      (1 to n).flatMap { i =>
-        // ascending row_number of the row i-from-the-boundary: the
-        // reached boundary is the partition START for lag, END for lead
-        val rn = if (isLead) cnt - i + 1 else i.toLong
-        if (rn < 1) None
-        else {
-          val j = n - i + 1
-          val have = b.length >= j
-          Some(Row(p, rn.toInt, if (have) b(j - 1) else null, have))
+      // per spec: rn -> (value, have)
+      val perSpec: Seq[Map[Long, (Any, Boolean)]] =
+        shifts.zipWithIndex.map { case (sp, si) =>
+          val sources =
+            if (sp.isLead) pids.filter(_ > p) else pids.filter(_ < p).reverse
+          val b = sources.iterator.flatMap { q =>
+            val m = math.min(sp.n, counts(q).toInt)
+            (1 to m).iterator.map(k =>
+              if (sp.isLead) headVal(q, k, si) else tailVal(q, k, si))
+          }.take(sp.n).toIndexedSeq
+          (1 to sp.n).flatMap { i =>
+            // ascending row_number of the row i-from-the-boundary: the
+            // reached boundary is the partition START for lag, END for lead
+            val rn = if (sp.isLead) cnt - i + 1 else i.toLong
+            if (rn < 1) None
+            else {
+              val j = sp.n - i + 1
+              val have = b.length >= j
+              Some(rn -> ((if (have) b(j - 1) else null, have)))
+            }
+          }.toMap
         }
+      perSpec.flatMap(_.keys).distinct.sorted.map { rn =>
+        val cells: Seq[Any] = shifts.indices.flatMap { si =>
+          perSpec(si).get(rn) match {
+            case Some((v, have)) => Seq[Any](v, have, true)
+            case None => Seq[Any](null, false, false)
+          }
+        }
+        Row.fromSeq(p +: rn.toInt +: cells)
       }
     }
-    val svType = parted.schema("__sv").dataType
+    val svTypes = svNames.map(nm => parted.schema(nm).dataType)
     val spark = df.sparkSession
     val fillDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(fillRows).asJava),
-      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
-        StructField("__bi", IntegerType, nullable = false),
-        StructField("__fill", svType, nullable = true),
-        StructField("__have", BooleanType, nullable = false))))
-      .withColumn("__has", lit(true))
+      StructType(
+        StructField("__pid", IntegerType, nullable = false) +:
+        StructField("__bi", IntegerType, nullable = false) +:
+        shifts.indices.flatMap(si => Seq(
+          StructField(fillNames(si), svTypes(si), nullable = true),
+          StructField(haveNames(si), BooleanType, nullable = false),
+          StructField(hasNames(si), BooleanType, nullable = false)))))
 
-    // pass 2: ordinary parallel per-partition shift; boundary rows
-    // (join-matched) take the broadcast fill instead — a conditional,
-    // NOT coalesce, so a genuine null shift value in the interior
-    // survives. row_number and the shift share the SAME window spec,
-    // so the final plan carries one per-partition sort total.
+    // pass 2: ordinary parallel per-partition shifts; boundary rows
+    // (join-matched with the spec's __has flag set) take the broadcast
+    // fill instead — a conditional, NOT coalesce, so a genuine null
+    // shift value in the interior survives. row_number and every shift
+    // share the SAME window spec, so the final plan carries one
+    // per-partition sort total.
     val w = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
-    val localShift =
-      if (isLead) lead(col("__sv"), n).over(w) else lag(col("__sv"), n).over(w)
     val biCol = row_number().over(w)
     // misalignment guard (the GlobalRank rule): if pass 2 recomputes
     // lost snapshot blocks, range boundaries are resampled per job and
@@ -259,15 +358,25 @@ object GlobalShift {
           lit(" pass1="), coalesce(known.cast("string"), lit("absent")),
           lit(" pass2="), recount.cast("string")))).otherwise(biCol)
       }
-    val defLit =
-      if (default == null) lit(null).cast(svType) else lit(default).cast(svType)
-    val out = parted
+    val joined = parted
       .withColumn("__bi", guardedBi)
       .join(broadcast(fillDf), Seq("__pid", "__bi"), "left")
-      .withColumn(name,
-        when(col("__has"), when(col("__have"), col("__fill")).otherwise(defLit))
-          .otherwise(localShift))
-      .drop(okNames ++ Seq("__pid", "__bi", "__sv", "__fill", "__have", "__has"): _*)
-    (out, parted)
+    val withOutputs = shifts.zipWithIndex.foldLeft(joined) {
+      case (d, (sp, si)) =>
+        val localShift =
+          if (sp.isLead) lead(col(svNames(si)), sp.n).over(w)
+          else lag(col(svNames(si)), sp.n).over(w)
+        val defLit =
+          if (sp.default == null) lit(null).cast(svTypes(si))
+          else lit(sp.default).cast(svTypes(si))
+        d.withColumn(sp.name,
+          when(col(hasNames(si)),
+            when(col(haveNames(si)), col(fillNames(si))).otherwise(defLit))
+            .otherwise(localShift))
+    }
+    val out = withOutputs.drop(
+      okNames ++ svNames ++ fillNames ++ haveNames ++ hasNames ++
+        Seq("__pid", "__bi"): _*)
+    (out, snapshot)
   }
 }

@@ -73,11 +73,26 @@ class GlobalRankSuite extends SparkSpec {
     assert(GlobalRank.liveSnapshotCount == live0)
   }
 
-  test("plan: range-partitioned, no SinglePartition exchange anywhere") {
+  test("plan: partitioned exchange, no SinglePartition anywhere") {
+    // high-card long key -> split-point tier: the exchange hashes the
+    // deterministic __pid buckets (legacy tier would show
+    // rangepartitioning); either way, never SinglePartition
     val plan = GlobalRank.withGlobalRanks(uniq, Seq(col("v")))
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"), s"plan:\n$plan")
+    val lower = plan.toLowerCase
+    assert(lower.contains("hashpartitioning(__pid") ||
+      lower.contains("rangepartitioning"), s"plan:\n$plan")
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("split-point tier: no snapshot pinned, release reports none, parity exact") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (ranked, release) = GlobalRank.withGlobalRanksReleasable(uniq, Seq(col("v")))
+    assert(ranked.count() == 1000L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "split-point tier must not persist anything")
+    assert(!release(), "nothing to release on the split-point tier")
+    checkParity(uniq)
   }
 
   test("parity holds under AQE with coalescing forced (cross-job alignment)") {
@@ -158,8 +173,12 @@ class GlobalRankSuite extends SparkSpec {
     // callers must not be able to unpersist each other's snapshot
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val live0 = GlobalRank.liveSnapshotCount
-    val (r1, rel1) = GlobalRank.withGlobalRanksReleasable(tied, Seq(col("v")))
-    val (r2, rel2) = GlobalRank.withGlobalRanksReleasable(uniq, Seq(col("v")))
+    // string keys -> always the legacy persist tier (the split-point
+    // tier pins nothing and is tested separately)
+    val tiedS = tied.select(format_string("%05d", col("v")).as("v"), col("rid"))
+    val uniqS = uniq.select(format_string("%05d", col("v")).as("v"), col("rid"))
+    val (r1, rel1) = GlobalRank.withGlobalRanksReleasable(tiedS, Seq(col("v")))
+    val (r2, rel2) = GlobalRank.withGlobalRanksReleasable(uniqS, Seq(col("v")))
     assert(r1.count() == 400L && r2.count() == 1000L)
     val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(pinned.size == 2, s"expected 2 pinned snapshots, got $pinned")

@@ -111,6 +111,33 @@ class GlobalShiftSuite extends SparkSpec {
     release()
   }
 
+  test("withGlobalShifts computes mixed lag+lead in one two-pass run") {
+    val out = GlobalShift.withGlobalShifts(frame,
+      Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false, default = -1L),
+        GlobalShift.Shift("next", col("v"), 3, isLead = true)),
+      Seq(col("k")))
+    assert(got(out, "prev") == expectedLag(2).map(_.orElse(Some(-1L))))
+    assert(got(out, "next") == expectedLead(3))
+    assert(out.columns.toSeq == Seq("k", "v", "prev", "next"))
+  }
+
+  test("multi-shift: deep lead + shallow lag cross several boundaries together") {
+    val out = GlobalShift.withGlobalShifts(frame,
+      Seq(GlobalShift.Shift("next", col("v"), 30, isLead = true),
+        GlobalShift.Shift("prev", col("v"), 1, isLead = false)),
+      Seq(col("k")))
+    assert(got(out, "next") == expectedLead(30))
+    assert(got(out, "prev") == expectedLag(1))
+  }
+
+  test("split-point tier plan reads no snapshot (no InMemoryTableScan)") {
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      frame, "prev", col("v"), 2, Seq(col("k")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), plan)
+    release()
+  }
+
   test("a shift deeper than the boundary-row bound refuses up front") {
     val e = intercept[IllegalArgumentException] {
       GlobalShift.withGlobalLagReleasable(
@@ -119,9 +146,19 @@ class GlobalShiftSuite extends SparkSpec {
     assert(e.getMessage.contains("boundary rows"), e.getMessage)
   }
 
-  test("releasable handle is idempotent and reports one real release") {
+  test("releasable handle: no snapshot to release on the split-point tier") {
+    // long first key -> deterministic literal buckets, nothing persists
     val (_, release) = GlobalShift.withGlobalLagReleasable(
       frame, "prev", col("v"), 1, Seq(col("k")))
+    assert(!release())
+  }
+
+  test("releasable handle is idempotent and reports one real release (legacy tier)") {
+    // string first key -> sampled range partitioner + persisted snapshot
+    val sframe = frame.withColumn("ks", format_string("%09d", col("k")))
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      sframe, "prev", col("v"), 1, Seq(col("ks")))
+    assert(got(out, "prev") == expectedLag(1), "legacy tier stays exact")
     assert(release())
     assert(!release())
   }
@@ -164,19 +201,21 @@ class GlobalShiftSuite extends SparkSpec {
     // exactly what a boundary-resampling recompute looks like from the
     // guard's vantage point
     val (out, snap) = GlobalShift.build(
-      frame, "prev", col("v"), 2, Seq(col("k")), null, isLead = false,
+      frame, Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false)),
+      Seq(col("k")),
       tamperCountsForTest = m => m.map { case (p, n) => p -> (n + 1) })
     val e = intercept[Exception] { out.collect() }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("misalignment")), e)
-    snap.unpersist()
+    snap.foreach(_.unpersist())
     // untampered, the same build executes clean (the guard recount
     // matches pass 1) — pinning that the parity check has no false trips
     val (ok, snap2) = GlobalShift.build(
-      frame, "prev", col("v"), 2, Seq(col("k")), null, isLead = false)
+      frame, Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false)),
+      Seq(col("k")))
     assert(got(ok, "prev") == expectedLag(2))
-    snap2.unpersist()
+    snap2.foreach(_.unpersist())
   }
 }
