@@ -276,6 +276,45 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays Dedup.minhashIncremental: the batch (doc_id >= splitId) is
+    * screened against the corpus band store (capped corpus buckets, min
+    * size 1 — a single stored doc screens; est-Jaccard >= threshold),
+    * then the greedy within-batch keep-one among survivors. */
+  def minhashIncremental(splitId: Long, k: Int = 32, shingleSize: Int = 3,
+                         bands: Int = 8, bucketCap: Int = 64,
+                         minEstJaccard: Double = 0.5): String = {
+    val est = (x: String, y: String) =>
+      s"len(list_filter(range(1, ${k + 1}), i -> $x.sig[i] = $y.sig[i])) / ${k}.0"
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |cb AS (SELECT * FROM banded WHERE doc_id < $splitId),
+       |bb AS (SELECT * FROM banded WHERE doc_id >= $splitId),
+       |okc AS (
+       |  SELECT band, bhash FROM cb GROUP BY band, bhash
+       |  HAVING COUNT(*) <= $bucketCap),
+       |los AS (
+       |  SELECT DISTINCT bb.doc_id FROM bb
+       |  JOIN cb ON bb.band = cb.band AND bb.bhash = cb.bhash
+       |  JOIN okc ON okc.band = bb.band AND okc.bhash = bb.bhash
+       |  WHERE ${est("bb", "cb")} >= $minEstJaccard),
+       |surv AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id >= $splitId
+       |    AND NOT EXISTS (SELECT 1 FROM los WHERE los.doc_id = d.doc_id)),
+       |sbanded AS (SELECT b.* FROM banded b JOIN surv USING (doc_id)),
+       |okb AS (
+       |  SELECT band, bhash FROM sbanded GROUP BY band, bhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |pl AS (
+       |  SELECT DISTINCT y.doc_id FROM sbanded x
+       |  JOIN sbanded y ON x.band = y.band AND x.bhash = y.bhash
+       |                AND x.doc_id < y.doc_id
+       |  JOIN okb ON okb.band = x.band AND okb.bhash = x.bhash
+       |  WHERE ${est("x", "y")} >= $minEstJaccard)
+       |SELECT doc_id FROM surv s
+       |WHERE NOT EXISTS (SELECT 1 FROM pl WHERE pl.doc_id = s.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Replays Dedup.simhashCandidates (48-bit simhash, 4 chunks of 12
     * bits, bucketCap 256) + the query's maxHamming filter. */
   def simhashPairs(maxHamming: Int = 8, bucketCap: Int = 256): String = {

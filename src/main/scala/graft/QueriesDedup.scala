@@ -83,6 +83,23 @@ private[graft] object QueriesDedup {
           .arrange("doc_id").df),
 
 
+      // incremental NEAR-dup ingestion: the batch (doc_id >= 400) is
+      // screened against the historical corpus's LSH band store (any
+      // est-Jaccard >= 0.5 witness drops the doc), then greedy keep-one
+      // within the batch — exactIncremental's fuzzy twin; the corpus is
+      // scanned once and never rewritten
+      "q_dedup_incr_near" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.minhashIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", minEstJaccard = 0.5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df
+      }),
+
+
       // transitive near-dup clustering: connected components over the
       // MinHash candidate graph; every doc labeled with the min id of its
       // component (iterative min-label propagation; recursive-CTE oracle)
@@ -291,6 +308,8 @@ private[graft] object QueriesDedup {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
+
+    "q_dedup_incr_near" -> OracleSql.minhashIncremental(splitId = 400L),
 
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
 

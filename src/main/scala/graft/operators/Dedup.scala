@@ -302,6 +302,66 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-doc LSH band rows `(id, sig, band, bhash)` — the exploded index
+    * shape a maintained near-dup band store persists (the [[FpStore]]
+    * staged-write pattern applies to the storage side; any parquet table
+    * with these columns feeds [[minhashIncrementalAgainstBands]]). Pure
+    * projection — one corpus scan when (re)built from scratch. */
+  def minhashBandRows(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    withMinhashSignature(df, textCol, k)
+      .select(col(idCol).as("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          bandHash(col("sig"), b * rows + 1, rows)): _*)).as(Seq("band", "bhash")))
+      .select(col("id"), col("sig"), col("band"), col("bhash"))
+  }
+
+  /** Incremental NEAR-dup screen — [[exactIncrementalAgainstFps]]'s
+    * MinHash twin, the daily-ingestion stage for fuzzy duplicates: drop
+    * from `newDocs` every doc whose signature agrees with ANY stored
+    * corpus doc sharing an LSH band bucket (est-Jaccard ≥ threshold),
+    * then greedy keep-one near-dup within the surviving batch.
+    *
+    * Scale shape: the corpus side is ONE capped bucket aggregation over
+    * the band store (min size 1 — a single stored doc still screens;
+    * over-cap boilerplate buckets are dropped, the same recall tradeoff
+    * as the batch variant); the batch's band rows are broadcast into
+    * those buckets, so the stored corpus never shuffles beyond its own
+    * groupBy and is never rewritten. */
+  def minhashIncrementalAgainstBands(newDocs: DataFrame, textCol: String,
+      idCol: String, bandStore: DataFrame,
+      k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graftshim.{CollectListCapped, Shim}
+    val capped = Shim.toColumn(
+      CollectListCapped(Shim.toExpression(col("sig")), bucketCap)
+        .toAggregateExpression())
+    val buckets = bandStore.groupBy(col("band"), col("bhash"))
+      .agg(capped.as("members"))
+      .filter(size(col("members")).between(1, bucketCap))
+    val batch = minhashBandRows(newDocs, textCol, idCol, k, bands)
+    val losers = buckets.join(broadcast(batch), Seq("band", "bhash"))
+      .select(col("id"), col("sig"), explode(col("members")).as("csig"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig"), col("csig"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est") >= minEstJaccard)
+      .select(col("id").as(idCol)).distinct()
+    val survivors = newDocs.join(losers, Seq(idCol), "left_anti")
+    dedupByMinhash(survivors, textCol, idCol, k, bands, bucketCap, minEstJaccard)
+  }
+
+  /** [[minhashIncrementalAgainstBands]] with the band store derived from
+    * the corpus in place (one corpus scan; production maintains the
+    * store incrementally instead). */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 64, minEstJaccard: Double = 0.5): DataFrame =
+    minhashIncrementalAgainstBands(newDocs, textCol, idCol,
+      minhashBandRows(corpus, textCol, idCol, k, bands),
+      k, bands, bucketCap, minEstJaccard)
+
   // ------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over a pre-computed `array<long>` token-hash column:

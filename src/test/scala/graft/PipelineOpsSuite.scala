@@ -164,6 +164,46 @@ class PipelineOpsSuite extends SparkSpec {
       == Seq(11L, 13L))
   }
 
+  test("minhashIncremental screens near-dups of the corpus, then within batch") {
+    // word-soup docs: batch 10 shares ~all shingles with corpus 1 (one
+    // token changed -> est-Jaccard high), 11 is fresh, 12 is a near-dup
+    // of 11 (in-batch greedy drops the larger id), 13 is fresh
+    val mk = (s: Seq[String]) => s.mkString(" ")
+    val base = (1 to 30).map(i => s"tok$i")
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1, 2),
+      "text" -> Seq(mk(base), mk(base.map(t => t + "x")))).df
+    val fresh = (1 to 30).map(i => s"new$i")
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11, 12, 13),
+      "text" -> Seq(
+        mk(base.updated(29, "changed")),   // near-dup of corpus 1 → screened
+        mk(fresh),                          // fresh → kept
+        mk(fresh.updated(29, "altered")),   // near-dup of 11 → greedy drop
+        mk((1 to 30).map(i => s"zz$i")))).df
+    val out = Dedup.minhashIncremental(batch, corpus, "text", "doc_id",
+      minEstJaccard = 0.5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L, 13L))
+  }
+
+  test("minhashIncrementalAgainstBands: a single stored doc still screens") {
+    // one corpus doc -> every band bucket has ONE member; the capped
+    // bucket agg must keep size-1 buckets (the batch variant's >= 2
+    // lower bound would silently never screen against a 1-doc store)
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1),
+      "text" -> Seq((1 to 30).map(i => s"tok$i").mkString(" "))).df
+    val store = Dedup.minhashBandRows(corpus, "text", "doc_id")
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11),
+      "text" -> Seq(
+        (1 to 30).map(i => s"tok$i").mkString(" "), // exact twin → screened
+        (1 to 30).map(i => s"qq$i").mkString(" "))).df
+    val out = Dedup.minhashIncrementalAgainstBands(batch, "text", "doc_id", store)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("decontaminateBloom: no false negatives, over-drop bounded by fpp") {
     val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter(col("doc_id") % 10 === 0)
