@@ -458,13 +458,24 @@ object OracleSql {
     * query — planes and centroids regenerated from the same constants /
     * Lloyd chain, so the overlap counts are exact. */
   def annRecall(dim: Int = 64, numPlanes: Int = 8, k: Int = 10,
-                nCent: Int = 8, iters: Int = 2): String = {
+                nCent: Int = 8, iters: Int = 2,
+                pqM: Int = 4, pqNcode: Int = 8, pqIters: Int = 1): String = {
     val planes = VectorFunctions.hashPlanes(numPlanes, dim)
     val probes = ("qbucket" +: (0 until numPlanes).map(i => s"xor(qbucket, ${1L << i})"))
       .mkString("[", ", ", "]")
     s"""WITH ${lloydCtes(nCent, iters, dim, withFinalAssign = false)},
        |${ivfRankedCtes(iters)},
        |iapprox AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $k),
+       |${pqCtes(pqM, dim / pqM, pqNcode, pqIters, withE = false)},
+       |${pqRecCte(pqM, pqIters)},
+       |pq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+       |papprox AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT pq.query_id, r.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY pq.query_id
+       |        ORDER BY ${cosExpr("r.rv", "pq.qv")} DESC, r.vec_id) AS rank
+       |    FROM pqrec r CROSS JOIN pq WHERE r.vec_id <> pq.query_id)
+       |  WHERE rank <= $k),
        |hb AS (
        |  SELECT vec_id, v AS cv, ${bucketExpr("v", planes)} AS bucket FROM e),
        |hq AS (
@@ -488,10 +499,12 @@ object OracleSql {
        |    FROM lcand) WHERE rank <= $k)
        |SELECT t.query_id, COUNT(*)::BIGINT AS n_true,
        |  SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_lsh,
-       |  SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_ivf
+       |  SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_ivf,
+       |  SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_pq
        |FROM truth t
        |LEFT JOIN lapprox l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
        |LEFT JOIN iapprox i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+       |LEFT JOIN papprox p ON t.query_id = p.query_id AND t.vec_id = p.vec_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
@@ -503,7 +516,8 @@ object OracleSql {
     * side computes, every term a list_dot_product left-fold), quantized
     * long-sum means, and a LEFT JOIN + COALESCE empty-code pass-through;
     * `a${iters}_$s` holds the final 0-based code per vec_id. */
-  private def pqCtes(m: Int, d: Int, ncode: Int, iters: Int): String = {
+  private def pqCtes(m: Int, d: Int, ncode: Int, iters: Int,
+                     withE: Boolean = true): String = {
     val S = "1000000.0"
     def sub(s: Int) =
       s"""sub$s AS (SELECT vec_id, list_slice(v, ${s * d + 1}, ${s * d + d}) AS x
@@ -538,8 +552,20 @@ object OracleSql {
           Seq(dN(i, s), aN(i, s), gN(i + 1, s), nN(i + 1, s), cbN(i + 1, s))) ++
         Seq(dN(iters, s), aN(iters, s))
     }
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |${chains.mkString(",\n")}""".stripMargin
+    val eCte =
+      if (withE) "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+      else ""
+    s"""$eCte${chains.mkString(",\n")}""".stripMargin
+  }
+
+  /** The PQ reconstruction CTE `pqrec(vec_id, rv)` over a pqCtes chain. */
+  private def pqRecCte(m: Int, iters: Int): String = {
+    val concats = (0 until m).map(s => s"c$s.cw").mkString(" || ")
+    val joins = (0 until m).map(s =>
+      s"JOIN a${iters}_$s x$s USING (vec_id) JOIN cb${iters}_$s c$s ON c$s.code = x$s.code")
+      .mkString("\n  ")
+    s"""pqrec AS (SELECT e.vec_id, $concats AS rv FROM e
+       |  $joins)""".stripMargin
   }
 
   /** Replays q_pq_encode: the trained per-subspace code of every vector. */
@@ -555,22 +581,16 @@ object OracleSql {
     * vector from its codewords (list concat across subspaces), cosine
     * against the exact query vectors, top-k per query. */
   def annPq(m: Int = 4, d: Int = 16, ncode: Int = 8, iters: Int = 1,
-            k: Int = 10, nq: Int = 4): String = {
-    val concats = (0 until m).map(s => s"c$s.cw").mkString(" || ")
-    val joins = (0 until m).map(s =>
-      s"JOIN a${iters}_$s x$s USING (vec_id) JOIN cb${iters}_$s c$s ON c$s.code = x$s.code")
-      .mkString("\n  ")
+            k: Int = 10, nq: Int = 4): String =
     s"""WITH ${pqCtes(m, d, ncode, iters)},
-       |rec AS (SELECT e.vec_id, $concats AS rv FROM e
-       |  $joins),
+       |${pqRecCte(m, iters)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq)
        |SELECT query_id, vec_id, cos, rank FROM (
        |  SELECT q.query_id, r.vec_id, ${cosExpr("r.rv", "q.qv")} AS cos,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
        |      ORDER BY cos DESC, r.vec_id) AS BIGINT) AS rank
-       |  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
+       |  FROM pqrec r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Replays [[graft.operators.Bm25.score]] with the SAME constants and
     * the SAME parenthesization (every floating-point operation happens in

@@ -118,10 +118,11 @@ private[graft] object QueriesVector {
       }),
 
 
-      // ANN evaluation: recall@10 of BOTH approximate indexes — the
-      // multi-probe LSH buckets and the trained-centroid IVF (the same
-      // Lloyd-built index q_ann_ivf serves) — against brute-force ground
-      // truth, per query (integer counts — exact)
+      // ANN evaluation: recall@10 of ALL THREE approximate indexes — the
+      // multi-probe LSH buckets, the trained-centroid IVF (the same
+      // Lloyd-built index q_ann_ivf serves), and the PQ/ADC compressed
+      // index — against brute-force ground truth, per query (integer
+      // counts — exact)
       "q_ann_recall" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
         val qs = emb.filter(col("vec_id") < 4)
@@ -140,13 +141,21 @@ private[graft] object QueriesVector {
             k = 8, iters = 2),
           vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
           .select(col("query_id"), col("vec_id"), lit(1L).as("__ihit"))
+        val pq = Similarity.pqTopK(
+          corpus = emb, queries = qs,
+          books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+            dim = 64, m = 4, ncode = 8, iters = 1),
+          vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id", k = 10)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("__phit"))
         graft.api.DataTable(
           truth.join(lsh, Seq("query_id", "vec_id"), "left")
             .join(ivf, Seq("query_id", "vec_id"), "left")
+            .join(pq, Seq("query_id", "vec_id"), "left")
             .groupBy("query_id")
             .agg(count(lit(1)).as("n_true"),
               sum(coalesce(col("__lhit"), lit(0L))).as("n_hit_lsh"),
-              sum(coalesce(col("__ihit"), lit(0L))).as("n_hit_ivf")))
+              sum(coalesce(col("__ihit"), lit(0L))).as("n_hit_ivf"),
+              sum(coalesce(col("__phit"), lit(0L))).as("n_hit_pq")))
           .arrange("query_id").df
       })
   )

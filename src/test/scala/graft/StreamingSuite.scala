@@ -429,4 +429,30 @@ class StreamingSuite extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("count-min sketch streams: additive counters match the batch sketch") {
+    // the sketch is one stateless projection + an additive groupBy —
+    // exactly the aggregate shape complete-mode streaming supports, and
+    // its bounded depth×width state is what makes it stream-safe where
+    // an exact token groupBy's unbounded key space is not
+    val inDir = Paths.get("/tmp/graft_stream_cm")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+    val query = graft.operators.Diagnostics
+      .countMinSketch(stream.toDF(), "text", depth = 3, width = 64)
+      .writeStream.format("memory").queryName("graft_cm_stream")
+      .outputMode("complete").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_cm_stream")
+      .orderBy("row", "bucket").collect().toSeq
+    val want = graft.operators.Diagnostics
+      .countMinSketch(docs, "text", depth = 3, width = 64)
+      .orderBy("row", "bucket").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
 }
