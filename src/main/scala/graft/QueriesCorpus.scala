@@ -420,6 +420,16 @@ private[graft] object QueriesCorpus {
           .arrange("doc_id").df),
 
 
+      // per-doc TF-IDF top-3 keywords (BM25's per-doc twin): smoothed
+      // idf, micro-scaled BIGINT ranking so ln's ulp sensitivity never
+      // reaches the rank order
+      "q_tfidf_terms" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Bm25.tfidfTopTerms(Tables.df(s, dir, "documents"),
+            "doc_id", "text", k = 3))
+          .arrange("doc_id", "rank").df),
+
+
       // exact token-set Jaccard over a bounded window of docs
       "q_token_jaccard" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -930,6 +940,30 @@ private[graft] object QueriesCorpus {
 
 
     "q_bm25" -> OracleSql.bm25(Bm25Terms),
+
+    // tf-idf: same smoothing, same parenthesization, rank on the exact
+    // micro-scaled BIGINT (ties on the term)
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df
+        |          FROM toks GROUP BY 1),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, tf,
+        |    CAST(round((tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) * 1000000.0)
+        |         AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nn)
+        |SELECT doc_id, tok, tf, score_micro, rank FROM (
+        |  SELECT doc_id, tok, tf, score_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, tok) AS BIGINT) AS rank
+        |  FROM sc) z
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
 
     "q_token_jaccard" ->

@@ -69,4 +69,40 @@ object Bm25 {
     }.reduce(_ + _)
     proj.select(col(idCol), round(score * lit(1e6)).cast("long").as("score_micro"))
   }
+
+  /** Per-document TF-IDF top-`k` keyword extraction — [[score]]'s
+    * per-doc twin (score docs for a query vs. describe each doc by its
+    * most distinctive terms): smoothed idf `ln((N+1)/(df+1)) + 1`
+    * (sklearn's TfidfTransformer smoothing — never negative, never
+    * divides by zero), tf × idf micro-scaled to BIGINT so the ranking
+    * and the output are exact across engines despite `ln` being
+    * ulp-sensitive (the [[score]] discipline; ties break on the term).
+    *
+    * Scale shape: tf is one (doc, term) partial-agged shuffle, df one
+    * (term) shuffle, their join shuffles on the term; the per-doc top-k
+    * window is bounded by each doc's distinct-term count and the
+    * rank<=k filter pushes down as WindowGroupLimit (map-side prune).
+    * The 1-row corpus count broadcasts. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms: k must be >= 1, got $k")
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    // every parenthesis mirrored in the oracle SQL
+    val idf = log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        round((col("tf") * idf) * lit(1e6)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("score_micro"), col("rank"))
+  }
 }

@@ -691,4 +691,36 @@ class CorpusSuite extends SparkSpec {
     assert(got(2L) == 0L)
     assert(got(1L) >= 2L)
   }
+
+  test("tfidfTopTerms: hand-computed scores, smoothed idf, term tie-break") {
+    val docs = toDf(spark)(
+      "doc_id" -> Seq(1, 2, 3),
+      "text" -> Seq(
+        "apple banana apple",
+        "banana cherry",
+        "cherry cherry cherry durian")).df
+    val out = graft.operators.Bm25.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def micro(tf: Long, df: Long): Long =
+      Math.round((tf * (Math.log((3 + 1.0) / (df + 1.0)) + 1.0)) * 1e6)
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, "apple", 2L, micro(2, 1), 1L),
+      (1L, "banana", 1L, micro(1, 2), 2L)))
+    // doc 2: banana and cherry tie exactly (tf=1, df=2) -> term ASC
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._5)).toSeq ==
+      Seq(("banana", 1L), ("cherry", 2L)))
+    // doc 3: cherry tf=3 dominates durian tf=1 df=1
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("cherry", "durian"))
+  }
+
+  test("tfidfTopTerms plan: rank filter prunes map-side (WindowGroupLimit)") {
+    val docs = toDf(spark)(
+      "doc_id" -> Seq(1, 2), "text" -> Seq("a b c", "b c d")).df
+    val plan = graft.operators.Bm25.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no map-side prune:\n$plan")
+  }
 }
