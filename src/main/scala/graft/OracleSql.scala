@@ -108,6 +108,19 @@ object OracleSql {
     s"""WITH ${lloydCtes(k, iters, dim, withFinalAssign = true)}
        |SELECT vec_id, cell FROM a$iters ORDER BY vec_id""".stripMargin
 
+  /** Replays q_cluster_sample: the trained k-means assignment composed
+    * with Sampling.stratifiedTopN per cell (deterministic md5 rank,
+    * seed 42, tag "stratn" — the hashBucket spelling). */
+  def clusterSample(k: Int = 8, iters: Int = 2, dim: Int = 64,
+                    n: Int = 10): String =
+    s"""WITH ${lloydCtes(k, iters, dim, withFinalAssign = true)}
+       |SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |      ORDER BY ('0x' || substring(md5('graft_stratn_42_' || vec_id), 1, 12))::BIGINT
+       |                 % 1000000, vec_id) AS rk
+       |  FROM a$iters)
+       |WHERE rk <= $n ORDER BY vec_id""".stripMargin
+
   /** Transitive closure of Dedup.clusterByMinhash: DuckDB's recursive CTE
     * computes, for every node of the candidate-pair graph, the set of
     * reachable nodes; min(reachable) is exactly the component label the

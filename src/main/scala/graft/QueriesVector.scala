@@ -73,6 +73,22 @@ private[graft] object QueriesVector {
       }),
 
 
+      // cluster-balanced sampling: the trained k-means cells as strata,
+      // exactly n vectors per cell by deterministic hash rank — the
+      // diversity-sampling composition (SemDeDup-style cells feeding a
+      // balanced eval draw); operators compose into ONE Catalyst plan
+      "q_cluster_sample" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Sampling.stratifiedTopN(
+            Similarity.kmeansAssign(emb, "embedding", "vec_id",
+              k = 8, iters = 2),
+            "vec_id", "cell", n = 10)
+            .select(col("vec_id"), col("cell")))
+          .arrange("vec_id").df
+      }),
+
+
       // product-quantization encode: per-subspace codebooks trained by
       // Lloyd (m=4 × ncode=8 over dim 64), every vector compressed to 4
       // codes — the memory lever for billion-vector indexes; training
@@ -163,6 +179,8 @@ private[graft] object QueriesVector {
   val oracles: Map[String, String] = Map(
 
     "q_kmeans_assign" -> OracleSql.kmeansAssign(),
+
+    "q_cluster_sample" -> OracleSql.clusterSample(),
 
 
     "q_ann_cosine" ->
