@@ -535,8 +535,12 @@ object OracleSql {
     def sub(s: Int) =
       s"""sub$s AS (SELECT vec_id, list_slice(v, ${s * d + 1}, ${s * d + d}) AS x
          |  FROM e)""".stripMargin
+    // POSITIONAL codes (0-based rank of the seed, not its vec_id): the
+    // Spark side indexes into the collected seed array, so under sparse
+    // ids below ncode the two stay aligned only via the rank
     def cb0(s: Int) =
-      s"cb0_$s AS (SELECT vec_id AS code, x AS cw FROM sub$s WHERE vec_id < $ncode)"
+      s"""cb0_$s AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS code,
+         |  x AS cw FROM sub$s WHERE vec_id < $ncode)""".stripMargin
     def dN(i: Int, s: Int) =
       s"""d${i}_$s AS (SELECT t.vec_id, c.code,
          |    (${dot("t.x", "t.x")} - 2.0*${dot("t.x", "c.cw")}) + ${dot("c.cw", "c.cw")} AS d2

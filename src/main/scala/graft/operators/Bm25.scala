@@ -89,8 +89,10 @@ object Bm25 {
     val toks = df.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok"))
-      .agg(count_distinct(col(idCol)).as("df"))
+    // df(tok) = tf's row count per tok (tf holds exactly one row per
+    // (doc, tok)) — reuses the first shuffle's output instead of
+    // re-tokenizing the corpus into a count_distinct
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     // every parenthesis mirrored in the oracle SQL
     val idf = log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)

@@ -261,13 +261,15 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 32, bands: Int = 8,
                         bucketCap: Int = 64,
-                        minEstJaccard: Double = 0.5): DataFrame = {
-    val rows = k / bands
-    val withSig = withMinhashSignature(df, textCol, k).select(col(idCol).as("id"), col("sig"))
-    val banded = withSig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        bandHash(col("sig"), b * rows + 1, rows)): _*)).as(Seq("band", "bhash")))
+                        minEstJaccard: Double = 0.5): DataFrame =
+    candidatesFromBandRows(minhashBandRows(df, textCol, idCol, k, bands),
+      k, bucketCap, minEstJaccard)
+
+  /** The bucket/pair stage of [[minhashCandidates]] over already-banded
+    * rows `(id, sig, band, bhash)` — shared with the incremental screen
+    * so the band-row shape is spelled once. */
+  private[graft] def candidatesFromBandRows(banded: DataFrame, k: Int,
+      bucketCap: Int, minEstJaccard: Double): DataFrame = {
     val buckets = cappedBuckets(banded, Seq(col("band"), col("bhash")),
       struct(col("id"), col("sig")), bucketCap)
     // in-bucket pair expansion a<b, then de-dup pairs found in >1 band
@@ -347,9 +349,16 @@ object Dedup {
         size(filter(zip_with(col("sig"), col("csig"), (x, y) => x === y), b => b))
           .cast("double") / lit(k.toDouble))
       .filter(col("est") >= minEstJaccard)
-      .select(col("id").as(idCol)).distinct()
-    val survivors = newDocs.join(losers, Seq(idCol), "left_anti")
-    dedupByMinhash(survivors, textCol, idCol, k, bands, bucketCap, minEstJaccard)
+      .select(col("id")).distinct()
+    // in-batch greedy rides the ALREADY-BANDED rows (no re-tokenize /
+    // re-sign of the survivors from text — the oracle's sbanded shape)
+    val survivorBands = batch.join(losers, Seq("id"), "left_anti")
+    val inBatchLosers =
+      candidatesFromBandRows(survivorBands, k, bucketCap, minEstJaccard)
+        .select(col("id_b").as("id")).distinct()
+    newDocs.join(losers.unionByName(inBatchLosers).distinct()
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
   }
 
   /** [[minhashIncrementalAgainstBands]] with the band store derived from

@@ -166,15 +166,8 @@ object GlobalRank {
     // must be frozen once and shared by both passes; pass 1's collect
     // materializes it.
     val firstType = df.select(order.head).schema.head.dataType
-    val (parted, snapshot) =
-      RangeBuckets.tryBucket(keyed, firstType, okNames.head, numParts) match {
-        case Some(p) => (p, Option.empty[DataFrame])
-        case None =>
-          val p = keyed.repartitionByRange(numParts, okCols: _*)
-            .withColumn("__pid", spark_partition_id())
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (p, Some(p))
-      }
+    val (parted, snapshot) = RangeBuckets.bucketOrSnapshot(
+      keyed, firstType, okNames.head, okCols, numParts)
 
     // pass 1: per-partition row + distinct-key counts (one row/partition)
     val stats = parted.groupBy("__pid").agg(

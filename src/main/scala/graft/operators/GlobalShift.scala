@@ -208,15 +208,8 @@ object GlobalShift {
         "global rank, or reduce n")
     // ---- bucketing tier (see object scaladoc + RangeBuckets) ----
     val firstType = df.select(order.head).schema.head.dataType
-    val (parted, snapshot) =
-      RangeBuckets.tryBucket(keyed, firstType, okNames.head, numParts) match {
-        case Some(p) => (p, Option.empty[DataFrame])
-        case None =>
-          val p = keyed.repartitionByRange(numParts, okCols: _*)
-            .withColumn("__pid", spark_partition_id())
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (p, Some(p))
-      }
+    val (parted, snapshot) = RangeBuckets.bucketOrSnapshot(
+      keyed, firstType, okNames.head, okCols, numParts)
 
     // pass 1: ONE job collects boundary strips AND per-partition counts —
     // per partition, the first maxLead and last maxLag rows' shift values

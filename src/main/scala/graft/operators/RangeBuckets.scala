@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   * order keys to split ties. */
 private[operators] object RangeBuckets {
 
+  /** The full tier selection both global operators run: the split-point
+    * tier when [[tryBucket]] accepts, else the sampled full-tuple range
+    * partitioner with a persisted MEMORY_AND_DISK snapshot (the frame
+    * the caller must keep cached while its plan is executable). Returns
+    * (pid-stamped frame, Some(snapshot) on the legacy tier). */
+  def bucketOrSnapshot(keyed: DataFrame,
+                       firstOrderType: org.apache.spark.sql.types.DataType,
+                       firstOkName: String, okCols: Seq[Column],
+                       numParts: Int): (DataFrame, Option[DataFrame]) =
+    tryBucket(keyed, firstOrderType, firstOkName, numParts) match {
+      case Some(p) => (p, None)
+      case None =>
+        val p = keyed.repartitionByRange(numParts, okCols: _*)
+          .withColumn("__pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, Some(p))
+    }
+
   /** Stamp `keyed` with a deterministic contiguous-range bucket id
     * `__pid` (int, 0-based in bucket order) derived from literal split
     * points of the first order key, or None when the key type is not

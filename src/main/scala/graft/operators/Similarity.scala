@@ -294,8 +294,10 @@ object Similarity {
           (col("sm").cast("double") / (col("cnt") * lit(quantScale))).as("cval"))
         .collect()
       val upd = parts.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      // codebook size follows the seed count (< ncode only when the corpus
-      // itself is smaller); a code with no members keeps its codeword
+      // codebook size follows the seed count — fewer than ncode when the
+      // ids below ncode are sparse (codes are POSITIONAL: 0-based rank of
+      // the seed in ascending-id order, the oracle's ROW_NUMBER()-1); a
+      // code with no members keeps its codeword
       books = books.zipWithIndex.map { case (cb, s) =>
         cb.zipWithIndex.map { case (prev, j) =>
           Array.tabulate(d)(p => upd.getOrElse((s * d + p, j), prev(p)))

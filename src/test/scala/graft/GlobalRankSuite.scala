@@ -115,6 +115,11 @@ class GlobalRankSuite extends SparkSpec {
       conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
       checkParity(tied)
       checkParity(uniq)
+      // string keys FORCE the legacy sampled-range + persist tier — the
+      // path whose alignment this test was written to pin (numeric keys
+      // now take the split-point tier, where misalignment is impossible)
+      checkParity(tied.select(
+        format_string("%05d", col("v")).as("v"), col("rid")))
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
@@ -135,6 +140,11 @@ class GlobalRankSuite extends SparkSpec {
         .repartition(9)
         .write.mode("overwrite").parquet(dir)
       checkParity(spark.read.parquet(dir))
+      // legacy-tier twin: zero-padded string keys (same values, same
+      // heavy ties) go through the sampled range partitioner + persisted
+      // snapshot — the exact r10 regression this test exists for
+      checkParity(spark.read.parquet(dir).select(
+        format_string("%09.2f", col("v")).as("v"), col("rid")))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

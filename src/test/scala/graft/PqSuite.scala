@@ -89,6 +89,22 @@ class PqSuite extends SparkSpec {
     }
   }
 
+  test("sparse ids below ncode: positional codes stay in 0..seeds-1") {
+    import spark.implicits._
+    // only ids {0, 2, 4} sit below ncode=6 -> 3 seeds, codes 0..2
+    val rows = Seq(
+      (0L, Array(0f, 0f)), (2L, Array(8f, 8f)), (4L, Array(3f, 3f)),
+      (10L, Array(7f, 9f)), (11L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(rows, "embedding", "vec_id",
+      dim = 2, m = 1, ncode = 6, iters = 1)
+    assert(books.head.length == 3, "codebook size = actual seed count")
+    val codes = Similarity.pqEncode(rows, "embedding", "vec_id", books)
+      .collect().map(_.getSeq[Int](1).head)
+    assert(codes.forall(c => c >= 0 && c <= 2),
+      s"codes must be positional ranks, got ${codes.toSeq}")
+  }
+
   test("pqTopK reconstructs only codewords and ranks 1..k per query") {
     val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
       dim = 64, m = 4, ncode = 8, iters = 1)
