@@ -200,6 +200,53 @@ private[graft] object QueriesCorpus {
       }),
 
 
+      // per-source distribution shift: KL divergence of each source's
+      // hashed-unigram distribution from the corpus-wide one — the
+      // mixture-design diagnostic (exact integer numerator + one
+      // bit-stable division)
+      "q_domain_kl" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.domainKl(Tables.df(s, dir, "documents"), "text", "source"))
+          .arrange("source").df),
+
+
+      // CCNet-style perplexity bucketing: per-token unigram surprisal
+      // (exact integer micro-nats per token) split at the global 0.25 /
+      // 0.75 quantiles — head/middle/tail as buckets 0/1/2; one
+      // percentile aggregate broadcast back, corpus never shuffles for
+      // the stamp. Quarter cuts, not thirds: q·(n−1) and the
+      // interpolation fraction stay EXACT doubles (powers of two), so
+      // Spark's lo+(hi−lo)·f and DuckDB's (1−f)·lo+f·hi round
+      // identically — at 1/3 the two interpolation orders can differ by
+      // 1 ULP and flip boundary rows
+      "q_ppl_buckets" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.operators.Sampling.quantileBuckets(
+            Corpus.lmScore(Tables.df(s, dir, "documents"), "text", "doc_id")
+              .withColumn("ppl_micro", expr("surprisal_micro div n_tokens")),
+            "ppl_micro", Seq(0.25, 0.75), "bucket")
+            .select(col("doc_id"), col("ppl_micro"), col("bucket")))
+          .arrange("doc_id").df),
+
+
+      // dataset card: the one-pass per-language datasheet (docs, token/
+      // char volume, source fan-in, length extremes, exact-dup count).
+      // Two distinct-aggregates ride one Expand pass — a once-per-release
+      // reporting query, not a hot-path operator
+      "q_corpus_card" -> ((s: SparkSession, dir: String) =>
+        Tables.df(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup"))
+          .orderBy("lang")),
+
+
       // BPE merge training (Sennrich et al. 2016): the first 8 learned
       // merge rules with weighted counts — trained on the word
       // histogram (corpus scanned once; rounds iterate over the vocab
@@ -537,6 +584,76 @@ private[graft] object QueriesCorpus {
         |SELECT doc_id, dsir_micro FROM scores CROSS JOIN thr
         |WHERE dsir_micro::DOUBLE >= t
         |ORDER BY doc_id""".stripMargin,
+
+
+    // domain KL: the q_dsir bucket/smoothing conventions grouped by
+    // source; corpus totals re-aggregate the (source, bucket) counts —
+    // kl_num is an exact integer, kl_micro one division of identical
+    // integers (bit-stable)
+    "q_domain_kl" ->
+      """WITH tok AS (
+        |  SELECT source, ('0x' || substring(md5(tk), 1, 12))::BIGINT % 64 AS h
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |        FROM documents)),
+        |agg AS (SELECT source, h, COUNT(*)::BIGINT AS c FROM tok GROUP BY source, h),
+        |st AS (SELECT source, SUM(c)::BIGINT AS n FROM agg GROUP BY source),
+        |bt AS (SELECT h, SUM(c)::BIGINT AS cb FROM agg GROUP BY h),
+        |g AS (SELECT SUM(cb)::BIGINT AS nn FROM bt),
+        |dense AS (
+        |  SELECT st.source, st.n, r.j AS h,
+        |    COALESCE(a.c, 0)::BIGINT AS c, COALESCE(bt.cb, 0)::BIGINT AS cb, g.nn
+        |  FROM st CROSS JOIN range(0, 64) AS r(j)
+        |  LEFT JOIN agg a ON a.source IS NOT DISTINCT FROM st.source AND a.h = r.j
+        |  LEFT JOIN bt ON bt.h = r.j
+        |  CROSS JOIN g),
+        |terms AS (
+        |  SELECT source, n,
+        |    (c + 1) * (CAST(floor(ln((c + 1)::DOUBLE / (n + 64)::DOUBLE)
+        |                 * 1000000.0 + 0.5) AS BIGINT)
+        |             - CAST(floor(ln((cb + 1)::DOUBLE / (nn + 64)::DOUBLE)
+        |                 * 1000000.0 + 0.5) AS BIGINT)) AS t
+        |  FROM dense)
+        |SELECT source, MAX(n)::BIGINT AS n_tokens, SUM(t)::BIGINT AS kl_num,
+        |  SUM(t)::DOUBLE / (MAX(n) + 64)::DOUBLE AS kl_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // ppl buckets: the q_lm_score replay + integral per-token division,
+    // tertile thresholds via quantile_cont (the quantileGate
+    // interpolation parity), CASE chain identical to the Spark stamp
+    "q_ppl_buckets" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM inst GROUP BY t),
+        |tot AS (SELECT SUM(c) AS n FROM cnt),
+        |scores AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        |    (SUM(CAST(round(-ln(c::DOUBLE / n::DOUBLE) * 1000000.0, 0) AS BIGINT)))::BIGINT
+        |      AS surprisal_micro
+        |  FROM inst JOIN cnt USING (t) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |m AS (SELECT doc_id, (surprisal_micro // n_tokens)::BIGINT AS ppl_micro
+        |      FROM scores),
+        |thr AS (SELECT quantile_cont(ppl_micro, 0.25) AS t0,
+        |               quantile_cont(ppl_micro, 0.75) AS t1
+        |        FROM m)
+        |SELECT doc_id, ppl_micro,
+        |  (CASE WHEN ppl_micro::DOUBLE <= t0 THEN 0
+        |        WHEN ppl_micro::DOUBLE <= t1 THEN 1 ELSE 2 END)::BIGINT AS bucket
+        |FROM m CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+
+
+    // dataset card: straight SQL twin of the one-pass rollup
+    "q_corpus_card" ->
+      """SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
+        |  SUM(n_chars)::BIGINT AS total_chars,
+        |  COUNT(DISTINCT source)::BIGINT AS n_sources,
+        |  MIN(n_chars)::BIGINT AS min_chars,
+        |  MAX(n_chars)::BIGINT AS max_chars,
+        |  (COUNT(*) - COUNT(DISTINCT text))::BIGINT AS n_exact_dup
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
 
     // BPE: generated round-by-round CTE replay (OracleSql.bpeCtes)

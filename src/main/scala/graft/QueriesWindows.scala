@@ -149,7 +149,24 @@ private[graft] object QueriesWindows {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_quantity"), col("prev_qty"), col("next_price")))
         .arrange("l_orderkey", "l_linenumber", "l_partkey", "l_quantity").df
-    })
+    }),
+
+
+    // whole-table NTILE without a single-partition window: global row
+    // number from the two-pass counts + the SQL remainder rule as exact
+    // IntegralDivide arithmetic. The order must be UNIQUE (enforced
+    // loudly from the pass-1 stats) — (price, ok, ln) is, at all scales.
+    // First key double → the split-point bucket tier (nothing persists).
+    "q_ntile_global" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.operators.GlobalRank.withGlobalNtile(
+          lineitem(s, dir).df.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+          7,
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("bucket")))
+        .arrange("l_orderkey", "l_linenumber").df)
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,6 +244,16 @@ private[graft] object QueriesWindows {
         |  lead(l_extendedprice, 3) OVER w AS next_price
         |FROM lineitem
         |WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity)
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+
+    // DuckDB buckets in one partition; the Spark side derives the same
+    // buckets from two-pass offsets + the standard remainder formula
+    "q_ntile_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  NTILE(7) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)::BIGINT
+        |    AS bucket
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

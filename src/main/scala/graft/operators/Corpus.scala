@@ -617,6 +617,70 @@ object Corpus {
         col("r_stopwords"))
   }
 
+  /** Per-domain distribution shift: the KL divergence (in micro-nats) of
+    * each domain's add-1-smoothed hashed-unigram bucket distribution from
+    * the corpus-wide distribution — the mixture-design diagnostic that
+    * says which sources look like the corpus average and which are
+    * outliers (pair with [[graft.operators.Sampling.temperatureMixture]]
+    * to decide per-domain rates).
+    *
+    * Output per domain: `n_tokens` (token instances), `kl_num` — the
+    * EXACT integer numerator Σ_b (c_b+1)·(qln p_b − qln q_b) where
+    * qln(x) = floor(ln(x)·1e6 + 0.5), p_b = (c_b+1)/(n+dim) the domain
+    * distribution, q_b = (C_b+1)/(N+dim) the corpus one — and
+    * `kl_micro` = kl_num / (n+dim), the per-token KL in micro-nats (one
+    * IEEE division of identical integers, bit-stable cross-engine; the
+    * integer numerator is Σ p·Δqln scaled by (n+dim), so the division
+    * recovers the true divergence). Since the weights (c_b+1) are the
+    * integer numerators of p_b, every distributed sum is over longs —
+    * order-insensitive, DuckDB-replayable via per-value ln parity (the
+    * [[lmScore]] contract).
+    *
+    * Scale shape: ONE corpus scan (the codegen'd featureHash kernel per
+    * row, posexplode), ONE partial-agged shuffle bounded at
+    * |domains|·dim rows out — everything after operates on that tiny
+    * aggregate: per-domain totals, per-bucket corpus totals, and the
+    * grand total are re-aggregations of it (never a second corpus
+    * scan), densified by a sequence-explode so smoothing sees all `dim`
+    * buckets. Null domains are preserved as their own group (null-safe
+    * join keys throughout). */
+  def domainKl(df: DataFrame, textCol: String, domainCol: String,
+               dim: Int = 64): DataFrame = {
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
+    val agg = df
+      .select(col(domainCol).as("__d"),
+        posexplode(featureHash(col(textCol), dim)).as(Seq("__p", "__c")))
+      .groupBy("__d", "__p").agg(sum("__c").as("__c"))
+    val st = agg.groupBy("__d").agg(sum("__c").as("__n"))
+    val bt = agg.groupBy("__p").agg(sum("__c").as("__cb"))
+    val grand = bt.agg(sum("__cb").as("__nn"))
+    val aggR = agg.select(col("__d").as("__d2"), col("__p").as("__p2"),
+      col("__c"))
+    val dense = st
+      .select(col("__d"), col("__n"),
+        explode(sequence(lit(0), lit(dim - 1))).as("__p"))
+      // null-safe on the domain key: a null domain's counts must attach
+      // to its own dense rows, not silently zero out (<=> vs =)
+      .join(aggR, col("__d") <=> col("__d2") && col("__p") === col("__p2"),
+        "left")
+      .join(broadcast(bt), Seq("__p"), "left")
+      .crossJoin(broadcast(grand))
+      .na.fill(0L, Seq("__c", "__cb"))
+    dense
+      .select(col("__d"), col("__n"),
+        ((col("__c") + lit(1L)) *
+          (qln((col("__c") + lit(1L)).cast("double") /
+               (col("__n") + lit(dim.toLong)).cast("double")) -
+           qln((col("__cb") + lit(1L)).cast("double") /
+               (col("__nn") + lit(dim.toLong)).cast("double")))).as("__t"))
+      .groupBy("__d")
+      .agg(max("__n").as("n_tokens"), sum("__t").as("kl_num"))
+      .select(col("__d").as(domainCol), col("n_tokens"), col("kl_num"),
+        (col("kl_num").cast("double") /
+          (col("n_tokens") + lit(dim.toLong)).cast("double")).as("kl_micro"))
+  }
+
   /** Zipf-skew-safe instances⋈counts join: the top-`headVocab` count rows
     * (a bounded TakeOrdered — ties at the cutoff broken on the key
     * columns for determinism) join by broadcast-hash, so the hot keys

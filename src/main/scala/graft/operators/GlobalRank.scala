@@ -78,7 +78,7 @@ object GlobalRank {
   def withGlobalRanks(df: DataFrame, order: Seq[Column],
                       rankName: String = "rnk", denseName: String = "drnk",
                       pctName: String = "prnk", cumeName: String = "cdist"): DataFrame = {
-    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    val (ranked, snap, _) = build(df, order, rankName, denseName, pctName, cumeName)
     // register only when something is actually pinned: the empty-input
     // short-circuit returns no snapshot, and a dead handle would make
     // liveSnapshotCount over-report against getPersistentRDDs
@@ -98,8 +98,50 @@ object GlobalRank {
                                 rankName: String = "rnk", denseName: String = "drnk",
                                 pctName: String = "prnk", cumeName: String = "cdist")
       : (DataFrame, () => Boolean) = {
-    val (ranked, snap) = build(df, order, rankName, denseName, pctName, cumeName)
+    val (ranked, snap, _) = build(df, order, rankName, denseName, pctName, cumeName)
     (ranked, mkRelease(snap))
+  }
+
+  /** Global `NTILE(buckets)` over a UNIQUE total order, two-pass — the
+    * whole-table quantile bucketing a naive
+    * `ntile(b) OVER (ORDER BY …)` funnels through one SinglePartition
+    * window. Pass 1's per-partition counts give the global row number
+    * (rank ≡ row_number under a unique order — non-uniqueness FAILS
+    * LOUDLY, checked from the same stats rows) AND the total N, so the
+    * bucket is a scan-local integer formula replicating the SQL-standard
+    * remainder rule: with q = N div b, r = N mod b, the first r buckets
+    * take q+1 rows. All `IntegralDivide` arithmetic — exact past 2^53,
+    * bit-replayable by a DuckDB `NTILE(b)` over the same order.
+    *
+    * Same snapshot lifecycle as [[withGlobalRanks]] (registry-tracked;
+    * nothing persists on the split-point tier). Order-key nulls follow
+    * the family contract (NULLS FIRST — oracle parity for non-null keys
+    * only). */
+  def withGlobalNtile(df: DataFrame, buckets: Int, uniqueOrder: Seq[Column],
+                      name: String = "bucket"): DataFrame = {
+    require(buckets >= 1, s"withGlobalNtile: buckets=$buckets must be >= 1")
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftshim.Shim
+    val rn = "__nt_rn"
+    val helpers = Seq("__nt_d", "__nt_p", "__nt_c")
+    val (ranked, snap, total) = build(df, uniqueOrder, rn, helpers(0),
+      helpers(1), helpers(2), requireUnique = true)
+    snap.foreach(s =>
+      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
+    val q = total / buckets
+    val r = total % buckets
+    def idiv(a: Column, d: Long): Column = Shim.toColumn(new IntegralDivide(
+      Shim.toExpression(a), Shim.toExpression(lit(d))))
+    val rn0 = col(rn) - lit(1L)
+    // q == 0 (fewer rows than buckets): r = N, so the first branch
+    // covers every row; the guarded max keeps the dead branch's divisor
+    // non-zero
+    val bucket =
+      when(rn0 < lit(r * (q + 1)), idiv(rn0, q + 1) + lit(1L))
+        .otherwise(lit(r) + idiv(rn0 - lit(r * (q + 1)), math.max(q, 1L)) +
+          lit(1L))
+    ranked.withColumn(name, bucket.cast("long"))
+      .drop(rn +: helpers: _*)
   }
 
   /** Idempotent single-snapshot release closure (true iff this
@@ -143,7 +185,9 @@ object GlobalRank {
     * short-circuit). */
   private def build(df: DataFrame, order: Seq[Column],
                     rankName: String, denseName: String,
-                    pctName: String, cumeName: String): (DataFrame, Option[DataFrame]) = {
+                    pctName: String, cumeName: String,
+                    requireUnique: Boolean = false)
+      : (DataFrame, Option[DataFrame], Long) = {
     require(order.nonEmpty, "withGlobalRanks: need at least one order column")
     val okNames = order.indices.map(i => s"__ok$i")
     val keyed = order.zip(okNames).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
@@ -177,6 +221,17 @@ object GlobalRank {
         r.getAs[Long]("__rows"), r.getAs[Long]("__keys")))
       .sortBy(_._1)
     val total = stats.map(_._2).sum
+    // ntile contract: with a NON-unique order, equal keys share a rank
+    // and the bucket arithmetic silently diverges from SQL NTILE (which
+    // splits ties by position) — pass 1 already counted rows AND
+    // distinct keys, so enforce for free instead of diverging
+    if (requireUnique) {
+      val keys = stats.map(_._3).sum
+      require(keys == total,
+        s"withGlobalNtile: order is not unique ($total rows, $keys " +
+          "distinct keys) — NTILE over a non-unique order is " +
+          "position-dependent; add a tiebreaker key")
+    }
     // empty input: no stats rows → typedLit of an empty map has no value
     // type to infer; short-circuit with the same (empty) schema (and
     // release the snapshot — nothing references it)
@@ -187,7 +242,7 @@ object GlobalRank {
         .withColumn(denseName, lit(null).cast("long"))
         .withColumn(pctName, lit(null).cast("double"))
         .withColumn(cumeName, lit(null).cast("double"))
-        .filter(lit(false)), None)
+        .filter(lit(false)), None, 0L)
     }
     val rowOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._2).init).toMap
     val keyOff = stats.map(_._1).zip(stats.scanLeft(0L)(_ + _._3).init).toMap
@@ -217,7 +272,7 @@ object GlobalRank {
       .withColumn(pctName, prnk)
       .withColumn(cumeName,
         (col(rankName) + col("__tie") - lit(1L)).cast("double") / lit(total.toDouble))
-      .drop(okNames :+ "__pid" :+ "__tie": _*), snapshot)
+      .drop(okNames :+ "__pid" :+ "__tie": _*), snapshot, total)
   }
 
   /** Loan-pattern twin of [[withGlobalRanks]] that releases the snapshot
@@ -231,7 +286,7 @@ object GlobalRank {
                                 rankName: String = "rnk", denseName: String = "drnk",
                                 pctName: String = "prnk", cumeName: String = "cdist")
                                (use: DataFrame => A): A = {
-    val (ranked, snapshot) = build(df, order, rankName, denseName, pctName, cumeName)
+    val (ranked, snapshot, _) = build(df, order, rankName, denseName, pctName, cumeName)
     try use(ranked)
     finally snapshot.foreach(_.unpersist(blocking = false))
   }

@@ -204,4 +204,51 @@ object Sampling {
       .filter(col(quoted).cast("double") >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Quantile BUCKETING — [[quantileGate]]'s labeling twin (CCNet-style
+    * head/middle/tail splits, arXiv:1911.00359's perplexity buckets):
+    * every row keeps flowing, stamped with the 0-based index of the
+    * first quantile cut at or above its score (`cuts.size` for the top
+    * tail). `cuts` must be strictly increasing fractions in (0,1); the
+    * measure must be integral (same exact-percentile state bound as the
+    * gate — micro-quantize doubles first). A null score yields a null
+    * bucket (never a silent top-tail claim).
+    *
+    * Plan: ONE percentile aggregate computes every cut (the state is
+    * shared), broadcast back; bucketing is then a scan-local CASE chain
+    * — the corpus never shuffles, and the stamped frame composes with
+    * any downstream filter/mixture. Threshold comparisons are
+    * `score <= t` on the interpolated double — bit-replayable (the
+    * quantileGate interpolation parity). */
+  def quantileBuckets(df: DataFrame, scoreCol: String, cuts: Seq[Double],
+                      name: String = "qbucket"): DataFrame = {
+    require(cuts.nonEmpty, "quantileBuckets: need at least one cut")
+    require(cuts.forall(c => c > 0.0 && c < 1.0),
+      s"quantileBuckets: cuts in (0,1), got $cuts")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"quantileBuckets: cuts must be strictly increasing, got $cuts")
+    val field = Resolve.uniqueField(df, scoreCol, "quantileBuckets")
+    field.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"quantileBuckets: measure '$scoreCol' must be integral (exact " +
+          s"percentile buffers one entry per distinct value); got " +
+          s"${dt.simpleString} — micro-quantize the score to a long first")
+    }
+    val quoted = "`" + field.name.replace("`", "``") + "`"
+    val thr = df.agg(
+      expr(s"percentile($quoted, CAST(${cuts.head} AS DOUBLE))").as("__thr0"),
+      cuts.tail.zipWithIndex.map { case (c, i) =>
+        expr(s"percentile($quoted, CAST($c AS DOUBLE))").as(s"__thr${i + 1}")
+      }: _*)
+    val x = col(quoted).cast("double")
+    val bucket = cuts.indices.foldRight(lit(cuts.size.toLong): Column) {
+      (i, acc) => when(x <= col(s"__thr$i"), lit(i.toLong)).otherwise(acc)
+    }
+    df.crossJoin(broadcast(thr))
+      .withColumn(name,
+        when(col(quoted).isNull, lit(null).cast("long")).otherwise(bucket))
+      .drop(cuts.indices.map(i => s"__thr$i"): _*)
+  }
 }

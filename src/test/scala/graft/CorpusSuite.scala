@@ -342,6 +342,45 @@ class CorpusSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
 
+  // ------------------------------------------------------- domainKl
+
+  test("domainKl: exact integer numerator from first principles; null domain kept") {
+    import graft.functions.TextFunctions.featureHash
+    def bucketOf(tok: String): Int = {
+      val v = spark.range(1).select(featureHash(lit(tok), 64).as("v"))
+        .collect()(0).getSeq[Long](0)
+      v.indexWhere(_ == 1L)
+    }
+    val (ba, bb) = (bucketOf("aaa"), bucketOf("bbb"))
+    assume(ba != bb, "test tokens must hash to distinct buckets")
+    val df = toDf(spark)(
+      "text" -> Seq("aaa aaa", "bbb", "aaa"),
+      "source" -> Seq("A", "B", null)).df
+    // domain counts: A {ba:2} n=2; B {bb:1} n=1; null {ba:1} n=1.
+    // corpus: {ba:3, bb:1}, N=4. Independent derivation of the
+    // documented formula:
+    def qln(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    def term(c: Long, n: Long, cb: Long): Long =
+      (c + 1) * (qln((c + 1.0) / (n + 64.0)) - qln((cb + 1.0) / (4 + 64.0)))
+    def expect(counts: Map[Int, Long], n: Long): Long =
+      (0 until 64).map { b =>
+        val cb = (if (b == ba) 3L else 0L) + (if (b == bb) 1L else 0L)
+        term(counts.getOrElse(b, 0L), n, cb)
+      }.sum
+    val got = Corpus.domainKl(df, "text", "source")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(Some("A"), Some("B"), None))
+    assert(got(Some("A"))._1 == 2L && got(Some("B"))._1 == 1L)
+    assert(got(Some("A"))._2 == expect(Map(ba -> 2L), 2L))
+    assert(got(Some("B"))._2 == expect(Map(bb -> 1L), 1L))
+    // the null-safe dense join: the null domain's own counts attach
+    assert(got(None)._1 == 1L)
+    assert(got(None)._2 == expect(Map(ba -> 1L), 1L))
+    // kl_micro is exactly the one division of the exact integers
+    assert(got(Some("A"))._3 == expect(Map(ba -> 2L), 2L).toDouble / 66.0)
+  }
+
   // ------------------------------------------------------- repetitionRules
 
   test("repetitionRules: distinct-word text passes every rule") {

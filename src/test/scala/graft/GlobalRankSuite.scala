@@ -215,6 +215,41 @@ class GlobalRankSuite extends SparkSpec {
     assert(analyzed.contains("misalignment"), s"guard missing:\n$analyzed")
   }
 
+  test("withGlobalNtile: SQL remainder rule, parity with the naive window") {
+    // N=1000, b=7: q=142, r=6 — six buckets of 143, one of 142
+    val got = GlobalRank.withGlobalNtile(uniq, 7, Seq(col("v")), "t")
+    val w = Window.orderBy(col("v"))
+    val exp = uniq.withColumn("e_t", ntile(7).over(w).cast("long"))
+    val both = got.join(exp, "rid").collect()
+    assert(both.length == 1000)
+    both.foreach(r =>
+      assert(r.getAs[Long]("t") == r.getAs[Long]("e_t"), s"ntile: $r"))
+    val sizes = got.groupBy("t").count().collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Long]("count")).toMap
+    assert(sizes == Map(1L -> 143L, 2L -> 143L, 3L -> 143L, 4L -> 143L,
+      5L -> 143L, 6L -> 143L, 7L -> 142L), s"sizes: $sizes")
+  }
+
+  test("withGlobalNtile: fewer rows than buckets — one row per bucket") {
+    val tiny = spark.range(3).select(col("id").as("v"), col("id").as("rid"))
+    val got = GlobalRank.withGlobalNtile(tiny, 7, Seq(col("v")), "t")
+      .orderBy("v").collect().map(_.getAs[Long]("t")).toSeq
+    assert(got == Seq(1L, 2L, 3L), s"got $got")
+  }
+
+  test("withGlobalNtile: non-unique order fails loudly, never diverges silently") {
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withGlobalNtile(tied, 4, Seq(col("v")), "t").collect()
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
+
+  test("withGlobalNtile: plan has no SinglePartition exchange") {
+    val plan = GlobalRank.withGlobalNtile(uniq, 5, Seq(col("v")), "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+
   test("per-partition share is bounded by the range fan-out, not by key cardinality") {
     // the pass the operator actually runs: range-partition on the order
     // key. Explicit fan-out — on KB-sized test data AQE (correctly)

@@ -106,6 +106,56 @@ class SamplingSuite extends SparkSpec {
     assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
   }
 
+  test("quantileBuckets: boundary-inclusive cuts, null scores stay null") {
+    // values 0..7, cuts (0.25, 0.75): thresholds (7·0.25)=1.75 and
+    // (7·0.75)=5.25 — interpolated 1.75 / 5.25; so 0,1 → bucket 0,
+    // 2..5 → bucket 1, 6,7 → bucket 2
+    val df = toDf(spark)("id" -> (0 until 8), "v" -> (0 until 8)).df
+      .unionByName(toDf(spark)("id" -> Seq(99), "v" -> Seq(0)).df
+        .withColumn("v", lit(null).cast("long")))
+    val got = Sampling.quantileBuckets(df, "v", Seq(0.25, 0.75), "b")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(got(0L) == 0L && got(1L) == 0L)
+    assert((2L to 5L).forall(got(_) == 1L), s"got $got")
+    assert(got(6L) == 2L && got(7L) == 2L)
+    assert(got(99L) == null, "null score must stamp a null bucket")
+  }
+
+  test("quantileBuckets: a value exactly AT a cut lands in the lower bucket") {
+    // values 0..4: 0.25-cut threshold = 1.0 exactly → v=1 is bucket 0
+    val df = toDf(spark)("id" -> (0 until 5), "v" -> (0 until 5)).df
+    val got = Sampling.quantileBuckets(df, "v", Seq(0.25), "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L, s"boundary row must be <= (got $got)")
+    assert(got(2L) == 1L)
+  }
+
+  test("quantileBuckets: validation — cuts ordered/in-range, integral measure") {
+    val df = toDf(spark)("id" -> (0 until 4), "v" -> (0 until 4)).df
+    assert(intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, "v", Seq(0.75, 0.25))
+    }.getMessage.contains("increasing"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df, "v", Seq(0.5, 1.5))
+    }.getMessage.contains("(0,1)"))
+    val dbl = toDf(spark)("id" -> Seq(1), "v" -> Seq(0.5)).df
+    assert(intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(dbl, "v", Seq(0.5))
+    }.getMessage.contains("integral"))
+  }
+
+  test("quantileBuckets: corpus side never shuffles (threshold broadcasts)") {
+    val df = toDf(spark)("id" -> (0 until 64), "v" -> (0 until 64)).df
+    val plan = Sampling.quantileBuckets(df, "v", Seq(0.25, 0.75), "b")
+      .queryExecution.executedPlan.toString
+    // the one aggregate's exchange is on the 1-row threshold side; the
+    // stamped corpus must join it by broadcast, not hash-exchange
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+  }
+
   test("quantileGate handles identifier-hostile column names") {
     val df = toDf(spark)("id" -> (0 until 4)).df
       .withColumn("n chars", col("id") * 10)
