@@ -289,6 +289,43 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays `Dedup.minhashRecallEval`: exact distinct-shingle Jaccard
+    * truth pairs (integer cross-multiplied threshold) LEFT JOIN the
+    * banded-candidate replay — `caught` flags which truth pairs the LSH
+    * configuration recovers. */
+  def minhashRecall(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                    bucketCap: Int = 64, minEstJaccard: Double = 0.5,
+                    tauPct: Int = 50): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |sh AS (SELECT doc_id, unnest(list_distinct(h)) AS s FROM hs),
+       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+       |  FROM tp JOIN sz sa ON sa.doc_id = tp.id_a
+       |          JOIN sz sb ON sb.doc_id = tp.id_b
+       |  WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter)),
+       |ok AS (
+       |  SELECT band, bhash FROM banded GROUP BY band, bhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x
+       |  JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.band = x.band AND ok.bhash = x.bhash
+       |  WHERE len(list_filter(range(1, ${k + 1}), i -> x.sig[i] = y.sig[i]))
+       |    / ${k}.0 >= $minEstJaccard)
+       |SELECT t.id_a, t.id_b, t.inter, t.uni,
+       |  (CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS caught
+       |FROM truth t
+       |LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |ORDER BY t.id_a, t.id_b""".stripMargin
+  }
+
   /** Replays Dedup.minhashIncremental: the batch (doc_id >= splitId) is
     * screened against the corpus band store (capped corpus buckets, min
     * size 1 — a single stored doc screens; est-Jaccard >= threshold),

@@ -119,6 +119,16 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // LSH recall harness: exact-Jaccard truth pairs (tau 0.5) flagged
+      // with whether the production banding config recovers them — the
+      // number to check before trusting (k, bands, minEst) on a corpus
+      "q_minhash_recall" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.minhashRecallEval(Tables.df(s, dir, "documents"),
+            "text", "doc_id"))
+          .arrange("id_a", "id_b").df),
+
+
       // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -316,6 +326,8 @@ private[graft] object QueriesDedup {
 
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
+
+    "q_minhash_recall" -> OracleSql.minhashRecall(),
 
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
 

@@ -319,6 +319,60 @@ object Dedup {
       .select(col("id"), col("sig"), col("band"), col("bhash"))
   }
 
+  /** MinHash-LSH recall evaluation — the index-quality harness the ANN
+    * family has in `q_ann_recall`, applied to the dedup stage: ground
+    * truth = pairs whose EXACT distinct-shingle Jaccard meets
+    * `tauPct`/100 (integer cross-multiplied compare, no float
+    * threshold), candidates = [[minhashCandidates]] at the given LSH
+    * configuration; each truth pair is emitted with its exact
+    * intersection/union and a 0/1 `caught` flag. SUM(caught)/COUNT(*)
+    * is the recall of the banding config — the number to check before
+    * trusting a (k, bands, minEstJaccard) choice on a real corpus.
+    *
+    * EVAL HARNESS, not a corpus operator: the truth side self-joins the
+    * exploded distinct-shingle index, which is quadratic in the worst
+    * bucket — run it on a bounded sample of the corpus (the standard
+    * recall-measurement posture; the sample bounds the join). The
+    * candidate side is the production LSH path unchanged, so the flag
+    * measures exactly what production would do. Shingle hashes reuse
+    * the signature pipeline's rolling-poly convention (bit-replayable
+    * in the oracle). */
+  def minhashRecallEval(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                        bucketCap: Int = 64, minEstJaccard: Double = 0.5,
+                        tauPct: Int = 50): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    def poly(ts: Column): Column =
+      aggregate(ts, lit(0L), (acc, h) => pmod(acc * lit(ShingleC) + h, lit(P)))
+    // token hashes aliased in their own projection before the shingle
+    // transform reads them twice (HOFs get no CSE — the house rule)
+    val sh = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P))).as("__th"))
+      .select(col("id"), array_distinct(
+        when(size(col("__th")) < shingleSize, array(poly(col("__th"))))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__th")) - shingleSize),
+            i => poly(slice(col("__th"), i + 1, lit(shingleSize)))))).as("__sh"))
+    val ex = sh.select(col("id"), explode(col("__sh")).as("__h"))
+    val sz = sh.select(col("id"), size(col("__sh")).cast("long").as("__n"))
+    val pairs = ex.select(col("id").as("id_a"), col("__h"))
+      .join(ex.select(col("id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val truth = pairs
+      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+    val cand = minhashCandidates(df, textCol, idCol, k, bands, bucketCap,
+      minEstJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__caught"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        coalesce(col("__caught"), lit(0L)).as("caught"))
+  }
+
   /** Incremental NEAR-dup screen — [[exactIncrementalAgainstFps]]'s
     * MinHash twin, the daily-ingestion stage for fuzzy duplicates: drop
     * from `newDocs` every doc whose signature agrees with ANY stored

@@ -275,6 +275,38 @@ class PipelineOpsSuite extends SparkSpec {
     assert(viaCorpus.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("minhashRecallEval: exact Jaccard truth, integer threshold, caught flags") {
+    // doc 1 ≡ doc 2 (identical → Jaccard 1, LSH must catch), doc 3
+    // shares a prefix with 1 (Jaccard < 0.5 → not truth), doc 4 disjoint
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val df = toDf(spark)(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L),
+      "text" -> Seq(base, base,
+        (0 until 8).map(i => s"tok$i").mkString(" ") + " zz yy xx ww vv uu",
+        (100 until 130).map(i => s"other$i").mkString(" "))).df
+    val out = Dedup.minhashRecallEval(df, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect()
+    assert(out.length == 1, s"only the identical pair is truth: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Long]("inter") == r.getAs[Long]("uni"),
+      "identical docs: intersection == union")
+    assert(r.getAs[Long]("caught") == 1L,
+      "identical signatures must share every band bucket")
+  }
+
+  test("minhashRecallEval: truth rows all satisfy the integer tau bound") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.minhashRecallEval(docs, "text", "doc_id").collect()
+    assert(out.nonEmpty, "sf0.001 corpus has known near-dup truth pairs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("inter") * 100 >= 50 * r.getAs[Long]("uni"), s"$r")
+      assert(Set(0L, 1L).contains(r.getAs[Long]("caught")), s"$r")
+    }
+    // the default config is known-good on this corpus: recall above zero
+    assert(out.map(_.getAs[Long]("caught")).sum > 0)
+  }
+
   test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
     val df = toDf(spark)(
       "id" -> Seq(1, 2, 3),
