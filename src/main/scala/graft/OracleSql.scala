@@ -289,6 +289,44 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays `Dedup.minhashPrecisionEval`: every banded-candidate pair
+    * annotated with its exact distinct-shingle overlap and the integer
+    * tau compare — the precision twin of [[minhashRecall]]. */
+  def minhashPrecision(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                       bucketCap: Int = 64, minEstJaccard: Double = 0.5,
+                       tauPct: Int = 50): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |sh AS (SELECT doc_id, unnest(list_distinct(h)) AS s FROM hs),
+       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ok AS (
+       |  SELECT band, bhash FROM banded GROUP BY band, bhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    len(list_filter(range(1, ${k + 1}), i -> x.sig[i] = y.sig[i]))
+       |      / ${k}.0 AS est_jaccard
+       |  FROM banded x
+       |  JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.band = x.band AND ok.bhash = x.bhash),
+       |kept AS (SELECT * FROM cand WHERE est_jaccard >= $minEstJaccard)
+       |SELECT c.id_a, c.id_b, c.est_jaccard,
+       |  COALESCE(t.inter, 0)::BIGINT AS inter,
+       |  (sa.n + sb.n - COALESCE(t.inter, 0))::BIGINT AS uni,
+       |  (CASE WHEN COALESCE(t.inter, 0) * 100 >=
+       |     $tauPct * (sa.n + sb.n - COALESCE(t.inter, 0))
+       |   THEN 1 ELSE 0 END)::BIGINT AS is_true
+       |FROM kept c
+       |JOIN sz sa ON sa.doc_id = c.id_a
+       |JOIN sz sb ON sb.doc_id = c.id_b
+       |LEFT JOIN tp t ON t.id_a = c.id_a AND t.id_b = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
   /** Replays `Dedup.minhashRecallEval`: exact distinct-shingle Jaccard
     * truth pairs (integer cross-multiplied threshold) LEFT JOIN the
     * banded-candidate replay — `caught` flags which truth pairs the LSH

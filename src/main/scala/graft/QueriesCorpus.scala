@@ -210,6 +210,14 @@ private[graft] object QueriesCorpus {
           .arrange("source").df),
 
 
+      // PMI collocations: top multiword expressions by pointwise mutual
+      // information (micro-nat, count >= 5 cut) — bounded TakeOrdered
+      "q_collocations" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.collocations(Tables.df(s, dir, "documents"), "text"))
+          .arrange("w1", "w2").df),
+
+
       // CCNet-style perplexity bucketing: per-token unigram surprisal
       // (exact integer micro-nats per token) split at the global 0.25 /
       // 0.75 quantiles — head/middle/tail as buckets 0/1/2; one
@@ -616,6 +624,34 @@ private[graft] object QueriesCorpus {
         |SELECT source, MAX(n)::BIGINT AS n_tokens, SUM(t)::BIGINT AS kl_num,
         |  SUM(t)::DOUBLE / (MAX(n) + 64)::DOUBLE AS kl_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // collocations: bigram/unigram count replay, the one spelled-out
+    // division order, micro-nat floor quantization, deterministic
+    // (pmi DESC, w1, w2) top-100 then outer name order
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |inst AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+        |  FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS n FROM inst GROUP BY w1, w2),
+        |n12 AS (SELECT SUM(n)::BIGINT AS t FROM c2),
+        |uni AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents),
+        |c1 AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w),
+        |n1 AS (SELECT SUM(c)::BIGINT AS t FROM c1),
+        |scored AS (
+        |  SELECT c2.w1, c2.w2, c2.n,
+        |    CAST(floor(ln((c2.n::DOUBLE / n12.t::DOUBLE) /
+        |      ((a.c::DOUBLE / n1.t::DOUBLE) * (b.c::DOUBLE / n1.t::DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        |  FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2
+        |  CROSS JOIN n12 CROSS JOIN n1
+        |  WHERE c2.n >= 5),
+        |top AS (SELECT * FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 100)
+        |SELECT w1, w2, n, pmi_micro FROM top ORDER BY w1, w2""".stripMargin,
 
 
     // ppl buckets: the q_lm_score replay + integral per-token division,

@@ -129,6 +129,16 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // precision twin: every candidate at the permissive 0.3 est cut,
+      // annotated with exact Jaccard — SUM(is_true)/COUNT(*) is the
+      // config's precision (0.3 admits real false positives to measure)
+      "q_minhash_precision" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.minhashPrecisionEval(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.3))
+          .arrange("id_a", "id_b").df),
+
+
       // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -328,6 +338,8 @@ private[graft] object QueriesDedup {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
 
     "q_minhash_recall" -> OracleSql.minhashRecall(),
+
+    "q_minhash_precision" -> OracleSql.minhashPrecision(minEstJaccard = 0.3),
 
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
 

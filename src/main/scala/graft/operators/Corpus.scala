@@ -617,6 +617,54 @@ object Corpus {
         col("r_stopwords"))
   }
 
+  /** PMI collocations (pointwise mutual information over adjacent token
+    * pairs) — the classic corpus-analysis signal for multiword
+    * expressions: pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with
+    * bigram probability over bigram slots and unigram probabilities
+    * over token instances. Returns the `topK` pairs with count ≥
+    * `minCount` (the standard low-count cut — PMI explodes on hapax
+    * pairs), scored in micro-nats (floor(x·1e6 + 0.5), per-value ln
+    * parity — the [[lmScore]] replay contract; the ratio is computed in
+    * ONE spelled-out division order so the double is engine-identical).
+    *
+    * Plan: bigram instances are scan-local (zip-shifted transform, no
+    * window); bigram counts are one partial-agged shuffle; the totals
+    * are re-aggregations of the two count tables (never a second corpus
+    * scan — the shared aggregate exchange is reused); the score join is
+    * COUNTS-side (vocab-sized on both ends, the skew-safe side of the
+    * lmScore trade), and the result is a bounded TakeOrdered of
+    * `topK` rows. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"collocations: minCount >= 1, got $minCount")
+    require(topK >= 1, s"collocations: topK >= 1, got $topK")
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
+    val toks = df.select(tokens(col(textCol)).as("__ts"))
+    val big = toks.select(explode(arrays_zip(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - 1, lit(0))),
+        slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0)))))
+        .as("__b"))
+      .select(col("__b.0").as("w1"), col("__b.1").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val n12 = c2.agg(sum("n").as("__n12"))
+    val uni = df.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val n1 = uni.agg(sum("__c").as("__n1"))
+    c2.filter(col("n") >= lit(minCount))
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n12))
+      .crossJoin(broadcast(n1))
+      .select(col("w1"), col("w2"), col("n"),
+        qln((col("n").cast("double") / col("__n12").cast("double")) /
+          ((col("__c1").cast("double") / col("__n1").cast("double")) *
+           (col("__c2").cast("double") / col("__n1").cast("double"))))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Per-domain distribution shift: the KL divergence (in micro-nats) of
     * each domain's add-1-smoothed hashed-unigram bucket distribution from
     * the corpus-wide distribution — the mixture-design diagnostic that

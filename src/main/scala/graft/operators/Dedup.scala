@@ -342,6 +342,57 @@ object Dedup {
                         bucketCap: Int = 64, minEstJaccard: Double = 0.5,
                         tauPct: Int = 50): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    val (inter, sz) = exactShingleOverlap(df, textCol, idCol, shingleSize)
+    val truth = inter
+      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+    val cand = minhashCandidates(df, textCol, idCol, k, bands, bucketCap,
+      minEstJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__caught"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        coalesce(col("__caught"), lit(0L)).as("caught"))
+  }
+
+  /** Precision twin of [[minhashRecallEval]]: every CANDIDATE pair the
+    * banding configuration emits, annotated with its exact
+    * distinct-shingle intersection/union and a 0/1 `is_true` flag
+    * (exact Jaccard ≥ `tauPct`/100, the same integer compare).
+    * SUM(is_true)/COUNT(*) is the precision of the config — with
+    * [[minhashRecallEval]]'s recall this completes the standard
+    * index-quality pair. Same eval-harness posture (the exact-overlap
+    * side self-joins the shingle index — run on a bounded sample). A
+    * candidate pair sharing NO shingle (possible only via band-hash
+    * collision) scores inter = 0. */
+  def minhashPrecisionEval(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                           bucketCap: Int = 64, minEstJaccard: Double = 0.5,
+                           tauPct: Int = 50): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    val (inter, sz) = exactShingleOverlap(df, textCol, idCol, shingleSize)
+    minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard)
+      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("inter"), col("uni"),
+        (col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+          .cast("long").as("is_true"))
+  }
+
+  /** Exact distinct-shingle overlap index shared by the two eval
+    * harnesses: `inter` = (id_a, id_b, inter) for every pair sharing ≥ 1
+    * shingle (quadratic in the hottest shingle's doc list — the reason
+    * the evals run on samples), `sz` = (id, __n) distinct-shingle set
+    * sizes. Shingle hashes reuse the signature pipeline's rolling-poly
+    * convention, so the DuckDB replay is shared with the banding CTEs. */
+  private def exactShingleOverlap(df: DataFrame, textCol: String,
+                                  idCol: String, shingleSize: Int)
+      : (DataFrame, DataFrame) = {
     def poly(ts: Column): Column =
       aggregate(ts, lit(0L), (acc, h) => pmod(acc * lit(ShingleC) + h, lit(P)))
     // token hashes aliased in their own projection before the shingle
@@ -355,22 +406,12 @@ object Dedup {
             sequence(lit(0), size(col("__th")) - shingleSize),
             i => poly(slice(col("__th"), i + 1, lit(shingleSize)))))).as("__sh"))
     val ex = sh.select(col("id"), explode(col("__sh")).as("__h"))
-    val sz = sh.select(col("id"), size(col("__sh")).cast("long").as("__n"))
-    val pairs = ex.select(col("id").as("id_a"), col("__h"))
+    val inter = ex.select(col("id").as("id_a"), col("__h"))
       .join(ex.select(col("id").as("id_b"), col("__h")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val truth = pairs
-      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
-      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
-    val cand = minhashCandidates(df, textCol, idCol, k, bands, bucketCap,
-      minEstJaccard)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__caught"))
-    truth.join(cand, Seq("id_a", "id_b"), "left")
-      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        coalesce(col("__caught"), lit(0L)).as("caught"))
+    val sz = sh.select(col("id"), size(col("__sh")).cast("long").as("__n"))
+    (inter, sz)
   }
 
   /** Incremental NEAR-dup screen — [[exactIncrementalAgainstFps]]'s

@@ -342,6 +342,34 @@ class CorpusSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring must be scan-local:\n$plan")
   }
 
+  // ------------------------------------------------------- collocations
+
+  test("collocations: hand-computed PMI, min-count cut, bounded top-K") {
+    // "a b a b c": bigram slots (a,b) (b,a) (a,b) (b,c) → N12 = 4;
+    // unigrams a:2 b:2 c:1 → N1 = 5. minCount=2 keeps only (a,b) n=2:
+    // pmi = ln((2/4) / ((2/5)·(2/5)))
+    val out = Corpus.collocations(docs(1L -> "a b a b c"), "text",
+      minCount = 2L, topK = 10).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Long]("n") == 2L)
+    val exp = math.floor(math.log((2.0 / 4.0) / ((2.0 / 5.0) * (2.0 / 5.0)))
+      * 1e6 + 0.5).toLong
+    assert(r.getAs[Long]("pmi_micro") == exp)
+  }
+
+  test("collocations: topK truncates deterministically on the (pmi, w1, w2) order") {
+    // four disjoint repeated pairs, identical structure → identical PMI;
+    // topK=2 must keep the lexicographically first two
+    val out = Corpus.collocations(
+      docs(1L -> "p q", 2L -> "p q", 3L -> "x y", 4L -> "x y",
+           5L -> "m n", 6L -> "m n", 7L -> "d e", 8L -> "d e"),
+      "text", minCount = 2L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("d", "e"), ("m", "n")), s"got ${out.toSeq}")
+  }
+
   // ------------------------------------------------------- domainKl
 
   test("domainKl: exact integer numerator from first principles; null domain kept") {

@@ -307,6 +307,28 @@ class PipelineOpsSuite extends SparkSpec {
     assert(out.map(_.getAs[Long]("caught")).sum > 0)
   }
 
+  test("minhashPrecisionEval: candidates annotated with exact overlap, flags consistent") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.minhashPrecisionEval(docs, "text", "doc_id",
+      minEstJaccard = 0.3).collect()
+    assert(out.nonEmpty, "0.3 est cut must admit candidates on sf0.001")
+    out.foreach { r =>
+      val (inter, uni) = (r.getAs[Long]("inter"), r.getAs[Long]("uni"))
+      assert(inter >= 0 && uni >= inter, s"$r")
+      assert(r.getAs[Double]("est_jaccard") >= 0.3, s"$r")
+      assert((r.getAs[Long]("is_true") == 1L) == (inter * 100 >= 50 * uni), s"$r")
+    }
+    // the eval pair is consistent: every RECALL-caught truth pair at the
+    // same config appears as a true candidate here
+    val recall = Dedup.minhashRecallEval(docs, "text", "doc_id",
+      minEstJaccard = 0.3)
+      .filter(col("caught") === 1L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trueCands = out.filter(_.getAs[Long]("is_true") == 1L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(recall.subsetOf(trueCands), s"caught truth ⊄ true candidates")
+  }
+
   test("bm25 matches the hand-computed Okapi formula (micro-scaled)") {
     val df = toDf(spark)(
       "id" -> Seq(1, 2, 3),
