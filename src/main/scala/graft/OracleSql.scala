@@ -289,6 +289,36 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The distinct string-shingle hash48 index CTE (the decontamination
+    * family's convention, matching the `DistinctShingleHashes` kernel):
+    * `sh(doc_id, s)` — assumes a `docs(doc_id, w)` token CTE in scope. */
+  private def shingleSetShCte(s: Int): String =
+    s"""sh AS (SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) < $s THEN [${h48("array_to_string(w, ' ')")}]
+       |         ELSE list_transform(range(0, len(w) - ${s - 1}),
+       |                i -> ${h48(s"array_to_string(w[i+1:i+$s], ' ')")}) END)) AS s
+       |  FROM docs)""".stripMargin
+
+  /** Replays `Dedup.jaccardSimilarityJoin`: the SPELLING is the naive
+    * exact formulation (distinct-shingle index self-join + size
+    * arithmetic) — the prefix-filtered Spark plan must produce exactly
+    * this relation, which is the exactness claim the oracle pins. */
+  def jaccardJoin(shingleSize: Int = 3, tauPct: Int = 50): String = {
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |${shingleSetShCte(shingleSize)},
+       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+       |FROM tp JOIN sz sa ON sa.doc_id = tp.id_a
+       |        JOIN sz sb ON sb.doc_id = tp.id_b
+       |WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Replays `Dedup.minhashPrecisionEval`: every banded-candidate pair
     * annotated with its exact distinct-shingle overlap and the integer
     * tau compare — the precision twin of [[minhashRecall]]. */
@@ -296,7 +326,7 @@ object OracleSql {
                        bucketCap: Int = 64, minEstJaccard: Double = 0.5,
                        tauPct: Int = 50): String = {
     s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
-       |sh AS (SELECT doc_id, unnest(list_distinct(h)) AS s FROM hs),
+       |${shingleSetShCte(shingleSize)},
        |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
        |tp AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
@@ -335,7 +365,7 @@ object OracleSql {
                     bucketCap: Int = 64, minEstJaccard: Double = 0.5,
                     tauPct: Int = 50): String = {
     s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
-       |sh AS (SELECT doc_id, unnest(list_distinct(h)) AS s FROM hs),
+       |${shingleSetShCte(shingleSize)},
        |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
        |tp AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter

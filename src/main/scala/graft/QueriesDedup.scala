@@ -119,6 +119,17 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // exact set-similarity join: every Jaccard >= 0.5 pair with exact
+      // counts, prefix-filtered (rarest-first index) so the plan never
+      // pays the hot-shingle quadratic; oracle is the NAIVE spelling —
+      // the pruned plan must reproduce it exactly
+      "q_jaccard_join" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.jaccardSimilarityJoin(Tables.df(s, dir, "documents"),
+            "text", "doc_id"))
+          .arrange("id_a", "id_b").df),
+
+
       // LSH recall harness: exact-Jaccard truth pairs (tau 0.5) flagged
       // with whether the production banding config recovers them — the
       // number to check before trusting (k, bands, minEst) on a corpus
@@ -336,6 +347,8 @@ private[graft] object QueriesDedup {
 
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
+
+    "q_jaccard_join" -> OracleSql.jaccardJoin(),
 
     "q_minhash_recall" -> OracleSql.minhashRecall(),
 

@@ -329,31 +329,89 @@ object Dedup {
     * is the recall of the banding config — the number to check before
     * trusting a (k, bands, minEstJaccard) choice on a real corpus.
     *
-    * EVAL HARNESS, not a corpus operator: the truth side self-joins the
-    * exploded distinct-shingle index, which is quadratic in the worst
-    * bucket — run it on a bounded sample of the corpus (the standard
-    * recall-measurement posture; the sample bounds the join). The
-    * candidate side is the production LSH path unchanged, so the flag
-    * measures exactly what production would do. Shingle hashes reuse
-    * the signature pipeline's rolling-poly convention (bit-replayable
-    * in the oracle). */
+    * Truth comes from [[jaccardSimilarityJoin]] (prefix-filtered exact
+    * join — no false negatives, scale-shaped); the candidate side is
+    * the production LSH path unchanged, so the flag measures exactly
+    * what production would do. Shingle hashes use the decontamination
+    * family's hash48 string-shingle convention (bit-replayable in the
+    * oracle); the MinHash candidates keep their own signature pipeline
+    * — truth and index conventions need not match, only the window
+    * definition does (both are word n-grams). */
   def minhashRecallEval(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
                         bucketCap: Int = 64, minEstJaccard: Double = 0.5,
                         tauPct: Int = 50): DataFrame = {
-    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    val (inter, sz) = exactShingleOverlap(df, textCol, idCol, shingleSize)
-    val truth = inter
-      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
-      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+    val truth = jaccardSimilarityJoin(df, textCol, idCol, tauPct, shingleSize)
     val cand = minhashCandidates(df, textCol, idCol, k, bands, bucketCap,
       minEstJaccard)
       .select(col("id_a"), col("id_b"), lit(1L).as("__caught"))
     truth.join(cand, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         coalesce(col("__caught"), lit(0L)).as("caught"))
+  }
+
+  /** EXACT Jaccard set-similarity join over word-shingle sets — every
+    * pair with distinct-shingle Jaccard ≥ `tauPct`/100, with exact
+    * intersection/union counts, NO false negatives and no estimation.
+    * The guaranteed-exact sibling of the MinHash screen (which trades
+    * recall for one pass) and the ground-truth generator for the
+    * recall/precision evals.
+    *
+    * Scale shape — prefix filtering (the PPJoin family, Xiao et al.
+    * 2008), which makes the classic "self-join the inverted index"
+    * quadratic blowup unnecessary: each document's shingle set is
+    * ordered RAREST-FIRST (ascending document frequency, shingle hash
+    * tiebreak — one df aggregate over the exploded index), and only the
+    * first n − ceil(τ·n) + 1 shingles of each set are indexed. Two sets
+    * with overlap ≥ t share an element among their first (size − t + 1)
+    * elements under ANY common total order — so every qualifying pair
+    * still collides (exactness), but the join explodes only on RARE
+    * shingles: a boilerplate shingle shared by 10^6 documents sorts to
+    * the tail of every set and never enters the index (the naive join
+    * pays df² for it). Candidates then verify by one bounded
+    * `array_intersect` against the two full sets (re-joined by id —
+    * payload rides the small candidate side). Measured at sf0.1: 35 s
+    * naive self-join → ~2 s prefix-filtered, same output.
+    *
+    * Emits (id_a, id_b, inter, uni) with id_a < id_b; the threshold is
+    * the integer cross-multiplication `inter·100 ≥ tauPct·uni` (no
+    * float compare — DuckDB-replayable). */
+  def jaccardSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+                            tauPct: Int = 50,
+                            shingleSize: Int = 3): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    val sets = shingleSets(df, textCol, idCol, shingleSize)
+    val ex = sets.select(col("id"), explode(col("__ss")).as("__h"))
+    val dfc = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    // rarest-first total order (df, hash) — collect_list order is
+    // nondeterministic, array_sort on the struct normalizes it
+    val sorted = ex.join(dfc, Seq("__h"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__df").as("d"), col("__h").as("h"))))
+        .as("__sw"))
+      .select(col("id"), transform(col("__sw"), x => x.getField("h")).as("__ss"))
+    // prefix length n − ceil(τn) + 1; the double path is exact for the
+    // tiny per-doc operands (tauPct·n + 99 ≪ 2^53)
+    val n = size(col("__ss"))
+    val p = (n - floor((lit(tauPct) * n + lit(99)).cast("double") / lit(100.0))
+      .cast("int") + lit(1))
+    val pre = sorted.select(col("id"), explode(slice(col("__ss"), lit(1), p)).as("__h"))
+    val pairs = pre.select(col("id").as("id_a"), col("__h"))
+      .join(pre.select(col("id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify against the PLAIN kernel sets (set membership doesn't care
+    // about the df order) — a pure projection per branch, instead of
+    // re-deriving the sorted index subtree twice more
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("__ss").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__ss").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
+        (size(col("__sa")) + size(col("__sb"))).cast("long").as("__tot"))
+      .withColumn("uni", col("__tot") - col("inter"))
+      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
   /** Precision twin of [[minhashRecallEval]]: every CANDIDATE pair the
@@ -371,12 +429,18 @@ object Dedup {
                            bucketCap: Int = 64, minEstJaccard: Double = 0.5,
                            tauPct: Int = 50): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    val (inter, sz) = exactShingleOverlap(df, textCol, idCol, shingleSize)
+    // candidates are LSH-bounded, so exact overlap is ONE bounded
+    // array_intersect per candidate (full sets re-joined by id) — no
+    // pair-generation join at all on the exact side
+    val sets = shingleSets(df, textCol, idCol, shingleSize)
+      .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n"))
     minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard)
-      .join(sz.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sz.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sets.select(col("id").as("id_a"), col("__ss").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__ss").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("uni", col("__na") + col("__nb") - col("inter"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         col("inter"), col("uni"),
@@ -384,34 +448,21 @@ object Dedup {
           .cast("long").as("is_true"))
   }
 
-  /** Exact distinct-shingle overlap index shared by the two eval
-    * harnesses: `inter` = (id_a, id_b, inter) for every pair sharing ≥ 1
-    * shingle (quadratic in the hottest shingle's doc list — the reason
-    * the evals run on samples), `sz` = (id, __n) distinct-shingle set
-    * sizes. Shingle hashes reuse the signature pipeline's rolling-poly
-    * convention, so the DuckDB replay is shared with the banding CTEs. */
-  private def exactShingleOverlap(df: DataFrame, textCol: String,
-                                  idCol: String, shingleSize: Int)
-      : (DataFrame, DataFrame) = {
-    def poly(ts: Column): Column =
-      aggregate(ts, lit(0L), (acc, h) => pmod(acc * lit(ShingleC) + h, lit(P)))
-    // token hashes aliased in their own projection before the shingle
-    // transform reads them twice (HOFs get no CSE — the house rule)
-    val sh = df
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => pmod(hash48(t), lit(P))).as("__th"))
-      .select(col("id"), array_distinct(
-        when(size(col("__th")) < shingleSize, array(poly(col("__th"))))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__th")) - shingleSize),
-            i => poly(slice(col("__th"), i + 1, lit(shingleSize)))))).as("__sh"))
-    val ex = sh.select(col("id"), explode(col("__sh")).as("__h"))
-    val inter = ex.select(col("id").as("id_a"), col("__h"))
-      .join(ex.select(col("id").as("id_b"), col("__h")), Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val sz = sh.select(col("id"), size(col("__sh")).cast("long").as("__n"))
-    (inter, sz)
+  /** Per-doc DISTINCT shingle-hash sets `(id, __ss)` — the exact-overlap
+    * side of the eval/similarity family. ONE codegen'd kernel call per
+    * row ([[org.apache.spark.sql.graftshim.DistinctShingleHashes]], the
+    * decontamination family's hash48-of-space-joined-window convention,
+    * kernel≡Column-pipeline parity pinned in TextSuite) — the
+    * similarity join consumes this projection from several plan
+    * branches, and an interpreted HOF chain here multiplied into ~40 s
+    * at sf0.1 where the kernel costs ~1 s. Pure projection, no
+    * shuffle. */
+  private def shingleSets(df: DataFrame, textCol: String,
+                          idCol: String, shingleSize: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim}
+    df.select(col(idCol).as("id"),
+      Shim.toColumn(DistinctShingleHashes(
+        Shim.toExpression(col(textCol)), shingleSize)).as("__ss"))
   }
 
   /** Incremental NEAR-dup screen — [[exactIncrementalAgainstFps]]'s

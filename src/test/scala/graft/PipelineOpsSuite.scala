@@ -307,6 +307,44 @@ class PipelineOpsSuite extends SparkSpec {
     assert(out.map(_.getAs[Long]("caught")).sum > 0)
   }
 
+  test("jaccardSimilarityJoin: prefix-filtered plan equals the naive exact join") {
+    // exactness claim: the rare-first prefix index may only PRUNE
+    // non-qualifying pairs — every Jaccard >= tau pair must survive.
+    // Brute force re-derived here from the same kernel shingle sets.
+    import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim}
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs.select(col("doc_id").as("id"),
+      Shim.toColumn(DistinctShingleHashes(
+        Shim.toExpression(col("text")), 3)).as("ss"))
+    val ex = sh.select(col("id"), explode(col("ss")).as("h"))
+    val naive = ex.select(col("id").as("id_a"), col("h"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sh.select(col("id").as("id_a"), size(col("ss")).cast("long").as("na")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), size(col("ss")).cast("long").as("nb")), Seq("id_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * lit(100L) >= lit(50L) * col("uni"))
+      .select("id_a", "id_b", "inter", "uni")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pruned = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(naive.nonEmpty, "sf0.001 must contain qualifying pairs")
+    assert(pruned == naive,
+      s"missing=${(naive -- pruned).take(5)} extra=${(pruned -- naive).take(5)}")
+  }
+
+  test("jaccardSimilarityJoin: identical docs and sub-threshold docs behave") {
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val df = toDf(spark)(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(base, base, (100 until 130).map(i => s"x$i").mkString(" "))).df
+    val out = Dedup.jaccardSimilarityJoin(df, "text", "doc_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getAs[Long]("inter") == out(0).getAs[Long]("uni"))
+  }
+
   test("minhashPrecisionEval: candidates annotated with exact overlap, flags consistent") {
     val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.minhashPrecisionEval(docs, "text", "doc_id",
