@@ -689,9 +689,11 @@ object Corpus {
     * |domains|·dim rows out — everything after operates on that tiny
     * aggregate: per-domain totals, per-bucket corpus totals, and the
     * grand total are re-aggregations of it (never a second corpus
-    * scan), densified by a sequence-explode so smoothing sees all `dim`
-    * buckets. Null domains are preserved as their own group (null-safe
-    * join keys throughout). */
+    * scan). The aggregate is DENSE by construction — featureHash emits
+    * all `dim` positions (zero counts included) for every non-null-text
+    * row — so smoothing sees every bucket of every domain with no
+    * densification join. Null domains are preserved as their own group
+    * (null-safe join key). */
   def domainKl(df: DataFrame, textCol: String, domainCol: String,
                dim: Int = 64): DataFrame = {
     def qln(x: Column): Column =
@@ -703,18 +705,14 @@ object Corpus {
     val st = agg.groupBy("__d").agg(sum("__c").as("__n"))
     val bt = agg.groupBy("__p").agg(sum("__c").as("__cb"))
     val grand = bt.agg(sum("__cb").as("__nn"))
-    val aggR = agg.select(col("__d").as("__d2"), col("__p").as("__p2"),
-      col("__c"))
-    val dense = st
-      .select(col("__d"), col("__n"),
-        explode(sequence(lit(0), lit(dim - 1))).as("__p"))
-      // null-safe on the domain key: a null domain's counts must attach
-      // to its own dense rows, not silently zero out (<=> vs =)
-      .join(aggR, col("__d") <=> col("__d2") && col("__p") === col("__p2"),
-        "left")
-      .join(broadcast(bt), Seq("__p"), "left")
+    val dense = agg
+      // null-safe on the domain key: a null domain's rows must attach
+      // to its own totals, not silently drop (<=> vs =)
+      .join(broadcast(st.select(col("__d").as("__d2"), col("__n"))),
+        col("__d") <=> col("__d2"))
+      .drop("__d2")
+      .join(broadcast(bt), Seq("__p"))
       .crossJoin(broadcast(grand))
-      .na.fill(0L, Seq("__c", "__cb"))
     dense
       .select(col("__d"), col("__n"),
         ((col("__c") + lit(1L)) *

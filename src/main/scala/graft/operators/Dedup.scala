@@ -390,11 +390,15 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("__df").as("d"), col("__h").as("h"))))
         .as("__sw"))
       .select(col("id"), transform(col("__sw"), x => x.getField("h")).as("__ss"))
-    // prefix length n − ceil(τn) + 1; the double path is exact for the
-    // tiny per-doc operands (tauPct·n + 99 ≪ 2^53)
-    val n = size(col("__ss"))
-    val p = (n - floor((lit(tauPct) * n + lit(99)).cast("double") / lit(100.0))
-      .cast("int") + lit(1))
+    // prefix length n − ceil(τn) + 1. LONG arithmetic: a pathological
+    // mega-document (the exact input the prefix filter insures against)
+    // with > (2^31−100)/tauPct distinct shingles would wrap a 32-bit
+    // product and disable pruning — or drive slice() negative. The
+    // double division stays exact (tauPct·n + 99 ≪ 2^53 for any long n
+    // a real document can reach).
+    val n = size(col("__ss")).cast("long")
+    val p = (n - floor((lit(tauPct.toLong) * n + lit(99L)).cast("double") / lit(100.0))
+      .cast("long") + lit(1L)).cast("int")
     val pre = sorted.select(col("id"), explode(slice(col("__ss"), lit(1), p)).as("__h"))
     val pairs = pre.select(col("id").as("id_a"), col("__h"))
       .join(pre.select(col("id").as("id_b"), col("__h")), Seq("__h"))

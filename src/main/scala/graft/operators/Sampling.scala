@@ -180,24 +180,31 @@ object Sampling {
     * interpolation arithmetic matches DuckDB's `quantile_cont` exactly
     * (hash-verified by q_percentiles), so threshold comparisons replay
     * engine-portably. */
-  def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
-    require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
-    val field = Resolve.uniqueField(df, scoreCol, "quantileGate")
-    // exact percentile state is bounded by DISTINCT measure values, not
-    // rows — only integral measures (lengths, counts, micro-quantized
-    // scores) keep that bound at 100 TB. A raw double score must be
-    // quantized by the caller first (the house float rule).
+  /** Resolve + validate an exact-percentile measure, shared by
+    * [[quantileGate]] and [[quantileBuckets]]: exact percentile state is
+    * bounded by DISTINCT measure values, not rows — only integral
+    * measures (lengths, counts, micro-quantized scores) keep that bound
+    * at 100 TB; a raw double score must be quantized by the caller
+    * first (the house float rule). Returns the RESOLVED name,
+    * backtick-escaped (`` is the quoted-identifier escape), so hostile
+    * names — spaces, dots, even backticks — parse. */
+  private def integralPercentileMeasure(df: DataFrame, scoreCol: String,
+                                        op: String): String = {
+    val field = Resolve.uniqueField(df, scoreCol, op)
     field.dataType match {
       case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
       case dt => throw new IllegalArgumentException(
-        s"quantileGate: measure '$scoreCol' must be integral (exact percentile " +
+        s"$op: measure '$scoreCol' must be integral (exact percentile " +
           s"buffers one entry per distinct value); got ${dt.simpleString} — " +
           "micro-quantize the score to a long first")
     }
-    // the RESOLVED name, backtick-escaped (`` is the quoted-identifier
-    // escape), so hostile names — spaces, dots, even backticks — parse
-    val quoted = "`" + field.name.replace("`", "``") + "`"
+    "`" + field.name.replace("`", "``") + "`"
+  }
+
+  def quantileGate(df: DataFrame, scoreCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantileGate: q in (0,1), got $q")
+    val quoted = integralPercentileMeasure(df, scoreCol, "quantileGate")
     val thr = df.agg(
       expr(s"percentile($quoted, CAST($q AS DOUBLE))").as("__thr"))
     df.crossJoin(broadcast(thr))
@@ -227,16 +234,7 @@ object Sampling {
       s"quantileBuckets: cuts in (0,1), got $cuts")
     require(cuts == cuts.sorted && cuts.distinct == cuts,
       s"quantileBuckets: cuts must be strictly increasing, got $cuts")
-    val field = Resolve.uniqueField(df, scoreCol, "quantileBuckets")
-    field.dataType match {
-      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
-      case dt => throw new IllegalArgumentException(
-        s"quantileBuckets: measure '$scoreCol' must be integral (exact " +
-          s"percentile buffers one entry per distinct value); got " +
-          s"${dt.simpleString} — micro-quantize the score to a long first")
-    }
-    val quoted = "`" + field.name.replace("`", "``") + "`"
+    val quoted = integralPercentileMeasure(df, scoreCol, "quantileBuckets")
     val thr = df.agg(
       expr(s"percentile($quoted, CAST(${cuts.head} AS DOUBLE))").as("__thr0"),
       cuts.tail.zipWithIndex.map { case (c, i) =>
