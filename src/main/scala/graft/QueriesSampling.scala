@@ -81,6 +81,20 @@ private[graft] object QueriesSampling {
           .arrange("doc_id").df),
 
 
+      // token-budget mixture: per-source deterministic picks until 500
+      // tokens each (the "N tokens of domain X" mixture spec; crossing
+      // doc included, short domains keep everything)
+      "q_token_budget" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.tokenBudgetSample(
+            Tables.df(s, dir, "documents")
+              .select(col("doc_id"), col("source"),
+                graft.functions.TextFunctions.tokenCount(col("text"))
+                  .cast("long").as("n_tokens")),
+            "doc_id", "source", "n_tokens", budget = 500L))
+          .arrange("doc_id").df),
+
+
       // deterministic train/val/test split assignment (80/10/10)
       "q_split" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -125,6 +139,24 @@ private[graft] object QueriesSampling {
         |        % 1000000
         |      < round(least(1.0, greatest(0.0, n_chars / 2000.0)) * 1000000, 0)::BIGINT
         |ORDER BY doc_id""".stripMargin,
+
+
+    // token budget: exclusive running sum over the (hash, id) order per
+    // source; the crossing doc's prev < budget keeps it
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    ('0x' || substring(md5('graft_tbudget_42_' || doc_id), 1, 12))::BIGINT
+        |      % 1000000 AS rk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE prev < 500 ORDER BY doc_id""".stripMargin,
 
 
     "q_temperature_mix" ->

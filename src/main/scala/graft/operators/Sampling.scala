@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.hash48
 
@@ -159,6 +160,35 @@ object Sampling {
     df.join(broadcast(cuts), Seq(domainCol))
       .filter(hashBucket(col(idCol), "tmix", seed) < col("__cut"))
       .drop("__cut")
+  }
+
+  /** Token-BUDGET mixture: per domain, keep a deterministic selection of
+    * documents until a token budget is met — how real training mixtures
+    * are specified ("30B tokens of code, 10B of forums"), where
+    * [[temperatureMixture]] reasons in document RATES. Documents are
+    * ordered inside each domain by sampling hash (id tiebreak) and a
+    * document survives iff the tokens of the domain's earlier picks
+    * haven't reached the budget yet (exclusive running sum < budget) —
+    * so the crossing document is INCLUDED and every selection totals ≥
+    * budget when the domain has that much; short domains keep
+    * everything. Fully deterministic, no RNG, engine-replayable.
+    *
+    * Plan: ONE window per domain partition (running sum over the hash
+    * order). Parallelism is the domain count and the max task is the
+    * largest domain — the natural unit for a mixture op (the
+    * window-key house rule); a corpus that is one giant domain should
+    * be budgeted globally via [[hashSample]] instead. `tokensCol` must
+    * be integral (token counts — the house float rule). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, domainCol: String,
+                        tokensCol: String, budget: Long,
+                        seed: Long = 42L): DataFrame = {
+    require(budget > 0L, s"tokenBudgetSample: budget > 0, got $budget")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashBucket(col(idCol), "tbudget", seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("__prev") < lit(budget))
+      .drop("__prev")
   }
 
   /** Deterministic global shuffle: a total order by sampling hash (ties

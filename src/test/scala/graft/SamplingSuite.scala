@@ -106,6 +106,33 @@ class SamplingSuite extends SparkSpec {
     assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
   }
 
+  test("tokenBudgetSample: crossing doc included, short domains keep all, deterministic") {
+    // domain A: 5 docs x 10 tokens, budget 25 -> exactly 3 kept (30 tokens);
+    // domain B: 1 doc x 4 tokens, budget 25 -> kept entirely
+    val text10 = (0 until 10).map(i => s"w$i").mkString(" ")
+    val df = toDf(spark)(
+      "doc_id" -> (1L to 6L),
+      "dom" -> Seq("A", "A", "A", "A", "A", "B"),
+      "text" -> (Seq.fill(5)(text10) :+ "a b c d")).df
+      .withColumn("n", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+    val kept = Sampling.tokenBudgetSample(df, "doc_id", "dom", "n", budget = 25L)
+      .collect().map(_.getLong(0)).toSet
+    // expected: first 3 of domain A in the (hashBucket, id) order + doc 6
+    val order = df.filter(col("dom") === "A")
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), "tbudget", 42L).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+    val expected = order.take(3).toSet + 6L
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    // deterministic across evaluations
+    val again = Sampling.tokenBudgetSample(df, "doc_id", "dom", "n", budget = 25L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // each selected domain-A total reaches the budget
+    val total = df.filter(col("doc_id").isin(order.take(3): _*))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total >= 25L)
+  }
+
   test("quantileBuckets: boundary-inclusive cuts, null scores stay null") {
     // values 0..7, cuts (0.25, 0.75): thresholds (7·0.25)=1.75 and
     // (7·0.75)=5.25 — interpolated 1.75 / 5.25; so 0,1 → bucket 0,
