@@ -27,6 +27,21 @@ private[graft] object QueriesVector {
           .arrange("vec_id").df),
 
 
+      // semantic decontamination: drop corpus vectors within cosine 0.3
+      // of ANY bench vector (vec_id < 4) — the embedding-space twin of
+      // the n-gram decontamination filter; literal tier (pure
+      // projection, no join/shuffle)
+      "q_semantic_decontam" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.semanticDecontaminate(
+            e.filter(col("vec_id") >= 4), e.filter(col("vec_id") < 4),
+            "embedding", "vec_id", minCos = 0.3)
+            .select(col("vec_id"), col("label")))
+          .arrange("vec_id").df
+      }),
+
+
       // brute-force cosine top-k (the ANN baseline; exact oracle)
       "q_ann_cosine" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -181,6 +196,23 @@ private[graft] object QueriesVector {
     "q_kmeans_assign" -> OracleSql.kmeansAssign(),
 
     "q_cluster_sample" -> OracleSql.clusterSample(),
+
+
+    // semantic decontam: max-cos vs the bench set, NOT IN over the
+    // non-null id (the cosExpr replay — both engines' dot is the same
+    // left fold)
+    "q_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT v AS bv FROM e WHERE vec_id < 4),
+        |bad AS (
+        |  SELECT DISTINCT e.vec_id FROM e CROSS JOIN b
+        |  WHERE e.vec_id >= 4
+        |    AND list_dot_product(e.v, b.bv)
+        |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+        |        >= 0.3)
+        |SELECT vec_id, label FROM e
+        |WHERE vec_id >= 4 AND vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
 
 
     "q_ann_cosine" ->

@@ -205,6 +205,51 @@ object Similarity {
                       quantScale: Double = 1e6): Seq[Array[Double]] =
     lloyd(normalized(corpus, vecCol, idCol), k, iters, quantScale).map(_._2)
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[Dedup.decontaminate]]'s n-gram filter: drop every corpus row
+    * whose embedding is within cosine `minCos` of ANY benchmark
+    * embedding. Catches paraphrased/reworded eval leakage that no
+    * lexical overlap filter can see; run it AFTER the n-gram screen
+    * (the two catch disjoint leak modes). Rows with a null embedding
+    * are KEPT (decontamination only drops proven-contaminated rows).
+    *
+    * Tiering mirrors `decontaminate`: eval benches are small by nature,
+    * so up to `maxLiteralVectors` the bench embeddings ride the plan as
+    * literals and the gate is a PURE PROJECTION (per-row max-cosine via
+    * the codegen'd dot kernel — no join, no shuffle, stateless →
+    * stream-safe). Past the cap it degrades to the relational shape:
+    * broadcast bench vectors, cosine filter BEFORE any shuffle, and
+    * only the contaminated ids (tiny by construction) form the
+    * anti-join relation — the corpus is scanned twice, never
+    * exchanged. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            vecCol: String, idCol: String,
+                            minCos: Double = 0.9,
+                            maxLiteralVectors: Int = 256): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"semanticDecontaminate: minCos in (-1,1], got $minCos")
+    val probe = normalized(bench, vecCol, idCol)
+      .limit(maxLiteralVectors + 1).collect()
+    if (probe.isEmpty) return corpus
+    if (probe.length <= maxLiteralVectors) {
+      val vecs = probe.map(_.getSeq[Double](1).toArray)
+      val cosArr = array(vecs.toIndexedSeq.map(c =>
+        cosine(col("__sdv"), array(c.toIndexedSeq.map(lit): _*))): _*)
+      corpus.withColumn("__sdv", toDoubleArray(col(vecCol)))
+        .filter(!coalesce(array_max(cosArr) >= lit(minCos), lit(false)))
+        .drop("__sdv")
+    } else {
+      val bv = normalized(bench, vecCol, idCol).select(col("v").as("__bv"))
+      val contaminated = corpus
+        .select(col(idCol).as("__cid"), toDoubleArray(col(vecCol)).as("__cv"))
+        .crossJoin(broadcast(bv))
+        .filter(cosine(col("__cv"), col("__bv")) >= lit(minCos))
+        .select(col("__cid")).distinct()
+      corpus.join(contaminated, corpus(idCol) === contaminated("__cid"),
+        "left_anti")
+    }
+  }
+
   private def normalized(corpus: DataFrame, vecCol: String, idCol: String) =
     corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))

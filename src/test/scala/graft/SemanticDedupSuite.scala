@@ -72,4 +72,51 @@ class SemanticDedupSuite extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
     assert(uncapped == Seq(0L), "within cap, the greedy rule keeps min id")
   }
+
+  test("semanticDecontaminate: literal tier drops near-bench, keeps orthogonal and null") {
+    import graft.operators.Similarity
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0), 9)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Seq(0.99, 0.1, 0.0), 0),   // near the bench vector -> dropped
+      (2L, Seq(0.0, 1.0, 0.0), 1),    // orthogonal -> kept
+      (3L, Seq(-1.0, 0.0, 0.0), 2))   // opposite -> kept
+      .toDF("vec_id", "embedding", "label")
+      .unionByName(Seq((4L, 3)).toDF("vec_id", "label")
+        .withColumn("embedding",
+          lit(null).cast("array<double>"))
+        .select("vec_id", "embedding", "label"))
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", minCos = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L, 4L), s"got $out")
+  }
+
+  test("semanticDecontaminate: relational tier matches the literal tier") {
+    import graft.operators.Similarity
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0), 9),
+      (101L, Seq(0.0, 1.0, 0.0), 9)).toDF("vec_id", "embedding", "label")
+    val corpus = (0 until 40).map { i =>
+      val a = i * 0.157
+      (i.toLong, Seq(math.cos(a), math.sin(a), 0.1), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val lit0 = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", minCos = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val rel = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", minCos = 0.95, maxLiteralVectors = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(lit0 == rel, s"literal=$lit0 relational=$rel")
+    assert(lit0.nonEmpty && lit0.size < 40, "threshold must bite both ways")
+  }
+
+  test("semanticDecontaminate: literal tier is a pure projection (no join/exchange)") {
+    import graft.operators.Similarity
+    val bench = Seq((100L, Seq(1.0, 0.0), 9)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq((1L, Seq(0.0, 1.0), 0)).toDF("vec_id", "embedding", "label")
+    val plan = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), s"plan:\n$plan")
+  }
 }
