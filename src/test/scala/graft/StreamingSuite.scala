@@ -98,6 +98,33 @@ class StreamingSuite extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("semanticDecontaminate literal tier runs on an unbounded stream") {
+    // the literal-vector max-cos gate is a pure projection (scaladoc
+    // claim) — no state, no watermark; batch output is the exact spec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") < 4)
+    val inDir = Paths.get("/tmp/graft_stream_semdecontam")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      inDir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(emb.schema).parquet(inDir.toString)
+      .filter(col("vec_id") >= 4)
+    val clean = graft.operators.Similarity.semanticDecontaminate(
+      stream, bench, "embedding", "vec_id", minCos = 0.3)
+    assert(clean.isStreaming)
+    val query = clean.select("vec_id")
+      .writeStream.format("memory").queryName("graft_semdecontam")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val got = spark.table("graft_semdecontam").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") >= 4), bench, "embedding", "vec_id",
+      minCos = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("gopherRules and c4Clean run on an unbounded stream (scan-local gates)") {
     // both quality gates are pure projections per their scaladoc claims —
     // no state, no watermark, batch output is the exact spec
