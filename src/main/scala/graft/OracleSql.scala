@@ -306,17 +306,46 @@ object OracleSql {
   def jaccardJoin(shingleSize: Int = 3, tauPct: Int = 50): String = {
     s"""WITH docs AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-       |${shingleSetShCte(shingleSize)},
-       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
-       |tp AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
-       |FROM tp JOIN sz sa ON sa.doc_id = tp.id_a
-       |        JOIN sz sb ON sb.doc_id = tp.id_b
-       |WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter)
+       |${jaccardTruthCtes(shingleSize, tauPct)}
+       |SELECT id_a, id_b, inter, uni FROM truth
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replays `Dedup.simhashRecallEval`: the exact-Jaccard truth LEFT
+    * JOIN the simhash chunk-banded candidate replay — how much of the
+    * true near-dup population the Hamming screen recovers. */
+  def simhashRecall(maxHamming: Int = 8, bucketCap: Int = 256,
+                    shingleSize: Int = 3, tauPct: Int = 50): String = {
+    val bits = Dedup.SimhashBits
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |${jaccardTruthCtes(shingleSize, tauPct)},
+       |th AS (
+       |  SELECT doc_id, list_transform(w, tk -> ${h48("tk")}) AS h FROM docs),
+       |sv AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, $bits), b ->
+       |      CASE WHEN len(list_filter(h, x -> ((x >> b) & 1) = 1)) * 2 > len(h)
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS sh
+       |  FROM th),
+       |banded AS (
+       |  SELECT doc_id, sh, c AS chunk, (sh >> (c * 12)) & 4095 AS cval
+       |  FROM sv, unnest([0,1,2,3]) AS t(c)),
+       |ok AS (
+       |  SELECT chunk, cval FROM banded GROUP BY chunk, cval
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x
+       |  JOIN banded y ON x.chunk = y.chunk AND x.cval = y.cval
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.chunk = x.chunk AND ok.cval = x.cval
+       |  WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming)
+       |SELECT t.id_a, t.id_b, t.inter, t.uni,
+       |  (CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS caught
+       |FROM truth t
+       |LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |ORDER BY t.id_a, t.id_b""".stripMargin
   }
 
   /** Replays `Dedup.minhashPrecisionEval`: every banded-candidate pair
@@ -361,11 +390,11 @@ object OracleSql {
     * truth pairs (integer cross-multiplied threshold) LEFT JOIN the
     * banded-candidate replay — `caught` flags which truth pairs the LSH
     * configuration recovers. */
-  def minhashRecall(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
-                    bucketCap: Int = 64, minEstJaccard: Double = 0.5,
-                    tauPct: Int = 50): String = {
-    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
-       |${shingleSetShCte(shingleSize)},
+  /** The exact-Jaccard truth chain `sh → sz → tp → truth` (assumes a
+    * `docs(doc_id, w)` CTE in scope) — shared by the similarity join
+    * and every eval-harness replay. */
+  private def jaccardTruthCtes(shingleSize: Int, tauPct: Int): String =
+    s"""${shingleSetShCte(shingleSize)},
        |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
        |tp AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
@@ -375,7 +404,13 @@ object OracleSql {
        |  SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
        |  FROM tp JOIN sz sa ON sa.doc_id = tp.id_a
        |          JOIN sz sb ON sb.doc_id = tp.id_b
-       |  WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter)),
+       |  WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter))""".stripMargin
+
+  def minhashRecall(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                    bucketCap: Int = 64, minEstJaccard: Double = 0.5,
+                    tauPct: Int = 50): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |${jaccardTruthCtes(shingleSize, tauPct)},
        |ok AS (
        |  SELECT band, bhash FROM banded GROUP BY band, bhash
        |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),

@@ -150,6 +150,16 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // SimHash recall vs the same exact-Jaccard truth: the cross-metric
+      // number to compare against q_minhash_recall before picking a
+      // screen (SimHash approximates cosine, not Jaccard)
+      "q_simhash_recall" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.simhashRecallEval(Tables.df(s, dir, "documents"),
+            "text", "doc_id"))
+          .arrange("id_a", "id_b").df),
+
+
       // SimHash near-dup candidates (exact oracle: md5-derived hashes)
       "q_simhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -353,6 +363,8 @@ private[graft] object QueriesDedup {
     "q_minhash_recall" -> OracleSql.minhashRecall(),
 
     "q_minhash_precision" -> OracleSql.minhashPrecision(minEstJaccard = 0.3),
+
+    "q_simhash_recall" -> OracleSql.simhashRecall(),
 
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
 

@@ -350,6 +350,24 @@ object Dedup {
         coalesce(col("__caught"), lit(0L)).as("caught"))
   }
 
+  /** SimHash twin of [[minhashRecallEval]]: the same exact-Jaccard truth
+    * pairs, flagged with whether the SimHash Hamming screen
+    * ([[simhashCandidates]], unchanged production path) recovers them.
+    * SimHash approximates token-multiset cosine, not Jaccard, so its
+    * recall against a Jaccard truth is exactly the cross-metric number
+    * a pipeline should look at before picking one screen over the
+    * other. */
+  def simhashRecallEval(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 8, bucketCap: Int = 256,
+                        shingleSize: Int = 3, tauPct: Int = 50): DataFrame = {
+    val truth = jaccardSimilarityJoin(df, textCol, idCol, tauPct, shingleSize)
+    val cand = simhashCandidates(df, textCol, idCol, maxHamming, bucketCap)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__caught"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        coalesce(col("__caught"), lit(0L)).as("caught"))
+  }
+
   /** EXACT Jaccard set-similarity join over word-shingle sets — every
     * pair with distinct-shingle Jaccard ≥ `tauPct`/100, with exact
     * intersection/union counts, NO false negatives and no estimation.
