@@ -292,12 +292,39 @@ object OracleSql {
   /** The distinct string-shingle hash48 index CTE (the decontamination
     * family's convention, matching the `DistinctShingleHashes` kernel):
     * `sh(doc_id, s)` — assumes a `docs(doc_id, w)` token CTE in scope. */
-  private def shingleSetShCte(s: Int): String =
-    s"""sh AS (SELECT doc_id, unnest(list_distinct(
+  private def shingleSetShCte(s: Int, from: String = "docs",
+                              name: String = "sh"): String =
+    s"""$name AS (SELECT doc_id, unnest(list_distinct(
        |    CASE WHEN len(w) < $s THEN [${h48("array_to_string(w, ' ')")}]
        |         ELSE list_transform(range(0, len(w) - ${s - 1}),
        |                i -> ${h48(s"array_to_string(w[i+1:i+$s], ' ')")}) END)) AS s
-       |  FROM docs)""".stripMargin
+       |  FROM $from)""".stripMargin
+
+  /** Replays `Dedup.jaccardSimilarityJoinAB` over two document slices
+    * (naive cross spelling — the shared-order prefix plan must
+    * reproduce it exactly). `leftWhere`/`rightWhere` are full WHERE
+    * clauses selecting the two sides from `documents`. */
+  def jaccardJoinAB(leftWhere: String, rightWhere: String,
+                    shingleSize: Int = 3, tauPct: Int = 50): String =
+    s"""WITH dl AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents $leftWhere),
+       |dr AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents $rightWhere),
+       |${shingleSetShCte(shingleSize, "dl", "shl")},
+       |${shingleSetShCte(shingleSize, "dr", "shr")},
+       |szl AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shl GROUP BY doc_id),
+       |szr AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shr GROUP BY doc_id),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM shl a JOIN shr b ON a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, (sa.n + sb.n - inter)::BIGINT AS uni
+       |FROM tp JOIN szl sa ON sa.doc_id = tp.id_a
+       |        JOIN szr sb ON sb.doc_id = tp.id_b
+       |WHERE inter * 100 >= $tauPct * (sa.n + sb.n - inter)
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Replays `Dedup.jaccardSimilarityJoin`: the SPELLING is the naive
     * exact formulation (distinct-shingle index self-join + size

@@ -130,6 +130,19 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // two-table similarity join (entity matching): even-id docs vs
+      // odd-id docs under ONE shared rare-first order
+      "q_jaccard_join_ab" -> ((s: SparkSession, dir: String) => {
+        val d = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.jaccardSimilarityJoinAB(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1),
+            "text", "doc_id"))
+          .arrange("id_a", "id_b").df
+      }),
+
+
       // LSH recall harness: exact-Jaccard truth pairs (tau 0.5) flagged
       // with whether the production banding config recovers them — the
       // number to check before trusting (k, bands, minEst) on a corpus
@@ -359,6 +372,9 @@ private[graft] object QueriesDedup {
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
 
     "q_jaccard_join" -> OracleSql.jaccardJoin(),
+
+    "q_jaccard_join_ab" -> OracleSql.jaccardJoinAB(
+      "WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1"),
 
     "q_minhash_recall" -> OracleSql.minhashRecall(),
 

@@ -470,6 +470,53 @@ object Dedup {
           .cast("long").as("is_true"))
   }
 
+  /** TWO-TABLE exact Jaccard similarity join — [[jaccardSimilarityJoin]]
+    * across relations (entity matching / record linkage: crawl vs
+    * curated, batch vs corpus): every (left, right) pair with
+    * distinct-shingle Jaccard ≥ `tauPct`/100 and exact counts. Same
+    * prefix-filter guarantee, with ONE SHARED total order: document
+    * frequencies are counted over the UNION of both sides' shingle
+    * index, so both prefixes are cut under the same rare-first order —
+    * the condition the prefix lemma needs. Join explodes only on rare
+    * shingles; verify is one bounded array_intersect per candidate.
+    * Output: (id_a from left, id_b from right, inter, uni). */
+  def jaccardSimilarityJoinAB(left: DataFrame, right: DataFrame,
+                              textCol: String, idCol: String,
+                              tauPct: Int = 50,
+                              shingleSize: Int = 3): DataFrame = {
+    require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
+    val lSets = shingleSets(left, textCol, idCol, shingleSize)
+    val rSets = shingleSets(right, textCol, idCol, shingleSize)
+    val union = lSets.select(col("id"), explode(col("__ss")).as("__h"))
+      .unionByName(rSets.select(col("id"), explode(col("__ss")).as("__h")))
+    val dfc = union.groupBy("__h").agg(count(lit(1)).as("__df"))
+    def prefixed(sets: DataFrame): DataFrame = {
+      val sorted = sets.select(col("id"), explode(col("__ss")).as("__h"))
+        .join(dfc, Seq("__h"))
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("__df").as("d"), col("__h").as("h"))))
+          .as("__sw"))
+        .select(col("id"),
+          transform(col("__sw"), x => x.getField("h")).as("__ss"))
+      val n = size(col("__ss")).cast("long")
+      val p = (n - floor((lit(tauPct.toLong) * n + lit(99L)).cast("double") / lit(100.0))
+        .cast("long") + lit(1L)).cast("int")
+      sorted.select(col("id"), explode(slice(col("__ss"), lit(1), p)).as("__h"))
+    }
+    val pairs = prefixed(lSets).select(col("id").as("id_a"), col("__h"))
+      .join(prefixed(rSets).select(col("id").as("id_b"), col("__h")), Seq("__h"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(lSets.select(col("id").as("id_a"), col("__ss").as("__sa")), Seq("id_a"))
+      .join(rSets.select(col("id").as("id_b"), col("__ss").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
+        (size(col("__sa")) + size(col("__sb"))).cast("long").as("__tot"))
+      .withColumn("uni", col("__tot") - col("inter"))
+      .filter(col("inter") * lit(100L) >= lit(tauPct.toLong) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   /** Per-doc DISTINCT shingle-hash sets `(id, __ss)` — the exact-overlap
     * side of the eval/similarity family. ONE codegen'd kernel call per
     * row ([[org.apache.spark.sql.graftshim.DistinctShingleHashes]], the

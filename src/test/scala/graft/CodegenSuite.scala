@@ -144,6 +144,22 @@ class CodegenSuite extends SparkSpec {
       s"kernel defeated column pruning — scan reads: $readSchema")
   }
 
+  test("jaccardSimilarityJoin prunes every documents scan to (doc_id, text)") {
+    // the join reads documents from several plan branches (kernel sets,
+    // df index, prefix index) — each branch's scan must stay pruned
+    val docs = Tables.df(spark, sfDir, "documents")
+    val out = graft.operators.Dedup.jaccardSimilarityJoin(docs, "text", "doc_id")
+    val scans = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty, "no file scans found")
+    scans.foreach { s =>
+      val readSchema = s.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+      assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+        !readSchema.contains("n_chars"),
+        s"a branch defeated column pruning — scan reads: $readSchema")
+    }
+  }
+
   test("SimHashText compiles into a WholeStageCodegen span") {
     val docs = Tables.df(spark, sfDir, "documents")
     val sigOnly = docs.select(

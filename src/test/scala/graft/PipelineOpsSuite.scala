@@ -334,6 +334,28 @@ class PipelineOpsSuite extends SparkSpec {
       s"missing=${(naive -- pruned).take(5)} extra=${(pruned -- naive).take(5)}")
   }
 
+  test("jaccardSimilarityJoinAB equals the self-join's cross-parity subset") {
+    // the AB form under the shared order must find exactly the
+    // unordered pairs the self-join finds with one even and one odd id
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val self = Dedup.jaccardSimilarityJoin(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter { case (a, b, _, _) => a % 2 != b % 2 }
+      .map { case (a, b, i, u) => (math.min(a, b), math.max(a, b), i, u) }
+      .toSet
+    val ab = Dedup.jaccardSimilarityJoinAB(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id")
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(self.nonEmpty, "sf0.001 must contain cross-parity pairs")
+    assert(ab == self, s"missing=${(self -- ab).take(5)} extra=${(ab -- self).take(5)}")
+  }
+
   test("jaccardSimilarityJoin: identical docs and sub-threshold docs behave") {
     val base = (0 until 30).map(i => s"tok$i").mkString(" ")
     val df = toDf(spark)(
