@@ -576,7 +576,7 @@ object OracleSql {
     * asc — the same tie-break as Spark's array_position-of-max over the
     * cell-ordered centroid list), nprobe=2, per-query rank over
     * vec_id < 4. */
-  private def ivfRankedCtes(iters: Int): String =
+  private def ivfAssignCtes(iters: Int): String =
     s"""cent AS (SELECT cell AS cid, cv FROM c$iters),
        |cassign AS (
        |  SELECT vec_id, v, cid,
@@ -585,7 +585,10 @@ object OracleSql {
        |  FROM e CROSS JOIN cent),
        |c AS (SELECT vec_id, v, cid AS cell FROM cassign WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
-       |  FROM cassign WHERE vec_id < 4 AND rn <= 2),
+       |  FROM cassign WHERE vec_id < 4 AND rn <= 2)""".stripMargin
+
+  private def ivfRankedCtes(iters: Int): String =
+    s"""${ivfAssignCtes(iters)},
        |cand AS (
        |  SELECT DISTINCT q.query_id, c.vec_id, ${cosExpr("c.v", "q.qv")} AS cos
        |  FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
@@ -697,11 +700,11 @@ object OracleSql {
     * long-sum means, and a LEFT JOIN + COALESCE empty-code pass-through;
     * `a${iters}_$s` holds the final 0-based code per vec_id. */
   private def pqCtes(m: Int, d: Int, ncode: Int, iters: Int,
-                     withE: Boolean = true): String = {
+                     withE: Boolean = true, src: String = "e"): String = {
     val S = "1000000.0"
     def sub(s: Int) =
       s"""sub$s AS (SELECT vec_id, list_slice(v, ${s * d + 1}, ${s * d + d}) AS x
-         |  FROM e)""".stripMargin
+         |  FROM $src)""".stripMargin
     // POSITIONAL codes (0-based rank of the seed, not its vec_id): the
     // Spark side indexes into the collected seed array, so under sparse
     // ids below ncode the two stay aligned only via the rank
@@ -743,13 +746,46 @@ object OracleSql {
   }
 
   /** The PQ reconstruction CTE `pqrec(vec_id, rv)` over a pqCtes chain. */
-  private def pqRecCte(m: Int, iters: Int): String = {
+  private def pqRecCte(m: Int, iters: Int, src: String = "e"): String = {
     val concats = (0 until m).map(s => s"c$s.cw").mkString(" || ")
     val joins = (0 until m).map(s =>
       s"JOIN a${iters}_$s x$s USING (vec_id) JOIN cb${iters}_$s c$s ON c$s.code = x$s.code")
       .mkString("\n  ")
-    s"""pqrec AS (SELECT e.vec_id, $concats AS rv FROM e
+    s"""pqrec AS (SELECT $src.vec_id, $concats AS rv FROM $src
        |  $joins)""".stripMargin
+  }
+
+  /** Replays q_ann_ivfpq (Similarity.ivfPqTopK — the FAISS IVFADC
+    * layout): the trained-centroid IVF assignment chain gives each
+    * vector its cell and residual `v − centroid`; the PQ chain trains on
+    * and encodes the RESIDUALS; a candidate's scored vector is
+    * `centroid + decode(codes)`, probed at the query's top-2 cells. */
+  def annIvfPq(nCent: Int = 8, iters: Int = 2, dim: Int = 64,
+               pqM: Int = 4, pqNcode: Int = 8, pqIters: Int = 1,
+               k: Int = 10): String = {
+    val d = dim / pqM
+    s"""WITH ${lloydCtes(nCent, iters, dim, withFinalAssign = false)},
+       |${ivfAssignCtes(iters)},
+       |resid AS (
+       |  SELECT c.vec_id,
+       |    list_transform(range(1, ${dim + 1}), i -> c.v[i] - cent.cv[i]) AS v
+       |  FROM c JOIN cent ON cent.cid = c.cell),
+       |${pqCtes(pqM, d, pqNcode, pqIters, withE = false, src = "resid")},
+       |${pqRecCte(pqM, pqIters, src = "resid")},
+       |frec AS (
+       |  SELECT r.vec_id, c.cell,
+       |    list_transform(range(1, ${dim + 1}), i -> cent.cv[i] + r.rv[i]) AS fv
+       |  FROM pqrec r JOIN c ON c.vec_id = r.vec_id
+       |  JOIN cent ON cent.cid = c.cell),
+       |pcand AS (
+       |  SELECT DISTINCT q.query_id, f.vec_id, ${cosExpr("f.fv", "q.qv")} AS cos
+       |  FROM frec f JOIN q ON f.cell = q.cell AND f.vec_id <> q.query_id),
+       |pranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM pcand)
+       |SELECT query_id, vec_id, cos, rank FROM pranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Replays q_pq_encode: the trained per-subspace code of every vector. */

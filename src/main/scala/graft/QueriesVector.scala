@@ -136,6 +136,25 @@ private[graft] object QueriesVector {
       }),
 
 
+      // IVF-PQ ANN (FAISS IVFADC): trained coarse cells prune WHICH
+      // vectors a query scores (nprobe=2), PQ codes trained on the
+      // coarse-cell RESIDUALS shrink WHAT each candidate costs — the
+      // production billion-vector index shape; training, residuals,
+      // encode, and reconstruction all replay relationally → exact oracle
+      "q_ann_ivfpq" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+          k = 8, iters = 2)
+        val books = Similarity.ivfPqCodebooks(emb, "embedding", "vec_id",
+          cents, m = 4, ncode = 8, iters = 1)
+        graft.api.DataTable(
+          Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 4),
+            cents, books, "embedding", "vec_id", "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
       // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
       "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -246,6 +265,8 @@ private[graft] object QueriesVector {
     "q_ann_pq" -> OracleSql.annPq(),
 
     "q_ann_ivf" -> OracleSql.annIvf(),
+
+    "q_ann_ivfpq" -> OracleSql.annIvfPq(),
 
     "q_ann_lsh" -> OracleSql.annLsh(),
 

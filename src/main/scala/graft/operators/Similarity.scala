@@ -128,6 +128,39 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** 1-based positional cosine-argmax cell of `v` against literal
+    * centroids (first index wins ties — both engines' position functions
+    * agree). A pure projection: no join, no shuffle. */
+  private def cellCosArr(v: Column, centroids: Seq[Array[Double]]): Column =
+    array(centroids.map(p =>
+      cosine(v, array(p.toIndexedSeq.map(lit): _*))): _*)
+
+  private def cellOf(v: Column, centroids: Seq[Array[Double]]): Column = {
+    val cc = cellCosArr(v, centroids)
+    array_position(cc, array_max(cc))
+  }
+
+  /** The centroid matrix as one literal `array<array<double>>` —
+    * `element_at(matrix, cell)` looks a row's assigned centroid back up
+    * inline (cell is the 1-based [[cellOf]] index). */
+  private def centroidMatrix(centroids: Seq[Array[Double]]): Column =
+    array(centroids.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+
+  /** Queries exploded to their top-2 cells (nprobe=2): argmax, then
+    * argmax with the first masked out. Returns (query_id, qv, cell). */
+  private def probeTop2(queries: DataFrame, centroids: Seq[Array[Double]],
+                        vecCol: String, queryIdCol: String): DataFrame = {
+    val n = centroids.length
+    queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__cc", cellCosArr(col("qv"), centroids))
+      .withColumn("__c1", array_position(col("__cc"), array_max(col("__cc"))))
+      .withColumn("__cc2", expr(
+        s"transform(sequence(1, $n), i -> if(i = __c1, cast(-1e9 as double), __cc[i-1]))"))
+      .withColumn("__c2", array_position(col("__cc2"), array_max(col("__cc2"))))
+      .withColumn("cell", explode(array(col("__c1"), col("__c2"))))
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
   /** IVF-style ANN: the corpus is partitioned into cells by nearest
     * centroid; a query scores only candidates in its 2 closest cells
     * (nprobe=2). Cell assignment is a PURE PROJECTION — the centroids are
@@ -142,26 +175,9 @@ object Similarity {
               centroids: Seq[Array[Double]],
               vecCol: String, idCol: String, queryIdCol: String,
               k: Int): DataFrame = {
-    val n = centroids.length
-    def litVec(a: Array[Double]): Column = array(a.map(lit).toIndexedSeq: _*)
-    def cosArr(v: Column): Column =
-      array(centroids.map(p => cosine(v, litVec(p))): _*)
-    // nearest cell = 1-based argmax of the cosine array (first index wins
-    // ties — both engines' position functions agree)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("__cc", cosArr(col("cv")))
-      .withColumn("cell", array_position(col("__cc"), array_max(col("__cc"))))
-      .drop("__cc")
-    // queries probe their top-2 cells: argmax, then argmax with the first
-    // masked out
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__cc", cosArr(col("qv")))
-      .withColumn("__c1", array_position(col("__cc"), array_max(col("__cc"))))
-      .withColumn("__cc2", expr(
-        s"transform(sequence(1, $n), i -> if(i = __c1, cast(-1e9 as double), __cc[i-1]))"))
-      .withColumn("__c2", array_position(col("__cc2"), array_max(col("__cc2"))))
-      .withColumn("cell", explode(array(col("__c1"), col("__c2"))))
-      .select(col("query_id"), col("qv"), col("cell"))
+      .withColumn("cell", cellOf(col("cv"), centroids))
+    val q = probeTop2(queries, centroids, vecCol, queryIdCol)
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
@@ -316,10 +332,17 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
                   dim: Int, m: Int = 4, ncode: Int = 8, iters: Int = 1,
                   quantScale: Double = 1e6): Seq[Seq[Array[Double]]] = {
+    pqTrain(normalized(corpus, vecCol, idCol), dim, m, ncode, iters, quantScale)
+  }
+
+  /** The Lloyd loop of [[pqCodebooks]] over an already-normalized frame
+    * `e(vec_id: long, v: array<double>)` — shared with the residual
+    * training of [[ivfPqCodebooks]]. */
+  private def pqTrain(e: DataFrame, dim: Int, m: Int, ncode: Int,
+                      iters: Int, quantScale: Double): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0,
       s"pqCodebooks: dim=$dim must split evenly into m=$m subspaces")
     val d = dim / m
-    val e = normalized(corpus, vecCol, idCol)
     val seeds = e.filter(col("vec_id") < ncode).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toArray)
     require(seeds.nonEmpty,
@@ -404,17 +427,77 @@ object Similarity {
              books: Seq[Seq[Array[Double]]],
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int): DataFrame = {
-    val d = books.head.head.length
-    val recon = concat(books.zipWithIndex.map { case (cb, s) =>
-      val cwLit = array(cb.map(cw => array(cw.toIndexedSeq.map(lit): _*)): _*)
-      element_at(cwLit, element_at(col("codes"), s + 1) + lit(1))
-    }: _*)
     val c = pqEncode(corpus, vecCol, idCol, books)
-      .select(col("vec_id"), recon.as("rv"))
+      .select(col("vec_id"), pqReconExpr(books, col("codes")).as("rv"))
     val q = queries.select(col(queryIdCol).as("query_id"),
       toDoubleArray(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("rv"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
+  }
+
+  /** Codeword reconstruction of a PQ code array: per subspace, a literal
+    * codebook lookup, concatenated back to the full vector — a pure
+    * projection (the scan reads only the m codes). */
+  private def pqReconExpr(books: Seq[Seq[Array[Double]]],
+                          codes: Column): Column =
+    concat(books.zipWithIndex.map { case (cb, s) =>
+      val cwLit = array(cb.map(cw => array(cw.toIndexedSeq.map(lit): _*)): _*)
+      element_at(cwLit, element_at(codes, s + 1) + lit(1))
+    }: _*)
+
+  /** Coarse-cell residual frame: every vector joined (inline, via the
+    * literal centroid matrix — no join operator) with its assigned
+    * centroid, `v` replaced by `v − centroid`. Keeps (vec_id, cell, v). */
+  private def residuals(e: DataFrame,
+                        centroids: Seq[Array[Double]]): DataFrame =
+    e.withColumn("cell", cellOf(col("v"), centroids))
+      .withColumn("v", zip_with(col("v"),
+        element_at(centroidMatrix(centroids), col("cell").cast("int")),
+        (x, c) => x - c))
+
+  /** IVF-PQ codebooks (Jégou et al. 2011 §IV, the FAISS IVFADC layout):
+    * the PQ codebooks are trained on coarse-cell RESIDUALS `v − centroid`
+    * rather than raw vectors — residuals concentrate around the origin,
+    * so the same code budget quantizes them far more finely. Training
+    * inherits [[pqCodebooks]]'s determinism discipline (residual seeds of
+    * the `ncode` smallest vec_ids, dot-expansion L2, quantized means);
+    * the residual itself is one IEEE subtract per element on identical
+    * inputs, so the DuckDB oracle replays it bit-exactly. */
+  def ivfPqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                     centroids: Seq[Array[Double]],
+                     m: Int = 4, ncode: Int = 8, iters: Int = 1,
+                     quantScale: Double = 1e6): Seq[Seq[Array[Double]]] =
+    pqTrain(residuals(normalized(corpus, vecCol, idCol), centroids),
+      centroids.head.length, m, ncode, iters, quantScale)
+
+  /** IVF-PQ ANN (FAISS IVFADC): the production billion-vector index
+    * shape — coarse cells prune WHICH vectors a query scores (nprobe=2,
+    * the [[ivfTopK]] join), PQ residual codes shrink WHAT each candidate
+    * costs to score (m codes instead of the raw vector). Per candidate
+    * the scored vector is `centroid(cell) + decode(codes)`; everything
+    * up to the probe join is a pure projection, and the top-k keeps the
+    * bounded-heap shape of [[bruteForceTopK]]. At 100 TB: the scan reads
+    * m bytes per vector, the probe prunes to ~corpus × nprobe / nlist,
+    * and no stage funnels the corpus through one partition. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                centroids: Seq[Array[Double]],
+                books: Seq[Seq[Array[Double]]],
+                vecCol: String, idCol: String, queryIdCol: String,
+                k: Int): DataFrame = {
+    val d = books.head.head.length
+    val r = residuals(normalized(corpus, vecCol, idCol), centroids)
+    val c = r.withColumn("codes", pqCodeArray(books, d))
+      .select(col("vec_id"), col("cell"),
+        zip_with(
+          element_at(centroidMatrix(centroids), col("cell").cast("int")),
+          pqReconExpr(books, col("codes")),
+          (a, b) => a + b).as("fv"))
+    val q = probeTop2(queries, centroids, vecCol, queryIdCol)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("fv"), col("qv")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     rankTopK(partitionTopK(scored, k), k)
   }
