@@ -181,9 +181,9 @@ object OracleSql {
     * here, in ONE place): every doc labeled min id of its component,
     * own id when untouched — shared by the MinHash and winnow cluster
     * oracles. */
-  private def closureOverPairs(orderedPairsSql: String): String = {
+  private def closureCtes(orderedPairsSql: String): String = {
     val pairs = orderedPairsSql.replaceAll("ORDER BY id_a, id_b\\s*$", "")
-    s"""WITH RECURSIVE pairs AS ($pairs),
+    s"""pairs AS ($pairs),
        |edges AS (
        |  SELECT id_a AS u, id_b AS v FROM pairs
        |  UNION
@@ -191,13 +191,38 @@ object OracleSql {
        |reach AS (
        |  SELECT u AS id, u AS r FROM edges
        |  UNION
-       |  SELECT e.u AS id, t.r FROM edges e JOIN reach t ON e.v = t.id)
+       |  SELECT e.u AS id, t.r FROM edges e JOIN reach t ON e.v = t.id),
+       |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
+  private def closureOverPairs(orderedPairsSql: String): String =
+    s"""WITH RECURSIVE ${closureCtes(orderedPairsSql)}
        |SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d
-       |LEFT JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) m
-       |  ON d.doc_id = m.id
+       |LEFT JOIN comp m ON d.doc_id = m.id
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** Replays Dedup.dedupNearKeepBest: transitive closure over the
+    * MinHash candidate graph, then each component keeps its best member
+    * by `scoreCol` (DESC NULLS LAST — Spark's desc — ties → smallest
+    * id); docs in no pair survive untouched. */
+  def minhashKeepBest(scoreCol: String, k: Int = 32, shingleSize: Int = 3,
+                      bands: Int = 8, bucketCap: Int = 64,
+                      minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${closureCtes(
+         minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard))},
+       |member AS (
+       |  SELECT d.doc_id, d.$scoreCol AS sc, m.cluster_id
+       |  FROM documents d JOIN comp m ON d.doc_id = m.id),
+       |losers AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |        ORDER BY sc DESC NULLS LAST, doc_id) AS rk
+       |    FROM member)
+       |  WHERE rk > 1)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
 
   /** Transitive closure of Dedup.clusterByWinnow (defaults MATCH the
     * operator's) — [[closureOverPairs]] over the winnow pair graph. */

@@ -83,6 +83,19 @@ private[graft] object QueriesDedup {
           .arrange("doc_id").df),
 
 
+      // quality-aware near-dup removal: each near-dup cluster keeps its
+      // LONGEST member (n_chars desc, ties -> smallest id) instead of the
+      // smallest id — the keep-the-best-variant policy a crawl dedup
+      // actually wants; window runs over pair members only, the corpus
+      // never shuffles
+      "q_dedup_keep_best" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.dedupNearKeepBest(Tables.df(s, dir, "documents"),
+            "text", "doc_id", "n_chars", minEstJaccard = 0.5)
+            .select(col("doc_id")))
+          .arrange("doc_id").df),
+
+
       // incremental NEAR-dup ingestion: the batch (doc_id >= 400) is
       // screened against the historical corpus's LSH band store (any
       // est-Jaccard >= 0.5 witness drops the doc), then greedy keep-one
@@ -362,6 +375,8 @@ private[graft] object QueriesDedup {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
+
+    "q_dedup_keep_best" -> OracleSql.minhashKeepBest("n_chars"),
 
     "q_dedup_incr_near" -> OracleSql.minhashIncremental(splitId = 400L),
 

@@ -1323,10 +1323,30 @@ object Dedup {
     * scale; parity between tiers is suite-pinned. */
   private[graft] def clusterByPairs(df: DataFrame, pairs: DataFrame, idCol: String,
                                     maxDriverEdges: Int = 1 << 20): DataFrame = {
+    requireIntegralId(df, idCol)
+    val comp = componentLabels(df.sparkSession, pairs, maxDriverEdges)
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val dt = df.schema(idCol).dataType
     require(dt == LongType || dt == IntegerType,
       s"cluster ops need an integral id column; '$idCol' is ${dt.simpleString}")
+  }
+
+  /** The `(id, component)` label frame behind [[clusterByPairs]]: every
+    * id that appears in `pairs` labeled with the smallest id of its
+    * connected component (ids in no pair are absent — callers decide the
+    * singleton rule). Labels survive the internal pair-cache release:
+    * the driver tier collects them, the distributed tier returns
+    * checkpoint-truncated labels. */
+  private[graft] def componentLabels(spark: org.apache.spark.sql.SparkSession,
+                                     pairs: DataFrame,
+                                     maxDriverEdges: Int = 1 << 20): DataFrame = {
     // persist before probing: limit cannot short-circuit the candidate
     // shuffle, so without the cache the over-cap fallback would pay the
     // dominant pairs computation TWICE (probe + components)
@@ -1362,17 +1382,14 @@ object Dedup {
             if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
           }
           val labels = parent.keys.toSeq.map(x => (x, find(x)))
-          val s = df.sparkSession
-          import s.implicits._
-          labels.toDF(idCol, "component")
+          import spark.implicits._
+          labels.toDF("id", "component")
         } else
           // components materialize during the call (per-round counts) and
           // the returned labels are checkpoint-truncated, so the cache
           // can be dropped as soon as this returns
-          connectedComponents(cached, "id_a", "id_b").withColumnRenamed("id", idCol)
-      df.join(comp, Seq(idCol), "left")
-        .withColumn("cluster_id", coalesce(col("component"), col(idCol).cast("long")))
-        .drop("component")
+          connectedComponents(cached, "id_a", "id_b")
+      comp
     } finally cached.unpersist(blocking = false)
   }
 
@@ -1398,4 +1415,41 @@ object Dedup {
     clusterByPairs(df,
       winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared),
       idCol)
+
+  /** Quality-aware near-dup removal: each near-dup CLUSTER keeps its
+    * best member by `scoreCol` (highest wins; ties → smallest id)
+    * instead of [[dedupByMinhash]]'s keep-smallest-id rule — the
+    * pipeline that deduplicates a crawl wants the cleanest/longest
+    * variant of a page, not whichever happened to get the lower id.
+    *
+    * Scale shape: the candidate graph and its component labels are the
+    * bounded [[clusterByPairs]] machinery; the keep-best window runs
+    * over PAIR MEMBERS ONLY (≤ 2·|pairs| rows, bounded by the capped
+    * buckets) joined broadcast-style back to the corpus — the corpus
+    * itself never shuffles, and the final drop is a broadcast anti-join
+    * on the (tiny) loser ids. Null scores sort last (Spark desc ==
+    * DESC NULLS LAST, spelled explicitly in the oracle). */
+  def dedupNearKeepBest(df: DataFrame, textCol: String, idCol: String,
+                        scoreCol: String, k: Int = 32, bands: Int = 8,
+                        bucketCap: Int = 64,
+                        minEstJaccard: Double = 0.5): DataFrame =
+    keepBestByPairs(df,
+      minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard),
+      idCol, scoreCol)
+
+  private[graft] def keepBestByPairs(df: DataFrame, pairs: DataFrame,
+                                     idCol: String, scoreCol: String): DataFrame = {
+    requireIntegralId(df, idCol)
+    val labels = componentLabels(df.sparkSession, pairs) // member ids only
+    val member = df
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("__sc"))
+      .join(broadcast(labels), Seq("id"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__sc").desc, col("id"))
+    val losers = member.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as("__loser"))
+    df.join(broadcast(losers), col(idCol).cast("long") === col("__loser"),
+      "left_anti")
+  }
 }

@@ -284,6 +284,41 @@ class CorpusSuite extends SparkSpec {
     assert(driver == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("keepBestByPairs keeps the best-scored member, not the smallest id") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("score", LongType)))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L), Row(2L, 99L), Row(3L, 50L), // cluster {1,2,3}: best = 2
+        Row(4L, 7L), Row(5L, 7L),                 // cluster {4,5}: tie -> 4
+        Row(6L, 1L))), schema)                    // singleton survives
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(4L, 5L))),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val out = Dedup.keepBestByPairs(rows, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 4L, 6L))
+  }
+
+  test("keepBestByPairs: null scores lose to any non-null member") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("score", LongType)))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null), Row(2L, 3L))), schema)
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L))),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val out = Dedup.keepBestByPairs(rows, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L), "desc NULLS LAST: the null-scored doc drops")
+  }
+
   test("clusterByPairs driver tier survives deep chain graphs") {
     // the recursion hazard: a 50k-doc chain (i — i+1) built in DESCENDING
     // edge order produces maximum-depth parent chains; a recursive find
