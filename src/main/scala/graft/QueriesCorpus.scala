@@ -218,6 +218,16 @@ private[graft] object QueriesCorpus {
           .arrange("w1", "w2").df),
 
 
+      // cross-document boilerplate: top-50 corpus-wide trigrams (bounded
+      // TakeOrdered, deterministic tie order) broadcast back; per-doc
+      // boilerplate-instance fraction in exact integral arithmetic
+      "q_boilerplate" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.boilerplate(Tables.df(s, dir, "documents"),
+            "text", "doc_id", n = 3, topB = 50))
+          .arrange("doc_id").df),
+
+
       // CCNet-style perplexity bucketing: per-token unigram surprisal
       // (exact integer micro-nats per token) split at the global 0.25 /
       // 0.75 quantiles — head/middle/tail as buckets 0/1/2; one
@@ -624,6 +634,32 @@ private[graft] object QueriesCorpus {
         |SELECT source, MAX(n)::BIGINT AS n_tokens, SUM(t)::BIGINT AS kl_num,
         |  SUM(t)::DOUBLE / (MAX(n) + 64)::DOUBLE AS kl_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // boilerplate: trigram instance explode, top-50 by (count DESC,
+    // gram ASC), per-doc hit fraction in integral division
+    "q_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS g
+        |  FROM docs),
+        |top AS (
+        |  SELECT g FROM inst GROUP BY g
+        |  ORDER BY COUNT(*) DESC, g LIMIT 50),
+        |cnt AS (
+        |  SELECT i.doc_id, COUNT(*)::BIGINT AS ng,
+        |    SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM inst i LEFT JOIN top t USING (g)
+        |  GROUP BY i.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(c.ng, 0)::BIGINT AS n_grams,
+        |  COALESCE(c.nb, 0)::BIGINT AS n_boiler,
+        |  (CASE WHEN COALESCE(c.ng, 0) = 0 THEN 0
+        |        ELSE COALESCE(c.nb, 0) * 1000000 // c.ng END)::BIGINT AS boiler_micro
+        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
 
     // collocations: bigram/unigram count replay, the one spelled-out

@@ -49,6 +49,51 @@ object Corpus {
           ",").as("posting"))
   }
 
+  /** Corpus-level boilerplate detection: the `topB` most frequent word
+    * `n`-grams corpus-wide (headers, footers, cookie banners, license
+    * blurbs — the lines every page of a template site repeats) and each
+    * document's fraction of n-gram instances that hit that list. A crawl
+    * pipeline uses the fraction as a drop/clean gate the per-doc
+    * repetition rules can't express (the boilerplate repeats ACROSS
+    * documents, not within one).
+    *
+    * Output: (idCol, n_grams, n_boiler, boiler_micro) — counts are
+    * integers, boiler_micro = n_boiler·1e6 DIV n_grams (integral
+    * division, exact cross-engine); docs with fewer than `n` tokens have
+    * zero grams and score 0.
+    *
+    * Scale shape: one corpus scan explodes n-grams into the ONE counting
+    * shuffle (map-side partials); top-B is a bounded TakeOrdered with a
+    * total (count DESC, gram ASC) order — deterministic at ties; the
+    * per-doc pass re-scans the corpus and LEFT-joins the BROADCAST top
+    * list (topB rows by construction), then aggregates per doc — the
+    * corpus itself never shuffles by gram a second time. */
+  def boilerplate(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3, topB: Int = 50): DataFrame = {
+    require(n >= 1, s"boilerplate: n >= 1, got $n")
+    require(topB >= 1, s"boilerplate: topB >= 1, got $topB")
+    val toks = tokens(col(textCol))
+    val gs = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val inst = df.select(col(idCol).as("__id"), explode(gs).as("g"))
+    val top = inst.groupBy("g").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("g")).limit(topB)
+      .select(col("g"), lit(1L).as("__hit"))
+    val perDoc = inst.join(broadcast(top), Seq("g"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__ng"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__nb"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_micro",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("n_boiler * 1000000 DIV n_grams")))
+  }
+
   /** Unigram language-model surprisal — the CCNet-style quality signal:
     * score each document by the total information content of its tokens
     * under the corpus's own unigram distribution (boilerplate/word-soup
