@@ -837,6 +837,49 @@ object OracleSql {
        |  FROM pqrec r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Shared SQ8 CTE prefix `e, b`: per-dimension min/max bounds — the
+    * exact replay of Similarity.sqBounds (order-insensitive exact
+    * aggregates). */
+  private def sqCtes(dim: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT t.pos, MIN(e.v[t.pos]) AS lo, MAX(e.v[t.pos]) AS hi
+       |  FROM e CROSS JOIN unnest(range(1, ${dim + 1})) AS t(pos)
+       |  GROUP BY t.pos)""".stripMargin
+
+  /** The SQ8 level of component `pos`: floor((x − lo)·255/(hi − lo) + .5),
+    * 0 on constant dimensions — the same op order Similarity.sqEncode
+    * projects. */
+  private def sqCodeExpr: String =
+    """CASE WHEN b.hi = b.lo THEN 0
+      |        ELSE floor((e.v[b.pos] - b.lo) * 255.0 / (b.hi - b.lo) + 0.5) END"""
+      .stripMargin
+
+  /** Replays q_sq_encode (Similarity.sqBounds + sqEncode): every
+    * (vec_id, pos) 8-bit level. */
+  def sqEncode(dim: Int = 64): String =
+    s"""WITH ${sqCtes(dim)}
+       |SELECT e.vec_id, (b.pos - 1)::BIGINT AS pos,
+       |  ($sqCodeExpr)::BIGINT AS code
+       |FROM e CROSS JOIN b ORDER BY e.vec_id, pos""".stripMargin
+
+  /** Replays q_ann_sq (Similarity.sqTopK): reconstruct every corpus
+    * vector as lo + code·((hi − lo)/255) per component, cosine against
+    * the exact query vectors, top-k per query. */
+  def annSq(dim: Int = 64, k: Int = 10, nq: Int = 4): String =
+    s"""WITH ${sqCtes(dim)},
+       |recon AS (
+       |  SELECT e.vec_id,
+       |    list(b.lo + ($sqCodeExpr) * ((b.hi - b.lo) / 255.0)
+       |         ORDER BY b.pos) AS rv
+       |  FROM e CROSS JOIN b GROUP BY e.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq)
+       |SELECT query_id, vec_id, cos, rank FROM (
+       |  SELECT q.query_id, r.vec_id, ${cosExpr("r.rv", "q.qv")} AS cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY cos DESC, r.vec_id) AS BIGINT) AS rank
+       |  FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Replays [[graft.operators.Bm25.score]] with the SAME constants and
     * the SAME parenthesization (every floating-point operation happens in
     * the same order, so with the micro-scaled rounding the scores are

@@ -155,6 +155,33 @@ private[graft] object QueriesVector {
       }),
 
 
+      // SQ8 scalar quantization: per-dimension trained bounds (one
+      // bounded min/max aggregate), 8-bit levels as a pure projection —
+      // 1 byte/component, the compression tier between raw floats and PQ
+      "q_sq_encode" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val (lo, hi) = Similarity.sqBounds(emb, "embedding", "vec_id")
+        graft.api.DataTable(
+          Similarity.sqEncode(emb, "embedding", "vec_id", lo, hi)
+            .select(col("vec_id"), col("pos").cast("long").as("pos"),
+              col("code")))
+          .arrange("vec_id", "pos").df
+      }),
+
+
+      // ADC search over the SQ8-compressed corpus: per-component
+      // lo + code·step reconstruction vs the exact query vectors
+      "q_ann_sq" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val (lo, hi) = Similarity.sqBounds(emb, "embedding", "vec_id")
+        graft.api.DataTable(
+          Similarity.sqTopK(emb, emb.filter(col("vec_id") < 4), lo, hi,
+            "embedding", "vec_id", "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
       // LSH-bucketed ANN (the scale path; exact oracle like q_embed_dedup)
       "q_ann_lsh" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -267,6 +294,10 @@ private[graft] object QueriesVector {
     "q_ann_ivf" -> OracleSql.annIvf(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),
+
+    "q_sq_encode" -> OracleSql.sqEncode(),
+
+    "q_ann_sq" -> OracleSql.annSq(),
 
     "q_ann_lsh" -> OracleSql.annLsh(),
 

@@ -502,6 +502,72 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** Per-dimension scalar-quantization bounds (the FAISS SQ8 trainer):
+    * one bounded aggregate over the corpus — dim rows out, min/max are
+    * exact order-insensitive aggregates. */
+  def sqBounds(corpus: DataFrame, vecCol: String,
+               idCol: String): (Array[Double], Array[Double]) = {
+    val rows = normalized(corpus, vecCol, idCol)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Scalar-quantization encode (SQ8): each component compressed to an
+    * 8-bit level `floor((x − lo)·255/(hi − lo) + 0.5)` against the
+    * trained per-dimension bounds — 1 byte per component, the 4×
+    * compression tier below PQ's m-bytes-per-vector. A pure projection
+    * against literal bounds (no join, no shuffle; constant dimensions
+    * encode 0). Output long format (vec_id, pos, code) — every code
+    * individually oracle-pinned. */
+  def sqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               lo: Array[Double], hi: Array[Double]): DataFrame = {
+    val loLit = array(lo.toIndexedSeq.map(lit): _*)
+    val hiLit = array(hi.toIndexedSeq.map(lit): _*)
+    val codes = transform(col("v"), (x, i) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      when(h === l, lit(0L))
+        .otherwise(floor((x - l) * lit(255.0) / (h - l) + lit(0.5)).cast("long"))
+    })
+    normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"), posexplode(codes).as(Seq("pos", "code")))
+  }
+
+  /** ANN over the SQ8-compressed corpus: candidates are reconstructed
+    * per component as `lo + code·step` (step = (hi−lo)/255, a literal)
+    * and scored by cosine against the exact query vectors — the
+    * [[pqTopK]] ADC shape at SQ8's finer-but-larger compression point.
+    * Broadcast queries, bounded per-partition heaps; the scan reads one
+    * byte per component at production storage. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             lo: Array[Double], hi: Array[Double],
+             vecCol: String, idCol: String, queryIdCol: String,
+             k: Int): DataFrame = {
+    val loLit = array(lo.toIndexedSeq.map(lit): _*)
+    val hiLit = array(hi.toIndexedSeq.map(lit): _*)
+    val codes = transform(col("v"), (x, i) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      when(h === l, lit(0L))
+        .otherwise(floor((x - l) * lit(255.0) / (h - l) + lit(0.5)).cast("long"))
+    })
+    val recon = transform(codes, (c, i) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      l + c.cast("double") * ((h - l) / lit(255.0))
+    })
+    val c = normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"), recon.as("rv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      toDoubleArray(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("rv"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(partitionTopK(scored, k), k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries are bucketed by sign-bit
     * hyperplane hash; candidates share the bucket (multi-probe: flip up to
     * `probeBits` of the query's bits). Recall is tunable via plane count

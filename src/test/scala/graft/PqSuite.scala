@@ -131,6 +131,49 @@ class PqSuite extends SparkSpec {
       s"expected broadcast join in:\n$plan")
   }
 
+  test("sqEncode: codes stay in [0,255] and round-trip within half a step") {
+    val (lo, hi) = Similarity.sqBounds(emb, "embedding", "vec_id")
+    assert(lo.length == 64 && hi.length == 64)
+    val codes = Similarity.sqEncode(emb, "embedding", "vec_id", lo, hi)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(codes.forall { case (_, _, c) => c >= 0L && c <= 255L })
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    codes.foreach { case (id, pos, c) =>
+      val step = (hi(pos) - lo(pos)) / 255.0
+      val recon = lo(pos) + c * step
+      val err = math.abs(recon - vecs(id)(pos))
+      assert(err <= step / 2 + 1e-12, s"vec=$id pos=$pos err=$err step=$step")
+    }
+  }
+
+  test("sqEncode: a constant dimension codes to 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1.0, 5.0)), Row(1L, Seq(1.0, 9.0)))), schema)
+    val (lo, hi) = Similarity.sqBounds(rows, "embedding", "vec_id")
+    val out = Similarity.sqEncode(rows, "embedding", "vec_id", lo, hi)
+      .filter(col("pos") === 0).collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(0L, 0L))
+  }
+
+  test("sqTopK broadcasts queries; ranks 1..k") {
+    val (lo, hi) = Similarity.sqBounds(emb, "embedding", "vec_id")
+    val df = Similarity.sqTopK(emb, emb.filter(col("vec_id") < 2), lo, hi,
+      "embedding", "vec_id", "vec_id", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+    df.collect().groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
   test("ivfPq: residual codebooks differ from raw-vector codebooks") {
     val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
       k = 8, iters = 2)
