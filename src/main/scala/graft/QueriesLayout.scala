@@ -120,6 +120,23 @@ private[graft] object QueriesLayout {
           .arrange("doc_id").df),
 
 
+      // Deequ-style validation gate: declarative rules -> one integer
+      // pass/fail report; all row-local rules share ONE aggregate pass,
+      // uniqueness adds one bounded key shuffle
+      "q_expectations" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Expectations._
+        graft.api.DataTable(
+          check(Tables.df(s, dir, "documents"), Seq(
+            RowRule("lang_code_shape", col("lang").rlike("^[a-z]{2}$")),
+            RowRule("n_chars_consistent",
+              col("n_chars") === length(col("text"))),
+            RowRule("n_chars_positive", col("n_chars") > 0),
+            RowRule("text_not_null", col("text").isNotNull),
+            UniqueRule("doc_id_unique", "doc_id"))))
+          .arrange("rule").df
+      }),
+
+
       // key-skew pre-flight: the 20 heaviest l_suppkey values with exact
       // counts + corpus share — the decide-salting-vs-broadcast report
       "q_key_skew" -> ((s: SparkSession, dir: String) =>
@@ -222,6 +239,33 @@ private[graft] object QueriesLayout {
         |  FROM documents d JOIN st USING (source, lang))
         |SELECT * FROM scored WHERE abs(z) > 1.5
         |ORDER BY doc_id""".stripMargin,
+
+
+    // expectations: SUM(CASE) per row rule over one scan, per-key counts
+    // for uniqueness; null predicates fail (the coalesce(false) rule)
+    "q_expectations" ->
+      """WITH r AS (
+        |  SELECT COUNT(*)::BIGINT AS n,
+        |    SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)::BIGINT AS p_lang,
+        |    SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)::BIGINT AS p_cons,
+        |    SUM(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)::BIGINT AS p_pos,
+        |    SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS p_nn
+        |  FROM documents),
+        |u AS (
+        |  SELECT SUM(c)::BIGINT AS n,
+        |    SUM(CASE WHEN k IS NOT NULL AND c = 1 THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM (SELECT doc_id AS k, COUNT(*) AS c FROM documents GROUP BY doc_id))
+        |SELECT rule, n_rows, n_pass, (n_rows - n_pass)::BIGINT AS n_fail FROM (
+        |  SELECT 'lang_code_shape' AS rule, n AS n_rows, p_lang AS n_pass FROM r
+        |  UNION ALL
+        |  SELECT 'n_chars_consistent', n, p_cons FROM r
+        |  UNION ALL
+        |  SELECT 'n_chars_positive', n, p_pos FROM r
+        |  UNION ALL
+        |  SELECT 'text_not_null', n, p_nn FROM r
+        |  UNION ALL
+        |  SELECT 'doc_id_unique', n, p FROM u)
+        |ORDER BY rule""".stripMargin,
 
 
     // key skew: exact counts, one integer division for share, rank with

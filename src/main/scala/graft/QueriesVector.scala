@@ -42,6 +42,19 @@ private[graft] object QueriesVector {
       }),
 
 
+      // semantic contamination REPORT: per bench vector, how many corpus
+      // vectors sit within the cosine radius, the closest cosine, and
+      // the closest corpus id — the evidence behind q_semantic_decontam
+      "q_semantic_contam_report" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.semanticContaminationReport(
+            e.filter(col("vec_id") >= 4), e.filter(col("vec_id") < 4),
+            "embedding", "vec_id", minCos = 0.3))
+          .arrange("bench_id").df
+      }),
+
+
       // brute-force cosine top-k (the ANN baseline; exact oracle)
       "q_ann_cosine" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
@@ -260,6 +273,30 @@ private[graft] object QueriesVector {
         |WHERE vec_id >= 4 AND vec_id NOT IN (SELECT vec_id FROM bad)
         |ORDER BY vec_id""".stripMargin,
 
+
+    // contamination report: cos per (bench, corpus) pair, grouped hits +
+    // max + ROW_NUMBER nearest (the Spark struct-max argmax rule)
+    "q_semantic_contam_report" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 4),
+        |s AS (
+        |  SELECT b.bench_id, c.vec_id,
+        |    list_dot_product(c.v, b.bv)
+        |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS cos
+        |  FROM e c CROSS JOIN b WHERE c.vec_id >= 4),
+        |f AS (SELECT * FROM s WHERE cos IS NOT NULL),
+        |g AS (
+        |  SELECT bench_id,
+        |    SUM(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |    MAX(cos) AS max_cos
+        |  FROM f GROUP BY bench_id),
+        |n AS (
+        |  SELECT bench_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY bench_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM f)
+        |SELECT g.bench_id, g.n_hits, g.max_cos, n.vec_id AS nearest_id
+        |FROM g JOIN n ON n.bench_id = g.bench_id AND n.rn = 1
+        |ORDER BY g.bench_id""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

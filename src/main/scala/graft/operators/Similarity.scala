@@ -266,6 +266,30 @@ object Similarity {
     }
   }
 
+  /** The REPORT twin of [[semanticDecontaminate]] — the evidence an eval
+    * owner reviews before trusting the drop: for each benchmark vector,
+    * how many corpus vectors sit within cosine `minCos` (`n_hits`), the
+    * closest cosine seen (`max_cos`), and the closest corpus id
+    * (`nearest_id`, ties → smallest id). One corpus scan against the
+    * broadcast bench; the groupBy holds |bench| rows — an aggregate
+    * result, not data. Corpus rows with null/malformed embeddings score
+    * null cosine and are excluded (they can't witness contamination). */
+  def semanticContaminationReport(corpus: DataFrame, bench: DataFrame,
+                                  vecCol: String, idCol: String,
+                                  minCos: Double = 0.9): DataFrame = {
+    val c = normalized(corpus, vecCol, idCol)
+    val b = normalized(bench, vecCol, idCol)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", cosine(col("v"), col("bv")))
+      .filter(col("cos").isNotNull)
+      .groupBy("bench_id")
+      .agg(sum(when(col("cos") >= lit(minCos), 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("max_cos"),
+        (-max(struct(col("cos"), (-col("vec_id")).as("nid")))
+          .getField("nid")).as("nearest_id"))
+  }
+
   private def normalized(corpus: DataFrame, vecCol: String, idCol: String) =
     corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))

@@ -161,4 +161,48 @@ class DiagnosticsSuite extends SparkSpec {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       s"expected broadcast sketch join in:\n$plan")
   }
+
+  test("expectations: row rules count null predicates as FAIL") {
+    import graft.operators.Expectations._
+    val df = toDf(spark)(
+      "id" -> Seq(1L, 2L, 3L),
+      "v" -> Seq[Any](5L, null, -2L)).df
+    val out = check(df, Seq(
+      RowRule("v_positive", col("v") > 0),
+      RowRule("v_not_null", col("v").isNotNull)))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("v_not_null", 3L, 2L, 1L),
+      ("v_positive", 3L, 1L, 2L))) // null > 0 is null -> FAIL
+  }
+
+  test("expectations: uniqueness fails duplicated and null keys") {
+    import graft.operators.Expectations._
+    val df = toDf(spark)("k" -> Seq[Any](1L, 1L, 2L, null)).df
+    val out = check(df, Seq(UniqueRule("k_unique", "k"))).collect()
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ("k_unique", 4L, 1L, 3L)) // only k=2 passes
+  }
+
+  test("expectations: row rules share one corpus scan") {
+    import graft.operators.Expectations._
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val plan = check(docs, Seq(
+      RowRule("a", col("text").isNotNull),
+      RowRule("b", col("n_chars") > 0),
+      RowRule("c", col("lang").rlike("^[a-z]{2}$"))))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan for 3 row rules, got $scans:\n$plan")
+  }
+
+  test("expectations: duplicate rule names are rejected") {
+    import graft.operators.Expectations._
+    val df = toDf(spark)("k" -> Seq(1L)).df
+    intercept[IllegalArgumentException] {
+      check(df, Seq(RowRule("x", col("k") > 0), UniqueRule("x", "k")))
+    }
+  }
 }

@@ -36,6 +36,25 @@ class SemanticDedupSuite extends SparkSpec {
     assert(cells(4L) == cells(0L), "round-0 tie fed vec 4 into cell 0")
   }
 
+  test("semanticContaminationReport: hits, max, nearest with smallest-id ties") {
+    import graft.operators.Similarity
+    val bench = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cor = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),     // cos 1.0  (hit)
+      (2L, Array(1f, 0f, 0f, 0f)),     // cos 1.0  (hit, ties 1 — loses on id)
+      (3L, Array(0f, 1f, 0f, 0f)),     // cos 0.0  (miss)
+      (4L, null.asInstanceOf[Array[Float]]) // null embedding: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContaminationReport(cor, bench,
+      "embedding", "vec_id", minCos = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == 2L, "two vectors within the radius")
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 1L, "cosine tie -> smallest corpus id")
+  }
+
   test("an exact cosine tie takes the smallest cell (kmeansAssign tie rule)") {
     // iters = 0 assigns against the RAW seed vectors, so the orthogonal
     // vector 4 scores cosine 0 against both seeds — a genuine final
