@@ -248,13 +248,11 @@ object OracleSql {
     * shingle polynomial hashes, the k-permutation signature, and the
     * per-band bucket hashes — the exact replay of Spark's
     * `Dedup.withMinhashSignature` + `withBandHashes`. */
-  private def sigBandedCtes(k: Int, shingleSize: Int, bands: Int): String = {
-    val rows = k / bands
-    val sigElems = (0 until k).map { j =>
-      val (a, b) = Dedup.perm(j)
-      s"list_min(list_transform(h, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $P))"
-    }.mkString(",\n      ")
-    val s = shingleSize
+  /** The `docs → th → hs` token-poly shingle chain: per-token hash48
+    * mod P, rolling polynomial per `s`-window (fallback single shingle
+    * below `s` tokens) — the MinHash base convention, shared by the
+    * signature chain and the boilerplate gram counter. */
+  private def tokenShingleCtes(s: Int): String = {
     val c = Dedup.ShingleC
     // shingle hash = left fold (acc*C + h) % P over the token-hash
     // window; DuckDB list_reduce seeds with the first element, which
@@ -269,7 +267,38 @@ object OracleSql {
        |    CASE WHEN len(t) < $s THEN [list_reduce(t, $polyRed)]
        |         ELSE list_transform(range(0, len(t) - ${s - 1}),
        |                i -> list_reduce(t[i+1:i+$s], $polyRed)) END AS h
-       |  FROM th),
+       |  FROM th)""".stripMargin
+  }
+
+  /** Replays Corpus.boilerplate: token-poly gram instances, top-B by
+    * (count DESC, hash ASC), per-doc hit fraction in integral
+    * division. */
+  def boilerplate(n: Int = 3, topB: Int = 50): String =
+    s"""WITH ${tokenShingleCtes(n)},
+       |inst AS (SELECT doc_id, unnest(h) AS g FROM hs),
+       |top AS (
+       |  SELECT g FROM inst GROUP BY g
+       |  ORDER BY COUNT(*) DESC, g LIMIT $topB),
+       |cnt AS (
+       |  SELECT i.doc_id, COUNT(*)::BIGINT AS ng,
+       |    SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nb
+       |  FROM inst i LEFT JOIN top t USING (g)
+       |  GROUP BY i.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(c.ng, 0)::BIGINT AS n_grams,
+       |  COALESCE(c.nb, 0)::BIGINT AS n_boiler,
+       |  (CASE WHEN COALESCE(c.ng, 0) = 0 THEN 0
+       |        ELSE COALESCE(c.nb, 0) * 1000000 // c.ng END)::BIGINT AS boiler_micro
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def sigBandedCtes(k: Int, shingleSize: Int, bands: Int): String = {
+    val rows = k / bands
+    val sigElems = (0 until k).map { j =>
+      val (a, b) = Dedup.perm(j)
+      s"list_min(list_transform(h, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $P))"
+    }.mkString(",\n      ")
+    s"""${tokenShingleCtes(shingleSize)},
        |sig AS (
        |  SELECT doc_id, [
        |      $sigElems

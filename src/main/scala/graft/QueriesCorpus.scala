@@ -636,30 +636,9 @@ private[graft] object QueriesCorpus {
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
 
-    // boilerplate: trigram instance explode, top-50 by (count DESC,
-    // gram ASC), per-doc hit fraction in integral division
-    "q_boilerplate" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |inst AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
-        |    i -> array_to_string(w[i+1:i+3], ' '))) AS g
-        |  FROM docs),
-        |top AS (
-        |  SELECT g FROM inst GROUP BY g
-        |  ORDER BY COUNT(*) DESC, g LIMIT 50),
-        |cnt AS (
-        |  SELECT i.doc_id, COUNT(*)::BIGINT AS ng,
-        |    SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nb
-        |  FROM inst i LEFT JOIN top t USING (g)
-        |  GROUP BY i.doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(c.ng, 0)::BIGINT AS n_grams,
-        |  COALESCE(c.nb, 0)::BIGINT AS n_boiler,
-        |  (CASE WHEN COALESCE(c.ng, 0) = 0 THEN 0
-        |        ELSE COALESCE(c.nb, 0) * 1000000 // c.ng END)::BIGINT AS boiler_micro
-        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    // boilerplate: token-poly gram instances (the th → hs convention),
+    // top-50 by (count DESC, hash ASC), integral-division fraction
+    "q_boilerplate" -> OracleSql.boilerplate(),
 
 
     // collocations: bigram/unigram count replay, the one spelled-out

@@ -59,23 +59,26 @@ object Corpus {
     *
     * Output: (idCol, n_grams, n_boiler, boiler_micro) — counts are
     * integers, boiler_micro = n_boiler·1e6 DIV n_grams (integral
-    * division, exact cross-engine); docs with fewer than `n` tokens have
-    * zero grams and score 0.
+    * division, exact cross-engine); a doc with fewer than `n` tokens
+    * contributes its ONE fallback shingle (the MinHash base convention).
     *
-    * Scale shape: one corpus scan explodes n-grams into the ONE counting
-    * shuffle (map-side partials); top-B is a bounded TakeOrdered with a
-    * total (count DESC, gram ASC) order — deterministic at ties; the
-    * per-doc pass re-scans the corpus and LEFT-joins the BROADCAST top
-    * list (topB rows by construction), then aggregates per doc — the
-    * corpus itself never shuffles by gram a second time. */
+    * Scale shape: grams are keyed by the codegen'd token-poly shingle
+    * hash ([[org.apache.spark.sql.graftshim.ShinglePolyHashes]] — one
+    * md5 per TOKEN, a long fold per gram; the gram-string md5 first cut
+    * benched 6.5 s at sf0.1, this one ~2 s), exploding into the ONE
+    * counting shuffle (map-side partials, long keys); top-B is a
+    * bounded TakeOrdered with a total (count DESC, hash ASC) order —
+    * deterministic at ties; the per-doc pass re-scans the corpus and
+    * LEFT-joins the BROADCAST top list (topB rows by construction),
+    * then aggregates per doc — the corpus itself never shuffles by gram
+    * a second time. */
   def boilerplate(df: DataFrame, textCol: String, idCol: String,
                   n: Int = 3, topB: Int = 50): DataFrame = {
     require(n >= 1, s"boilerplate: n >= 1, got $n")
     require(topB >= 1, s"boilerplate: topB >= 1, got $topB")
-    val toks = tokens(col(textCol))
-    val gs = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    import org.apache.spark.sql.graftshim.{Shim, ShinglePolyHashes}
+    val gs = Shim.toColumn(ShinglePolyHashes(
+      Shim.toExpression(col(textCol)), n, Dedup.P, Dedup.ShingleC))
     val inst = df.select(col(idCol).as("__id"), explode(gs).as("g"))
     val top = inst.groupBy("g").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("g")).limit(topB)

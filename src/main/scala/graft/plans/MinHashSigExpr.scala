@@ -240,6 +240,36 @@ object GraftHash {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-shingle polynomial hashes of `text`, in document order
+    * (non-distinct — instance counts matter to the caller): token
+    * hash48 % p, rolling polynomial fold per window, fewer than `n`
+    * tokens → ONE fallback shingle of all tokens — the EXACT MinHash
+    * base convention ([[minhashSig]]'s shingle stage / the oracle's
+    * `th → hs` CTE chain), reused so gram-keyed counting costs one md5
+    * per TOKEN instead of one per gram string. */
+  def shinglePolyHashes(text: UTF8String, n: Int, p: Long,
+                        c: Long): GenericArrayData = {
+    val th = tokenHashesMod(text, p)
+    val len = th.length
+    if (len < n) {
+      var poly = 0L
+      var i = 0
+      while (i < len) { poly = (poly * c + th(i)) % p; i += 1 }
+      new GenericArrayData(Array(poly))
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var pos = 0
+      while (pos <= len - n) {
+        var poly = 0L
+        var i = 0
+        while (i < n) { poly = (poly * c + th(pos + i)) % p; i += 1 }
+        out(pos) = poly
+        pos += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Sorted DISTINCT hash48 values of the word n-shingles of `text` —
     * same construction contract ([[scanWindowHashes]]). */
   def distinctShingleHashes(text: UTF8String, n: Int): GenericArrayData = {
@@ -500,6 +530,31 @@ case class AnyShingleInBloom(child: Expression, n: Int,
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, text =>
       s"${ev.value} = $gh.anyShingleInBloom($text, $n, $bRef);")
+  }
+}
+
+/** Codegen'd ALL-shingle polynomial-hash array (document order,
+  * non-distinct) — the gram-instance projection for corpus-wide
+  * counting (boilerplate detection). Same [[MinHashSig]] design and the
+  * same token-poly hash convention, so the `th → hs` oracle CTE chain
+  * replays it. */
+case class ShinglePolyHashes(child: Expression, n: Int, p: Long, c: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_poly_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePolyHashes =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.shinglePolyHashes(input.asInstanceOf[UTF8String], n, p, c)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.shinglePolyHashes($text, $n, ${p}L, ${c}L);")
   }
 }
 

@@ -69,6 +69,12 @@ class CodegenSuite extends SparkSpec {
                   5))),
             Array(1L, 2L, 3L))).as("c"))
       assert(smc.limit(3).collect().length == 3)
+      val sph = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.ShinglePolyHashes(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")),
+            3, Dedup.P, Dedup.ShingleC)).as("h"))
+      assert(sph.limit(3).collect().length == 3)
       val rep = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.NgramStats(

@@ -284,21 +284,23 @@ class CorpusSuite extends SparkSpec {
     assert(driver == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
-  test("boilerplate: top-gram fraction per doc, short docs score zero") {
-    // trigram "a b c" appears 3x (docs 1,2,3); every other trigram once.
-    // topB=1 keeps exactly "a b c".
+  test("boilerplate: top-gram fraction per doc; short docs get one fallback gram") {
+    // trigram "a b c" appears 3x (docs 1,2,3); every other gram once.
+    // topB=1 keeps exactly "a b c". Doc 2 has exactly 3 tokens -> one
+    // full window; doc 4 is below n and contributes its ONE fallback
+    // shingle (the MinHash convention), which is not the top gram.
     val out = Corpus.boilerplate(docs(
       1L -> "a b c x y",   // grams: "a b c","b c x","c x y" -> 1/3 boiler
       2L -> "a b c",       // 1/1
       3L -> "q a b c",     // "q a b","a b c" -> 1/2
-      4L -> "z z",         // < 3 tokens -> 0 grams
+      4L -> "z z",         // fallback shingle -> 1 gram, 0 boiler
       5L -> "m n o p"),    // 2 grams, 0 boiler
       "text", "doc_id", n = 3, topB = 1)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
       (1L, 3L, 1L, 333333L), (2L, 1L, 1L, 1000000L), (3L, 2L, 1L, 500000L),
-      (4L, 0L, 0L, 0L), (5L, 2L, 0L, 0L)))
+      (4L, 1L, 0L, 0L), (5L, 2L, 0L, 0L)))
   }
 
   test("boilerplate broadcasts the top-gram list") {

@@ -34,6 +34,32 @@ class TextSuite extends SparkSpec {
     assert(viaKernel.head.sum == 6L) // six tokens counted
   }
 
+  test("ShinglePolyHashes kernel equals the HOF poly fold (incl. short docs)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graftshim.{Shim, ShinglePolyHashes}
+    val df = toDf(spark)("id" -> Seq(1, 2, 3, 4), "t" -> Seq(
+      "the quick brown fox jumps over",
+      "two words",
+      "  tabs\tand\nnewlines mixed in here  ",
+      "")).df
+    val kernel = df.select(col("id"),
+      Shim.toColumn(ShinglePolyHashes(Shim.toExpression(col("t")),
+        3, Dedup.P, Dedup.ShingleC)).as("h"))
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    val th = transform(tokens(col("t")), tk => pmod(hash48(tk), lit(Dedup.P)))
+    def poly(ts: org.apache.spark.sql.Column) =
+      aggregate(ts, lit(0L), (acc, h) =>
+        pmod(acc * lit(Dedup.ShingleC) + h, lit(Dedup.P)))
+    val hof = df.select(col("id"),
+      when(size(th) < 3, array(poly(th)))
+        .otherwise(transform(sequence(lit(0), size(th) - 3),
+          i => poly(slice(th, i + 1, lit(3))))).as("h"))
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    assert(kernel == hof)
+    assert(kernel.head.length == 4) // 6 tokens -> 4 windows
+    assert(kernel(1).length == 1)   // short doc -> one fallback shingle
+  }
+
   test("NgramStats kernel equals the HOF spelling (incl. short/empty docs)") {
     import org.apache.spark.sql.graftshim.{NgramStats, Shim}
     val df = toDf(spark)("id" -> Seq(1, 2, 3, 4, 5), "t" -> Seq(
