@@ -130,6 +130,24 @@ object OracleSql {
                       bucketCap: Int = 64, minEstJaccard: Double = 0.5): String =
     closureOverPairs(minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard))
 
+  /** Replays Sampling.leakageSafeSplit: the split md5-bucket rule
+    * applied to the MinHash cluster label (the [[minhashClusters]]
+    * closure), 80/10/10 cuts. */
+  def leakageSafeSplit(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                       bucketCap: Int = 64,
+                       minEstJaccard: Double = 0.5): String =
+    s"""SELECT doc_id, cluster_id,
+       |  CASE WHEN b < 800000 THEN 'train'
+       |       WHEN b < 900000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, cluster_id,
+       |    ('0x' || substring(md5('graft_split_42_' || cluster_id), 1, 12))::BIGINT
+       |      % 1000000 AS b
+       |  FROM (${minhashClusters(k, shingleSize, bands, bucketCap,
+                  minEstJaccard)}) cl)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared winnow CTE chain `nrm → hs → fpl`: normalized text, char-`k`-
     * gram hash48 array, winnow fingerprint LIST per doc (`w`-window
     * minima, distinct, sorted) — the exact replay of

@@ -120,6 +120,21 @@ private[graft] object QueriesLayout {
           .arrange("doc_id").df),
 
 
+      // snapshot diff: per-id added/removed/changed between two corpus
+      // versions (derived deterministically from documents); unchanged
+      // rows never materialize
+      "q_dataset_diff" -> ((s: SparkSession, dir: String) => {
+        val d = Tables.df(s, dir, "documents")
+        val oldV = d.filter(col("doc_id") < 400)
+        val newV = d.filter(col("doc_id") >= 100)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.api.DataTable(
+          Diagnostics.datasetDiff(oldV, newV, "doc_id", "text"))
+          .arrange("doc_id").df
+      }),
+
+
       // Deequ-style validation gate: declarative rules -> one integer
       // pass/fail report; all row-local rules share ONE aggregate pass,
       // uniqueness adds one bounded key shuffle
@@ -238,6 +253,26 @@ private[graft] object QueriesLayout {
         |         ELSE 0.0 END AS z
         |  FROM documents d JOIN st USING (source, lang))
         |SELECT * FROM scored WHERE abs(z) > 1.5
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // dataset diff: full-outer on id, md5 fingerprints, null-safe change
+    // compare, unchanged filtered
+    "q_dataset_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
 
 

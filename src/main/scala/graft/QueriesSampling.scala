@@ -104,6 +104,18 @@ private[graft] object QueriesSampling {
           .arrange("doc_id").df),
 
 
+      // leakage-safe split: the 80/10/10 assignment keyed on the
+      // near-dup CLUSTER label — no near-dup pair ever straddles
+      // train/test (the invariant a doc-keyed split cannot give)
+      "q_split_leakage_safe" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.leakageSafeSplit(Tables.df(s, dir, "documents"),
+            "text", "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .select(col("doc_id"), col("cluster_id"), col("split")))
+          .arrange("doc_id").df),
+
+
       // global-quantile quality gate: top quartile of the corpus by size
       "q_quantile_gate" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -193,6 +205,10 @@ private[graft] object QueriesSampling {
         |  FROM documents)
         |WHERE b < cut ORDER BY doc_id""".stripMargin,
 
+
+    // leakage-safe split: split buckets over the recursive-CTE cluster
+    // closure (same md5 rule, keyed on cluster_id)
+    "q_split_leakage_safe" -> OracleSql.leakageSafeSplit(),
 
     "q_split" ->
       """SELECT doc_id,

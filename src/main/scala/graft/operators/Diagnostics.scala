@@ -140,4 +140,30 @@ object Diagnostics {
     array((0 until depth).map(r =>
       pmod(hash48(concat(lit(s"cm${r}_"), tok)), lit(width.toLong))): _*)
   }
+
+  /** Snapshot diff between two corpus versions: per-id status — `added`
+    * (only in new), `removed` (only in old), `changed` (present in both
+    * with a different `valueCol` fingerprint). Unchanged rows are NOT
+    * emitted: the interesting delta is tiny by construction, and at
+    * 100 TB materializing the unchanged majority is the bug. One
+    * co-partitioned full-outer join on the id; fingerprints are md5 of
+    * the value bytes (computed scan-local, so the shuffle carries a
+    * fixed-width hash instead of the value). NULL values fingerprint as
+    * NULL and compare null-safely: null→null is unchanged, null→value
+    * is changed. */
+  def datasetDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  valueCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(valueCol).cast("binary")).as("__ofp"), lit(1).as("__op"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(valueCol).cast("binary")).as("__nfp"), lit(1).as("__np"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__ofp") <=> col("__nfp")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id").as(idCol), col("status"))
+  }
 }

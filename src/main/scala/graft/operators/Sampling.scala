@@ -71,6 +71,22 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe train/val/test split: [[splitAssign]] keyed on the
+    * NEAR-DUP CLUSTER label instead of the doc id, so two near-duplicate
+    * documents can NEVER straddle splits — the eval-leakage mode a
+    * doc-keyed split guarantees at crawl scale (every popular page has
+    * near-copies, and a plain 90/10 split puts some copy pair across the
+    * boundary with near-certainty). Cluster labels come from
+    * [[Dedup.clusterByMinhash]]'s bounded candidate machinery; the split
+    * itself stays the deterministic md5-bucket rule, applied to
+    * `cluster_id` — singleton docs (their own cluster) split exactly as
+    * a doc-keyed split would. Output keeps `cluster_id` as evidence. */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+                       weights: Seq[(String, Double)], seed: Long = 42L,
+                       minEstJaccard: Double = 0.5): DataFrame =
+    splitAssign(Dedup.clusterByMinhash(df, textCol, idCol,
+      minEstJaccard = minEstJaccard), "cluster_id", weights, seed)
+
   /** Per-row weighted deterministic sampling: keep a row with probability
     * `weight` (a Column in [0,1] — e.g. a quality score, so high-quality
     * documents are oversampled). The row's cut is `rint(weight * 1e6)`

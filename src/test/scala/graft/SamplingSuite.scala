@@ -325,4 +325,41 @@ class SamplingSuite extends SparkSpec {
       }
     }
   }
+
+  test("leakageSafeSplit: no near-dup cluster straddles splits") {
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val out = Sampling.leakageSafeSplit(docs, "text", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"), count(lit(1)).as("sz"))
+    assert(perCluster.filter(col("n") =!= 1L).count() == 0L,
+      "every cluster must land wholly in one split")
+    // the invariant is non-vacuous: real multi-doc clusters exist
+    assert(perCluster.filter(col("sz") > 1L).count() > 0L)
+    // and a singleton doc splits exactly as the doc-keyed rule would
+    val single = out.filter(col("cluster_id") === col("doc_id"))
+      .select("doc_id", "split")
+    val plain = Sampling.splitAssign(
+      docs.join(single.select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    // singletons whose cluster_id == doc_id hash identically either way
+    assert(single.exceptAll(plain).count() == 0L)
+  }
+
+  test("datasetDiff: added/removed/changed with null-safe fingerprints") {
+    val o = toDf(spark)(
+      "id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "v" -> Seq[Any]("a", "b", null, "d", null)).df
+    val n = toDf(spark)(
+      "id" -> Seq(2L, 3L, 4L, 5L, 6L),
+      "v" -> Seq[Any]("b", "c", null, null, "f")).df
+    val out = graft.operators.Diagnostics.datasetDiff(o, n, "id", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "removed"),   // only in old
+      (3L, "changed"),   // null -> "c"
+      (4L, "changed"),   // "d" -> null
+      (6L, "added")))    // 2: same value, 5: null -> null => unchanged
+  }
 }
