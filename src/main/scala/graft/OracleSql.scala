@@ -884,6 +884,58 @@ object OracleSql {
        |  FROM pqrec r CROSS JOIN q WHERE r.vec_id <> q.query_id) z
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Replays Similarity.mmrRerank step by step (the lloydCtes pattern
+    * for greedy selection): candidate top-`candidates` by cosine, then
+    * `k` generated selection rounds — each picks the argmax of
+    * `λ·rel − (1−λ)·max-sim-to-selected` (ties → smallest vec_id) among
+    * candidates not yet selected. */
+  def mmrRerank(candidates: Int = 20, k: Int = 5, lambda: Double = 0.5,
+                nq: Int = 4): String = {
+    val lam = dlit(lambda)
+    val oneM = dlit(1.0 - lambda)
+    val steps = (2 to k).map { i =>
+      s"""ms$i AS (
+         |  SELECT c.query_id, c.vec_id, MAX(${cosExpr("c.v", "s.v")}) AS msim
+         |  FROM cands c
+         |  JOIN cum${i - 1} m ON m.query_id = c.query_id
+         |  JOIN cands s ON s.query_id = c.query_id AND s.vec_id = m.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} x
+         |                    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id),
+         |sel$i AS (
+         |  SELECT query_id, vec_id, $i AS step FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |        ORDER BY ($lam * c.rel - $oneM * m.msim) DESC, c.vec_id) AS rn
+         |    FROM cands c JOIN ms$i m
+         |      ON m.query_id = c.query_id AND m.vec_id = c.vec_id)
+         |  WHERE rn = 1),
+         |cum$i AS (SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM sel$i)"""
+        .stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, c.v, ${cosExpr("c.v", "q.qv")} AS rel
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |cands AS (
+       |  SELECT query_id, vec_id, v, rel FROM (
+       |    SELECT query_id, vec_id, v, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $candidates),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, 1 AS step FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, vec_id) AS rn
+       |    FROM cands) WHERE rn = 1),
+       |cum1 AS (SELECT * FROM sel1),
+       |${steps.mkString(",\n")}
+       |SELECT query_id, vec_id, step AS mmr_rank FROM cum$k
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** Shared SQ8 CTE prefix `e, b`: per-dimension min/max bounds — the
     * exact replay of Similarity.sqBounds (order-insensitive exact
     * aggregates). */

@@ -149,6 +149,19 @@ private[graft] object QueriesVector {
       }),
 
 
+      // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim selection
+      // over each query's bounded top-20 candidate set — RAG/few-shot
+      // retrieval without k near-copies; step-generated CTE oracle
+      "q_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 4),
+            "embedding", "vec_id", "vec_id",
+            candidates = 20, k = 5, lambda = 0.5))
+          .arrange("query_id", "mmr_rank").df
+      }),
+
+
       // IVF-PQ ANN (FAISS IVFADC): trained coarse cells prune WHICH
       // vectors a query scores (nprobe=2), PQ codes trained on the
       // coarse-cell RESIDUALS shrink WHAT each candidate costs — the
@@ -331,6 +344,8 @@ private[graft] object QueriesVector {
     "q_ann_ivf" -> OracleSql.annIvf(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),
+
+    "q_mmr_rerank" -> OracleSql.mmrRerank(),
 
     "q_sq_encode" -> OracleSql.sqEncode(),
 

@@ -526,6 +526,91 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): from each
+    * query's `candidates` best-by-cosine corpus vectors, greedily select
+    * `k` maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * retrieval step that keeps RAG / few-shot example sets from
+    * returning k near-copies of the same document. Ties take the
+    * smallest vec_id at every step.
+    *
+    * Scale shape: the candidate stage is [[bruteForceTopK]] (swap in any
+    * ANN index upstream — the contract is only "bounded candidates per
+    * query"); the greedy loop is inherently sequential but runs PER
+    * QUERY over ≤ `candidates` vectors inside `flatMapGroups` — state is
+    * bounded, queries parallelize, the corpus is touched only by the
+    * candidate stage. Cross-engine exactness: rel rides in from the
+    * fused cosine kernel; candidate-pair sims use the same one-pass
+    * accumulate + `ab/(√aa·√bb)` op order (bit-identical to the unfused
+    * form, VecExprSuite), and the score arithmetic is two IEEE ops with
+    * literal λ — so a step-generated SQL chain replays every pick. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, queryIdCol: String,
+                candidates: Int = 20, k: Int = 5,
+                lambda: Double = 0.5): DataFrame = {
+    require(candidates >= 1 && k >= 1 && k <= candidates,
+      s"mmrRerank: need 1 <= k <= candidates, got k=$k candidates=$candidates")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda in [0,1], got $lambda")
+    val oneMinus = 1.0 - lambda
+    val cand = bruteForceTopK(corpus, queries, vecCol, idCol, queryIdCol,
+      candidates)
+    val withV = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        toDoubleArray(col(vecCol)).as("cv"))
+      .join(broadcast(cand.select(col("query_id"), col("vec_id"),
+        col("cos").as("rel"))), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cv"), col("rel"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("vec_id", LongType),
+      StructField("mmr_rank", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    import org.apache.spark.sql.Encoders.scalaLong
+    withV.groupByKey(_.getLong(0))(scalaLong).flatMapGroups { (q, it) =>
+      val cands = it.map(r => (r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3))).toArray
+      // one-pass fused cosine (the VecCosine op order)
+      def sim(a: Array[Double], b: Array[Double]): Double = {
+        var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+        while (i < a.length) {
+          ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+        }
+        ab / (math.sqrt(aa) * math.sqrt(bb))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (selected.length < k && used.size < cands.length) {
+        var bestId = -1L; var bestScore = Double.NegativeInfinity
+        var bestV: Array[Double] = null
+        cands.foreach { case (id, v, rel) =>
+          if (!used.contains(id)) {
+            val score =
+              if (selected.isEmpty) rel
+              else {
+                var ms = Double.NegativeInfinity
+                selected.foreach { case (_, sv) =>
+                  val s = sim(v, sv); if (s > ms) ms = s
+                }
+                lambda * rel - oneMinus * ms
+              }
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestScore = score; bestId = id; bestV = v
+            }
+          }
+        }
+        if (bestId < 0) {
+          // every remaining score is NaN (degenerate zero-norm vectors):
+          // nothing comparable left to pick
+          used ++= cands.map(_._1)
+        } else {
+          selected += ((bestId, bestV)); used += bestId
+          out += Row(q, bestId, selected.length)
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** Per-dimension scalar-quantization bounds (the FAISS SQ8 trainer):
     * one bounded aggregate over the corpus — dim rows out, min/max are
     * exact order-insensitive aggregates. */

@@ -1,4 +1,6 @@
 package graft
+// (MMR re-rank pins live at the bottom of this suite — same
+// broadcast-anchor ANN family)
 
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
@@ -61,5 +63,40 @@ class HardNegativesSuite extends SparkSpec {
       vecCol = "embedding", idCol = "vec_id", labelCol = "label", k = 2)
       .orderBy("rank").collect()
     assert(out.map(_.getLong(1)).toSeq == Seq(5L, 6L))
+  }
+
+  test("mmrRerank diversifies: the near-copy loses to the diverse candidate") {
+    // query 0 = [1,0]; rel order: 1 (.9138) > 2 (.9100) > 3 (.9085), so
+    // plain top-2 keeps the near-copies {1, 2}. But sim(2,1) ~ 1.0 while
+    // sim(3,1) ~ 0.66: at λ=0.5 step 2 scores 2 at ~-0.045 and 3 at
+    // ~+0.124 — MMR must take the diverse 3.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0F, 0.0F)),
+        |  (1L, array(0.9F, 0.4F)),
+        |  (2L, array(0.9F, 0.41F)),
+        |  (3L, array(0.87F, -0.4F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val out = Similarity.mmrRerank(df, df.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", candidates = 3, k = 2, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L),
+      "step 1 takes the best-rel copy; step 2 must skip its near-copy")
+  }
+
+  test("mmrRerank: ranks are 1..k per query; ties pick the smallest id") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0F, 0.0F)),
+        |  (7L, array(0.5F, 0.5F)),
+        |  (5L, array(0.5F, 0.5F)),
+        |  (9L, array(0.0F, 1.0F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val out = Similarity.mmrRerank(df, df.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", candidates = 3, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    // 5 and 7 are identical vectors: the first pick must be id 5
+    assert(out.head.getLong(1) == 5L)
   }
 }
