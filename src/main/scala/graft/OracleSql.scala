@@ -567,11 +567,12 @@ object OracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Replays Dedup.simhashCandidates (48-bit simhash, 4 chunks of 12
-    * bits, bucketCap 256) + the query's maxHamming filter. */
-  def simhashPairs(maxHamming: Int = 8, bucketCap: Int = 256): String = {
+  /** Shared SimHash chunk chain `th → sh → banded`: per-token hash48,
+    * 48-bit majority-vote simhash, 4×12-bit chunk rows — the replay of
+    * `Dedup.simhashChunkRows`. */
+  private def simhashChunkCtes: String = {
     val bits = Dedup.SimhashBits
-    s"""WITH th AS (
+    s"""th AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(trim(text), '\\s+'),
        |      tk -> ${h48("tk")}) AS h
@@ -584,7 +585,49 @@ object OracleSql {
        |  FROM th),
        |banded AS (
        |  SELECT doc_id, sh, c AS chunk, (sh >> (c * 12)) & 4095 AS cval
-       |  FROM sh, unnest([0,1,2,3]) AS t(c)),
+       |  FROM sh, unnest([0,1,2,3]) AS t(c))""".stripMargin
+  }
+
+  /** Replays Dedup.simhashIncremental over the house incremental split
+    * (new = doc_id >= splitId): the batch screened against the corpus
+    * chunk store (capped corpus buckets, min size 1; Hamming ≤
+    * maxHamming drops), then greedy keep-one within the batch — the
+    * [[minhashIncremental]] shape on the Hamming metric. */
+  def simhashIncremental(splitId: Long, maxHamming: Int = 8,
+                         bucketCap: Int = 256): String =
+    s"""WITH $simhashChunkCtes,
+       |cb AS (SELECT * FROM banded WHERE doc_id < $splitId),
+       |bb AS (SELECT * FROM banded WHERE doc_id >= $splitId),
+       |okc AS (
+       |  SELECT chunk, cval FROM cb GROUP BY chunk, cval
+       |  HAVING COUNT(*) <= $bucketCap),
+       |los AS (
+       |  SELECT DISTINCT bb.doc_id FROM bb
+       |  JOIN cb ON bb.chunk = cb.chunk AND bb.cval = cb.cval
+       |  JOIN okc ON okc.chunk = bb.chunk AND okc.cval = bb.cval
+       |  WHERE bit_count(xor(bb.sh, cb.sh)) <= $maxHamming),
+       |surv AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id >= $splitId
+       |    AND NOT EXISTS (SELECT 1 FROM los WHERE los.doc_id = d.doc_id)),
+       |sbanded AS (SELECT b.* FROM banded b JOIN surv USING (doc_id)),
+       |okb AS (
+       |  SELECT chunk, cval FROM sbanded GROUP BY chunk, cval
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |pl AS (
+       |  SELECT DISTINCT y.doc_id FROM sbanded x
+       |  JOIN sbanded y ON x.chunk = y.chunk AND x.cval = y.cval
+       |                AND x.doc_id < y.doc_id
+       |  JOIN okb ON okb.chunk = x.chunk AND okb.cval = x.cval
+       |  WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming)
+       |SELECT doc_id FROM surv s
+       |WHERE NOT EXISTS (SELECT 1 FROM pl WHERE pl.doc_id = s.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Replays Dedup.simhashCandidates (48-bit simhash, 4 chunks of 12
+    * bits, bucketCap 256) + the query's maxHamming filter. */
+  def simhashPairs(maxHamming: Int = 8, bucketCap: Int = 256): String = {
+    s"""WITH $simhashChunkCtes,
        |ok AS (
        |  SELECT chunk, cval FROM banded GROUP BY chunk, cval
        |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),

@@ -96,6 +96,22 @@ private[graft] object QueriesDedup {
           .arrange("doc_id").df),
 
 
+      // incremental SimHash screen: the batch (doc_id >= 400) dropped
+      // within Hamming 8 of ANY stored corpus doc sharing a 12-bit
+      // chunk bucket, then greedy keep-one within the batch — the
+      // Hamming-metric twin of q_dedup_incr_near
+      "q_dedup_incr_simhash" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.api.DataTable(
+          Dedup.simhashIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", maxHamming = 8)
+            .select(col("doc_id")))
+          .arrange("doc_id").df
+      }),
+
+
       // incremental NEAR-dup ingestion: the batch (doc_id >= 400) is
       // screened against the historical corpus's LSH band store (any
       // est-Jaccard >= 0.5 witness drops the doc), then greedy keep-one
@@ -377,6 +393,8 @@ private[graft] object QueriesDedup {
     "q_dedup_near" -> OracleSql.minhashSurvivors(),
 
     "q_dedup_keep_best" -> OracleSql.minhashKeepBest("n_chars"),
+
+    "q_dedup_incr_simhash" -> OracleSql.simhashIncremental(splitId = 400L),
 
     "q_dedup_incr_near" -> OracleSql.minhashIncremental(splitId = 400L),
 

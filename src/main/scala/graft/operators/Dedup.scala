@@ -614,18 +614,32 @@ object Dedup {
     * pigeonhole; larger `maxHamming` keeps the same candidate rule with
     * probabilistic recall), bucket-join on chunks, verify Hamming. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
-    // codegen'd single-kernel simhash over the raw text
-    // (graftshim.SimHashText); the SQL HOF form is kept above for the
-    // bit-identity pin test
+                        maxHamming: Int = 3, bucketCap: Int = 256): DataFrame =
+    candidatesFromChunkRows(simhashChunkRows(df, textCol, idCol),
+      maxHamming, bucketCap)
+
+  /** Per-doc SimHash chunk rows `(id, sh, chunk, cval)` — the exploded
+    * index shape a maintained SimHash store persists (the
+    * [[minhashBandRows]] twin; any parquet table with these columns
+    * feeds [[simhashIncrementalAgainstChunks]]). Codegen'd single-kernel
+    * simhash over the raw text (graftshim.SimHashText); the SQL HOF form
+    * is kept above for the bit-identity pin test. Pure projection. */
+  def simhashChunkRows(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
     val withSh = df
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.SimHashText(
             org.apache.spark.sql.graftshim.Shim.toExpression(col(textCol)))).as("sh"))
-    val banded = withSh.select(col("id"), col("sh"),
+    withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*)).as(Seq("chunk", "cval")))
+  }
+
+  /** In-scope pair expansion over already-computed chunk rows: capped
+    * (chunk, cval) buckets, in-bucket ordered pairs, Hamming filter. */
+  private def candidatesFromChunkRows(banded: DataFrame, maxHamming: Int,
+                                      bucketCap: Int): DataFrame = {
     val buckets = cappedBuckets(banded, Seq(col("chunk"), col("cval")),
       struct(col("id"), col("sh")), bucketCap)
     buckets.select(explode(expr(
@@ -639,6 +653,51 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Incremental SimHash screen — the [[minhashIncrementalAgainstBands]]
+    * twin for the Hamming metric: drop from `newDocs` every doc within
+    * `maxHamming` bits of ANY stored doc sharing a 12-bit chunk bucket,
+    * then greedy keep-one among in-batch near-dups. Completes the
+    * incremental-ingestion family (exact / MinHash / winnow / SimHash).
+    *
+    * Scale shape mirrors the MinHash twin: the store side is ONE capped
+    * bucket aggregation (min size 1 — a single stored doc screens;
+    * over-cap boilerplate buckets drop, the standard recall tradeoff),
+    * the batch is BROADCAST against it, and the in-batch pass rides the
+    * already-computed chunk rows — the store is never joined against
+    * itself and the corpus never rewrites. */
+  def simhashIncrementalAgainstChunks(newDocs: DataFrame, textCol: String,
+      idCol: String, chunkStore: DataFrame,
+      maxHamming: Int = 8, bucketCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graftshim.{CollectListCapped, Shim}
+    val capped = Shim.toColumn(
+      CollectListCapped(Shim.toExpression(col("sh")), bucketCap)
+        .toAggregateExpression())
+    val buckets = chunkStore.groupBy(col("chunk"), col("cval"))
+      .agg(capped.as("members"))
+      .filter(size(col("members")).between(1, bucketCap))
+    val batch = simhashChunkRows(newDocs, textCol, idCol)
+    val losers = buckets.join(broadcast(batch), Seq("chunk", "cval"))
+      .select(col("id"), col("sh"), explode(col("members")).as("csh"))
+      .filter(bit_count(col("sh").bitwiseXOR(col("csh"))) <= maxHamming)
+      .select(col("id")).distinct()
+    val survivorChunks = batch.join(losers, Seq("id"), "left_anti")
+    val inBatchLosers =
+      candidatesFromChunkRows(survivorChunks, maxHamming, bucketCap)
+        .select(col("id_b").as("id")).distinct()
+    newDocs.join(losers.unionByName(inBatchLosers).distinct()
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** [[simhashIncrementalAgainstChunks]] with the chunk store derived
+    * from the corpus in place (one corpus scan; production maintains the
+    * store incrementally instead). */
+  def simhashIncremental(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      maxHamming: Int = 8, bucketCap: Int = 256): DataFrame =
+    simhashIncrementalAgainstChunks(newDocs, textCol, idCol,
+      simhashChunkRows(corpus, textCol, idCol), maxHamming, bucketCap)
 
   // ------------------------------------------------------------- jaccard
 

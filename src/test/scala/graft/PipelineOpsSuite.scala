@@ -187,6 +187,42 @@ class PipelineOpsSuite extends SparkSpec {
       == Seq(11L, 13L))
   }
 
+  test("simhashIncremental screens Hamming-near batch docs, then within batch") {
+    // the minhashIncremental scenario on the Hamming metric: one token
+    // changed in a 30-token doc flips few simhash bits
+    val mk = (s: Seq[String]) => s.mkString(" ")
+    val base = (1 to 30).map(i => s"tok$i")
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1),
+      "text" -> Seq(mk(base))).df
+    val fresh = (1 to 30).map(i => s"new$i")
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11, 12),
+      "text" -> Seq(
+        mk(base.updated(29, "changed")),  // near corpus 1 → screened
+        mk(fresh),                        // fresh → kept
+        mk(fresh.updated(29, "altered")))).df // near 11 → greedy drop
+    val out = Dedup.simhashIncremental(batch, corpus, "text", "doc_id",
+      maxHamming = 12)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L))
+  }
+
+  test("simhashIncremental: a single stored doc still screens (size-1 bucket)") {
+    val corpus = toDf(spark)(
+      "doc_id" -> Seq(1),
+      "text" -> Seq((1 to 30).map(i => s"tok$i").mkString(" "))).df
+    val store = Dedup.simhashChunkRows(corpus, "text", "doc_id")
+    val batch = toDf(spark)(
+      "doc_id" -> Seq(10, 11),
+      "text" -> Seq(
+        (1 to 30).map(i => s"tok$i").mkString(" "), // exact twin → screened
+        (1 to 30).map(i => s"qq$i").mkString(" "))).df
+    val out = Dedup.simhashIncrementalAgainstChunks(batch, "text", "doc_id",
+      store, maxHamming = 8)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("minhashIncrementalAgainstBands: a single stored doc still screens") {
     // one corpus doc -> every band bucket has ONE member; the capped
     // bucket agg must keep size-1 buckets (the batch variant's >= 2
