@@ -751,6 +751,51 @@ object OracleSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Replays q_ann_ndcg (Similarity.ndcgEval): brute-force and LSH
+    * top-k rankings, per-term micro-quantized cos/ln(rank+1) gains
+    * summed as longs, one final division for ndcg. */
+  def annNdcg(dim: Int = 64, numPlanes: Int = 8, k: Int = 10,
+              nq: Int = 4): String = {
+    val planes = VectorFunctions.hashPlanes(numPlanes, dim)
+    val probes = ("qbucket" +: (0 until numPlanes).map(i => s"xor(qbucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    def dcg(src: String, out: String) =
+      s"""SELECT query_id,
+         |    SUM(CAST(floor(cos * 1000000.0 / ln(rank + 1.0) + 0.5) AS BIGINT))::BIGINT AS $out
+         |  FROM $src GROUP BY query_id""".stripMargin
+    s"""WITH hb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS cv,
+       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings),
+       |hq AS (
+       |  SELECT vec_id AS query_id, cv AS qv, bucket AS qbucket
+       |  FROM hb WHERE vec_id < $nq),
+       |truth AS (
+       |  SELECT query_id, vec_id, cos, rank FROM (
+       |    SELECT hq.query_id, hb.vec_id, ${cosExpr("hb.cv", "hq.qv")} AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY hq.query_id
+       |        ORDER BY cos DESC, hb.vec_id) AS rank
+       |    FROM hb CROSS JOIN hq WHERE hb.vec_id <> hq.query_id)
+       |  WHERE rank <= $k),
+       |lprobes AS (SELECT query_id, qv, p AS bucket FROM hq, unnest($probes) AS t(p)),
+       |lcand AS (
+       |  SELECT DISTINCT p.query_id, hb.vec_id, ${cosExpr("hb.cv", "p.qv")} AS cos
+       |  FROM hb JOIN lprobes p ON hb.bucket = p.bucket AND hb.vec_id <> p.query_id),
+       |lsh AS (
+       |  SELECT query_id, vec_id, cos, rank FROM (
+       |    SELECT query_id, vec_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM lcand) WHERE rank <= $k),
+       |ideal AS (${dcg("truth", "idcg_micro")}),
+       |ap AS (${dcg("lsh", "dcg_micro")})
+       |SELECT i.query_id,
+       |  COALESCE(a.dcg_micro, 0)::BIGINT AS dcg_micro,
+       |  i.idcg_micro,
+       |  COALESCE(a.dcg_micro, 0)::DOUBLE / i.idcg_micro::DOUBLE AS ndcg
+       |FROM ideal i LEFT JOIN ap a USING (query_id)
+       |ORDER BY i.query_id""".stripMargin
+  }
+
   /** Replays q_ann_recall: recall of the multi-probe LSH ANN AND the
     * trained-centroid IVF ANN against the brute-force ground truth, per
     * query — planes and centroids regenerated from the same constants /

@@ -221,6 +221,19 @@ private[graft] object QueriesVector {
       }),
 
 
+      // nDCG ranking-quality eval: the graded complement of q_ann_recall
+      // — penalizes wrong ORDER and credits almost-right vectors; gains
+      // micro-quantized, ln-discounted, one division for ndcg
+      "q_ann_ndcg" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.ndcgEval(emb, emb.filter(col("vec_id") < 4),
+            "embedding", "vec_id", "vec_id",
+            k = 10, dim = 64, numPlanes = 8, probeBits = 1))
+          .arrange("query_id").df
+      }),
+
+
       // ANN evaluation: recall@10 of ALL THREE approximate indexes — the
       // multi-probe LSH buckets, the trained-centroid IVF (the same
       // Lloyd-built index q_ann_ivf serves), and the PQ/ADC compressed
@@ -353,6 +366,8 @@ private[graft] object QueriesVector {
 
     "q_ann_lsh" -> OracleSql.annLsh(),
 
+
+    "q_ann_ndcg" -> OracleSql.annNdcg(),
 
     "q_ann_recall" -> OracleSql.annRecall()
   )

@@ -526,6 +526,41 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** DCG ranking-quality eval — the graded complement of the recall@k
+    * harness: recall counts set overlap, DCG also penalizes an index for
+    * returning the right vectors in the wrong ORDER (and credits
+    * almost-right vectors recall scores zero). Gain of a retrieved rank-i
+    * vector is its TRUE cosine; discount is ln(i+1) (the natural-log DCG
+    * variant — ln has pinned cross-engine parity where log2 does not);
+    * per-term values are micro-quantized to longs so the sums are
+    * order-insensitive, and `ndcg` is one division of identical
+    * integers. Output per query: (query_id, dcg_micro, idcg_micro,
+    * ndcg) where idcg is the brute-force ranking's own DCG.
+    *
+    * The approximate side is the UNCHANGED production LSH path —
+    * evaluate the config you ship, not a twin. Cost: two bounded top-k
+    * runs; the groupBy holds |queries| rows. */
+  def ndcgEval(corpus: DataFrame, queries: DataFrame,
+               vecCol: String, idCol: String, queryIdCol: String,
+               k: Int, dim: Int, numPlanes: Int = 8,
+               probeBits: Int = 1): DataFrame = {
+    def dcg(ranked: DataFrame, out: String): DataFrame =
+      ranked.select(col("query_id"),
+        floor(col("cos") * lit(1000000.0) / log(col("rank").cast("double") + lit(1.0))
+          + lit(0.5)).cast("long").as("__t"))
+        .groupBy("query_id").agg(sum(col("__t")).as(out))
+    val ideal = dcg(bruteForceTopK(corpus, queries, vecCol, idCol,
+      queryIdCol, k), "idcg_micro")
+    val approx = dcg(lshTopK(corpus, queries, vecCol, idCol, queryIdCol,
+      k, dim, numPlanes, probeBits), "dcg_micro")
+    ideal.join(approx, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"))
+      .withColumn("ndcg",
+        col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein 1998): from each
     * query's `candidates` best-by-cosine corpus vectors, greedily select
     * `k` maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the

@@ -99,4 +99,29 @@ class HardNegativesSuite extends SparkSpec {
     // 5 and 7 are identical vectors: the first pick must be id 5
     assert(out.head.getLong(1) == 5L)
   }
+
+  test("ndcgEval: approx DCG never beats ideal; self-evaluating LSH hits 1.0") {
+    val emb = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.ndcgEval(emb, emb.filter(col("vec_id") < 4),
+      "embedding", "vec_id", "vec_id", k = 10, dim = 64)
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val (d, i, n) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(i > 0L)
+      assert(d <= i, s"approx DCG $d beat ideal $i")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+    // degenerate corpus where every vector lands in one bucket: the LSH
+    // list IS the brute list, so ndcg is exactly 1
+    val tiny = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0F, 0.1F)), (1L, array(1.0F, 0.2F)),
+        |  (2L, array(0.9F, 0.1F)), (3L, array(0.8F, 0.3F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val one = Similarity.ndcgEval(tiny, tiny.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", k = 3, dim = 2, numPlanes = 1)
+      .collect()
+    assert(one.length == 1 && one.head.getDouble(3) == 1.0)
+  }
 }
