@@ -218,6 +218,25 @@ private[graft] object QueriesCorpus {
           .arrange("w1", "w2").df),
 
 
+      // HTML → text extraction: script/style blocks dropped whole, tags
+      // stripped, entities decoded (&amp; last), whitespace squeezed —
+      // the WET-style ingestion step; synthetic HTML derived per row so
+      // both engines extract from identical markup
+      "q_html_extract" -> ((s: SparkSession, dir: String) => {
+        val html = concat(
+          lit("<html><head><script>var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><div class=\"x\">&amp;lt; &lt;kept&gt; &nbsp;&#39;q&#39;" +
+            "</div></body></html>"))
+        graft.api.DataTable(
+          Tables.df(s, dir, "documents")
+            .select(col("doc_id"), htmlToText(html).as("clean"))
+            .withColumn("n_clean_chars", length(col("clean")).cast("long")))
+          .arrange("doc_id").df
+      }),
+
+
       // cross-document boilerplate: top-50 corpus-wide trigrams (bounded
       // TakeOrdered, deterministic tie order) broadcast back; per-doc
       // boilerplate-instance fraction in exact integral arithmetic
@@ -634,6 +653,34 @@ private[graft] object QueriesCorpus {
         |SELECT source, MAX(n)::BIGINT AS n_tokens, SUM(t)::BIGINT AS kl_num,
         |  SUM(t)::DOUBLE / (MAX(n) + 64)::DOUBLE AS kl_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // html extract: the same regex/replace chain, RE2 'g' flags, &amp;
+    // decoded last
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>var x = 1 < 2;</script>' ||
+        |    '<style>p { color: red; }</style></head><body><h1>Title</h1><p>' ||
+        |    text ||
+        |    '</p><div class="x">&amp;lt; &lt;kept&gt; &nbsp;&#39;q&#39;' ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, clean, length(clean)::BIGINT AS n_clean_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
 
     // boilerplate: token-poly gram instances (the th → hs convention),

@@ -243,6 +243,25 @@ object TextFunctions {
   /** PII scrubbing: emails and URLs replaced by typed placeholders.
     * Conservative patterns shared by Java and RE2 regex dialects, so the
     * same expression replays in any engine. */
+  /** HTML → text extraction (the WET-style ingestion step): drop
+    * script/style blocks whole (their contents are code, not text),
+    * strip remaining tags to spaces, decode the six common entities
+    * (`&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` instead
+    * of `<` — the standard double-decode pitfall), squeeze whitespace.
+    * A pure projection; every pattern is RE2-compatible, so the oracle
+    * replays the chain with DuckDB `regexp_replace(..., 'g')`. */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def redactPii(c: Column): Column =
     regexp_replace(
       regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -9,6 +9,20 @@ import graft.functions.TextFunctions._
   * rather than through a vacuous corpus query). */
 class TextSuite extends SparkSpec {
 
+  test("htmlToText: blocks dropped whole, tags stripped, entities decoded") {
+    val df = toDf(spark)("id" -> Seq(1, 2, 3), "h" -> Seq(
+      "<html><script>var a = 1 < 2;</script><p>Hello <b>world</b></p></html>",
+      "<style>p{}</style>A &amp;lt; B &lt;x&gt; &quot;q&quot; &#39;r&#39;&nbsp;!",
+      "no markup at all")).df
+    val out = df.select(col("id"), htmlToText(col("h")).as("c"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out(0) == "Hello world", s"got '${out(0)}'")
+    // &amp;lt; decodes to the LITERAL '&lt;' (amp decoded last), while
+    // the real &lt;x&gt; becomes <x>
+    assert(out(1) == "A &lt; B <x> \"q\" 'r' !", s"got '${out(1)}'")
+    assert(out(2) == "no markup at all")
+  }
+
   test("redactPii replaces emails and URLs with typed placeholders") {
     val df = toDf(spark)("id" -> Seq(1, 2, 3), "t" -> Seq(
       "contact me at jane.doe+spam@example.co.uk today",
