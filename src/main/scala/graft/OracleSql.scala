@@ -761,7 +761,7 @@ object OracleSql {
       .mkString("[", ", ", "]")
     def dcg(src: String, out: String) =
       s"""SELECT query_id,
-         |    SUM(CAST(floor(cos * 1000000.0 / ln(rank + 1.0) + 0.5) AS BIGINT))::BIGINT AS $out
+         |    SUM(CAST(floor(greatest(cos, 0.0) * 1000000.0 / ln(rank + 1.0) + 0.5) AS BIGINT))::BIGINT AS $out
          |  FROM $src GROUP BY query_id""".stripMargin
     s"""WITH hb AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS cv,
@@ -791,7 +791,9 @@ object OracleSql {
        |SELECT i.query_id,
        |  COALESCE(a.dcg_micro, 0)::BIGINT AS dcg_micro,
        |  i.idcg_micro,
-       |  COALESCE(a.dcg_micro, 0)::DOUBLE / i.idcg_micro::DOUBLE AS ndcg
+       |  CASE WHEN i.idcg_micro = 0 THEN NULL
+       |       ELSE COALESCE(a.dcg_micro, 0)::DOUBLE / i.idcg_micro::DOUBLE
+       |  END AS ndcg
        |FROM ideal i LEFT JOIN ap a USING (query_id)
        |ORDER BY i.query_id""".stripMargin
   }
@@ -1047,7 +1049,9 @@ object OracleSql {
     s"""WITH ${sqCtes(dim)}
        |SELECT e.vec_id, (b.pos - 1)::BIGINT AS pos,
        |  ($sqCodeExpr)::BIGINT AS code
-       |FROM e CROSS JOIN b ORDER BY e.vec_id, pos""".stripMargin
+       |FROM e CROSS JOIN b
+       |WHERE e.v IS NOT NULL -- Spark's posexplode emits no rows for a null embedding
+       |ORDER BY e.vec_id, pos""".stripMargin
 
   /** Replays q_ann_sq (Similarity.sqTopK): reconstruct every corpus
     * vector as lo + code·((hi − lo)/255) per component, cosine against

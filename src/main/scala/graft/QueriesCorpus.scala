@@ -677,7 +677,7 @@ private[graft] object QueriesCorpus {
         |          '(?s)<[^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS clean
+        |      '[ \t\n\f\r]+', ' ', 'g')) AS clean
         |  FROM h)
         |SELECT doc_id, clean, length(clean)::BIGINT AS n_clean_chars
         |FROM c ORDER BY doc_id""".stripMargin,

@@ -240,16 +240,16 @@ object TextFunctions {
         (a, j) => a + when(h === j, lit(1L)).otherwise(lit(0L))))
   }
 
-  /** PII scrubbing: emails and URLs replaced by typed placeholders.
-    * Conservative patterns shared by Java and RE2 regex dialects, so the
-    * same expression replays in any engine. */
   /** HTML → text extraction (the WET-style ingestion step): drop
     * script/style blocks whole (their contents are code, not text),
     * strip remaining tags to spaces, decode the six common entities
     * (`&amp;` LAST, so `&amp;lt;` decodes to the literal `&lt;` instead
     * of `<` — the standard double-decode pitfall), squeeze whitespace.
     * A pure projection; every pattern is RE2-compatible, so the oracle
-    * replays the chain with DuckDB `regexp_replace(..., 'g')`. */
+    * replays the chain with DuckDB `regexp_replace(..., 'g')`. The
+    * whitespace class is SPELLED OUT instead of `\s` — Java's `\s`
+    * includes `\x0B` (vertical tab) where RE2's does not, the one place
+    * the two dialects disagree on this chain. */
   def htmlToText(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
@@ -259,9 +259,12 @@ object TextFunctions {
       .foldLeft(noTags) { case (acc, (from, to)) =>
         replace(acc, lit(from), lit(to))
       }
-    trim(regexp_replace(ent, "\\s+", " "))
+    trim(regexp_replace(ent, "[ \\t\\n\\f\\r]+", " "))
   }
 
+  /** PII scrubbing: emails and URLs replaced by typed placeholders.
+    * Conservative patterns shared by Java and RE2 regex dialects, so the
+    * same expression replays in any engine. */
   def redactPii(c: Column): Column =
     regexp_replace(
       regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -1500,15 +1500,20 @@ object Dedup {
                                      idCol: String, scoreCol: String): DataFrame = {
     requireIntegralId(df, idCol)
     val labels = componentLabels(df.sparkSession, pairs) // member ids only
+    // no forced broadcast: the label/loser frames scale with the TOTAL
+    // pair-member count (capped buckets bound each bucket, not the
+    // number of buckets) — a high-duplication crawl could overflow a
+    // mandated broadcast. AQE broadcasts them when they are in fact
+    // small; otherwise these degrade to co-partitioned joins over the
+    // narrow (id, score) projection, never the full corpus width.
     val member = df
       .select(col(idCol).cast("long").as("id"), col(scoreCol).as("__sc"))
-      .join(broadcast(labels), Seq("id"))
+      .join(labels, Seq("id"))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("__sc").desc, col("id"))
     val losers = member.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
       .select(col("id").as("__loser"))
-    df.join(broadcast(losers), col(idCol).cast("long") === col("__loser"),
-      "left_anti")
+    df.join(losers, col(idCol).cast("long") === col("__loser"), "left_anti")
   }
 }

@@ -51,7 +51,14 @@ object Similarity {
     }
     scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
         col("cos").cast("double"))
-      .filter(col("cos").isNotNull) // malformed vectors score NULL, never top-k
+      // malformed vectors score NULL and zero-norm vectors score NaN —
+      // neither is a usable neighbor, and letting NaN through would rank
+      // FIRST in the final desc window (Spark's NaN-greatest order)
+      // while the heap ordering treats it as worst: exclude both here so
+      // every downstream ranking agrees. Oracle parity note: the DuckDB
+      // replays rank NaN first too, so ANN oracles assume a corpus
+      // without zero-norm embeddings (testdata satisfies this).
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .mapPartitions { it =>
         // per query: max-heap on (-cos, id) (root = WORST retained row)
         // plus the set of vec_ids currently in that heap
@@ -544,9 +551,13 @@ object Similarity {
                vecCol: String, idCol: String, queryIdCol: String,
                k: Int, dim: Int, numPlanes: Int = 8,
                probeBits: Int = 1): DataFrame = {
+    // gains CLIP at zero (the standard nDCG convention): with raw
+    // negative cosines a shorter approximate list could out-sum the
+    // "ideal" one and the dcg <= idcg invariant would not hold
     def dcg(ranked: DataFrame, out: String): DataFrame =
       ranked.select(col("query_id"),
-        floor(col("cos") * lit(1000000.0) / log(col("rank").cast("double") + lit(1.0))
+        floor(greatest(col("cos"), lit(0.0)) * lit(1000000.0)
+          / log(col("rank").cast("double") + lit(1.0))
           + lit(0.5)).cast("long").as("__t"))
         .groupBy("query_id").agg(sum(col("__t")).as(out))
     val ideal = dcg(bruteForceTopK(corpus, queries, vecCol, idCol,
@@ -558,7 +569,9 @@ object Similarity {
         coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
         col("idcg_micro"))
       .withColumn("ndcg",
-        col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+        when(col("idcg_micro") === 0L, lit(null).cast("double"))
+          .otherwise(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double")))
   }
 
   /** MMR diversified re-ranking (Carbonell & Goldstein 1998): from each
@@ -614,7 +627,11 @@ object Similarity {
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
       val used = scala.collection.mutable.HashSet.empty[Long]
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (selected.length < k && used.size < cands.length) {
+      // termination bound on DISTINCT ids: duplicate vec_ids in a
+      // degenerate corpus would otherwise keep used.size below the raw
+      // array length forever once every distinct id is used
+      val nDistinct = cands.iterator.map(_._1).toSet.size
+      while (selected.length < k && used.size < nDistinct) {
         var bestId = -1L; var bestScore = Double.NegativeInfinity
         var bestV: Array[Double] = null
         cands.foreach { case (id, v, rel) =>
@@ -666,17 +683,25 @@ object Similarity {
     * encode 0). Output long format (vec_id, pos, code) — every code
     * individually oracle-pinned. */
   def sqEncode(corpus: DataFrame, vecCol: String, idCol: String,
-               lo: Array[Double], hi: Array[Double]): DataFrame = {
+               lo: Array[Double], hi: Array[Double]): DataFrame =
+    normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"),
+        posexplode(sqCodes(col("v"), lo, hi)).as(Seq("pos", "code")))
+
+  /** The SQ8 level array of `v` against literal bounds — ONE definition
+    * shared by encode and search, mirroring the oracle's single
+    * `sqCodeExpr` (a drifted copy would silently desynchronize
+    * q_sq_encode from q_ann_sq). */
+  private def sqCodes(v: Column, lo: Array[Double],
+                      hi: Array[Double]): Column = {
     val loLit = array(lo.toIndexedSeq.map(lit): _*)
     val hiLit = array(hi.toIndexedSeq.map(lit): _*)
-    val codes = transform(col("v"), (x, i) => {
+    transform(v, (x, i) => {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)
       when(h === l, lit(0L))
         .otherwise(floor((x - l) * lit(255.0) / (h - l) + lit(0.5)).cast("long"))
     })
-    normalized(corpus, vecCol, idCol)
-      .select(col("vec_id"), posexplode(codes).as(Seq("pos", "code")))
   }
 
   /** ANN over the SQ8-compressed corpus: candidates are reconstructed
@@ -691,12 +716,7 @@ object Similarity {
              k: Int): DataFrame = {
     val loLit = array(lo.toIndexedSeq.map(lit): _*)
     val hiLit = array(hi.toIndexedSeq.map(lit): _*)
-    val codes = transform(col("v"), (x, i) => {
-      val l = element_at(loLit, i + 1)
-      val h = element_at(hiLit, i + 1)
-      when(h === l, lit(0L))
-        .otherwise(floor((x - l) * lit(255.0) / (h - l) + lit(0.5)).cast("long"))
-    })
+    val codes = sqCodes(col("v"), lo, hi)
     val recon = transform(codes, (c, i) => {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)
