@@ -120,6 +120,25 @@ private[graft] object QueriesLayout {
           .arrange("doc_id").df),
 
 
+      // per-column profile: null/distinct/min/max data card in one
+      // aggregate pass (multi-distinct on one Expand)
+      "q_profile" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Diagnostics.profile(Tables.df(s, dir, "documents"),
+            Seq("doc_id", "lang", "source", "n_chars")))
+          .arrange("col_name").df),
+
+
+      // quantile winsorization: n_chars clipped to the exact [p25, p75]
+      // interpolated cuts; one percentile aggregate, scan-local clamp
+      "q_winsorize" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.winsorize(
+            Tables.df(s, dir, "documents").select("doc_id", "n_chars"),
+            "n_chars", lo = 0.25, hi = 0.75))
+          .arrange("doc_id").df),
+
+
       // snapshot diff: per-id added/removed/changed between two corpus
       // versions (derived deterministically from documents); unchanged
       // rows never materialize
@@ -253,6 +272,46 @@ private[graft] object QueriesLayout {
         |         ELSE 0.0 END AS z
         |  FROM documents d JOIN st USING (source, lang))
         |SELECT * FROM scored WHERE abs(z) > 1.5
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // profile: one aggregate row melted per column; min/max native-typed
+    // then cast
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT COUNT(*)::BIGINT AS n,
+        |    COUNT(doc_id)::BIGINT AS nn_id, COUNT(DISTINCT doc_id)::BIGINT AS nd_id,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS mn_id, CAST(MAX(doc_id) AS VARCHAR) AS mx_id,
+        |    COUNT(lang)::BIGINT AS nn_lang, COUNT(DISTINCT lang)::BIGINT AS nd_lang,
+        |    CAST(MIN(lang) AS VARCHAR) AS mn_lang, CAST(MAX(lang) AS VARCHAR) AS mx_lang,
+        |    COUNT(source)::BIGINT AS nn_src, COUNT(DISTINCT source)::BIGINT AS nd_src,
+        |    CAST(MIN(source) AS VARCHAR) AS mn_src, CAST(MAX(source) AS VARCHAR) AS mx_src,
+        |    COUNT(n_chars)::BIGINT AS nn_nc, COUNT(DISTINCT n_chars)::BIGINT AS nd_nc,
+        |    CAST(MIN(n_chars) AS VARCHAR) AS mn_nc, CAST(MAX(n_chars) AS VARCHAR) AS mx_nc
+        |  FROM documents)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        |  SELECT 'doc_id' AS col_name, n AS n_rows, (n - nn_id)::BIGINT AS n_null,
+        |    nd_id AS n_distinct, mn_id AS min_val, mx_id AS max_val FROM p
+        |  UNION ALL
+        |  SELECT 'lang', n, (n - nn_lang)::BIGINT, nd_lang, mn_lang, mx_lang FROM p
+        |  UNION ALL
+        |  SELECT 'source', n, (n - nn_src)::BIGINT, nd_src, mn_src, mx_src FROM p
+        |  UNION ALL
+        |  SELECT 'n_chars', n, (n - nn_nc)::BIGINT, nd_nc, mn_nc, mx_nc FROM p)
+        |ORDER BY col_name""".stripMargin,
+
+
+    // winsorize: quantile_cont cuts (the quantileGate interpolation
+    // parity), explicit null branch, LEAST/GREATEST clamp
+    "q_winsorize" ->
+      """WITH t AS (
+        |  SELECT quantile_cont(n_chars, 0.25) AS wlo,
+        |         quantile_cont(n_chars, 0.75) AS whi
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NULL THEN NULL
+        |       ELSE LEAST(GREATEST(n_chars::DOUBLE, wlo), whi) END AS n_chars_w
+        |FROM documents CROSS JOIN t
         |ORDER BY doc_id""".stripMargin,
 
 

@@ -141,6 +141,40 @@ object Diagnostics {
       pmod(hash48(concat(lit(s"cm${r}_"), tok)), lit(width.toLong))): _*)
   }
 
+  /** Per-column profile — the data-card sibling of
+    * [[graft.operators.Expectations]]: for each named column, row count,
+    * null count, exact distinct count, and min/max rendered as strings.
+    * ONE aggregate pass over the frame (the multi-distinct rides one
+    * Expand — adding columns adds groupings, not scans); the melt to
+    * long format explodes the single 1-row aggregate.
+    *
+    * Exactness note: min/max are computed on the NATIVE type and cast
+    * to string after — pick columns whose string rendering is
+    * engine-stable (integers/strings; a double would render
+    * differently across engines). Exact distinct is the oracle-checked
+    * tier; at 100 TB swap in approx_count_distinct and lose the hash
+    * check, not the plan shape. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: not in schema: $missing")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))): _*)).as("__e"))
+      .select(col("__e.col_name"), col("__e.n_rows"), col("__e.n_null"),
+        col("__e.n_distinct"), col("__e.min_val"), col("__e.max_val"))
+  }
+
   /** Snapshot diff between two corpus versions: per-id status — `added`
     * (only in new), `removed` (only in old), `changed` (present in both
     * with a different `valueCol` fingerprint). Unchanged rows are NOT

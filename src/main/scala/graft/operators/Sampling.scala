@@ -71,6 +71,34 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Quantile winsorization — the robust-statistics clip: values below
+    * the `lo` quantile raise to it, values above the `hi` quantile
+    * lower to it (heavy-tail taming before means/z-scores, the
+    * complement of [[graft.operators.Outliers]]' flag-and-drop). Same
+    * exact-percentile machinery as [[quantileGate]] (integral measure,
+    * ONE percentile aggregate for both cuts, broadcast back, scan-local
+    * clamp — the corpus never shuffles); output adds `<scoreCol>_w` as
+    * a double (the interpolated cuts are fractional), null scores stay
+    * null. */
+  def winsorize(df: DataFrame, scoreCol: String,
+                lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
+    require(lo > 0.0 && hi < 1.0 && lo < hi,
+      s"winsorize: need 0 < lo < hi < 1, got ($lo, $hi)")
+    val quoted = integralPercentileMeasure(df, scoreCol, "winsorize")
+    val thr = df.agg(
+      expr(s"percentile($quoted, CAST($lo AS DOUBLE))").as("__wlo"),
+      expr(s"percentile($quoted, CAST($hi AS DOUBLE))").as("__whi"))
+    val x = col(quoted).cast("double")
+    df.crossJoin(broadcast(thr))
+      // explicit null branch: both engines' GREATEST/LEAST skip nulls
+      // rather than propagate them, which would silently clip a null
+      // score to the lower cut
+      .withColumn(s"${scoreCol}_w",
+        when(x.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(x, col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
   /** Leakage-safe train/val/test split: [[splitAssign]] keyed on the
     * NEAR-DUP CLUSTER label instead of the doc id, so two near-duplicate
     * documents can NEVER straddle splits — the eval-leakage mode a

@@ -198,6 +198,40 @@ class DiagnosticsSuite extends SparkSpec {
     assert(scans == 1, s"expected 1 scan for 3 row rules, got $scans:\n$plan")
   }
 
+  test("profile: nulls, distincts, min/max; one aggregate scan") {
+    import graft.operators.Diagnostics
+    val df = toDf(spark)(
+      "k" -> Seq[Any](1L, 2L, 2L, null),
+      "s" -> Seq[Any]("b", null, "a", "a")).df
+    val out = Diagnostics.profile(df, Seq("k", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+    val docs = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Diagnostics.profile(docs, Seq("doc_id", "lang", "n_chars"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan for 3 profiled columns, got $scans")
+  }
+
+  test("winsorize clamps to the interpolated cuts; nulls stay null") {
+    import graft.operators.Sampling
+    // values 0..8: p25 = 2.0, p75 = 6.0 exactly
+    val df = toDf(spark)("id" -> (0 until 9), "v" -> (0 until 9)).df
+      .unionByName(toDf(spark)("id" -> Seq(99), "v" -> Seq(0)).df
+        .withColumn("v", lit(null).cast("long")))
+    val got = Sampling.winsorize(df, "v", 0.25, 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got(0L) == 2.0 && got(1L) == 2.0 && got(2L) == 2.0)
+    assert(got(4L) == 4.0)
+    assert(got(6L) == 6.0 && got(7L) == 6.0 && got(8L) == 6.0)
+    assert(got(99L) == null)
+  }
+
   test("expectations: duplicate rule names are rejected") {
     import graft.operators.Expectations._
     val df = toDf(spark)("k" -> Seq(1L)).df
