@@ -130,6 +130,32 @@ object OracleSql {
                       bucketCap: Int = 64, minEstJaccard: Double = 0.5): String =
     closureOverPairs(minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard))
 
+  /** Replays Dedup.dedupImpact: cluster-size histogram over the
+    * recursive closure's component labels plus the singleton row from
+    * `total − members`. */
+  def dedupImpact(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                  bucketCap: Int = 64,
+                  minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${closureCtes(
+         minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard))},
+       |sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS sz
+       |          FROM comp GROUP BY cluster_id),
+       |hist AS (SELECT sz, COUNT(*)::BIGINT AS n_clusters
+       |         FROM sizes GROUP BY sz),
+       |tot AS (SELECT COUNT(*)::BIGINT AS t FROM documents),
+       |mem AS (SELECT COUNT(*)::BIGINT AS m FROM comp),
+       |uni AS (
+       |  SELECT sz, n_clusters FROM hist
+       |  UNION ALL
+       |  SELECT 1::BIGINT, (t - m)::BIGINT FROM tot CROSS JOIN mem
+       |  WHERE t - m > 0),
+       |g AS (SELECT sz, SUM(n_clusters)::BIGINT AS n_clusters
+       |      FROM uni GROUP BY sz)
+       |SELECT sz AS cluster_size, n_clusters,
+       |  (sz * n_clusters)::BIGINT AS n_docs,
+       |  ((sz - 1) * n_clusters)::BIGINT AS n_dropped
+       |FROM g ORDER BY cluster_size""".stripMargin
+
   /** Replays Sampling.leakageSafeSplit: the split md5-bucket rule
     * applied to the MinHash cluster label (the [[minhashClusters]]
     * closure), 80/10/10 cuts. */

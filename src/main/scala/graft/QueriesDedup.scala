@@ -129,6 +129,16 @@ private[graft] object QueriesDedup {
       }),
 
 
+      // dedup impact report: cluster-size histogram + projected shrink
+      // (n_dropped per size bucket) — the decide-before-you-run
+      // diagnostic for a near-dedup pass
+      "q_dedup_impact" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.dedupImpact(Tables.df(s, dir, "documents"),
+            "text", "doc_id", minEstJaccard = 0.5))
+          .arrange("cluster_size").df),
+
+
       // transitive near-dup clustering: connected components over the
       // MinHash candidate graph; every doc labeled with the min id of its
       // component (iterative min-label propagation; recursive-CTE oracle)
@@ -397,6 +407,8 @@ private[graft] object QueriesDedup {
     "q_dedup_incr_simhash" -> OracleSql.simhashIncremental(splitId = 400L),
 
     "q_dedup_incr_near" -> OracleSql.minhashIncremental(splitId = 400L),
+
+    "q_dedup_impact" -> OracleSql.dedupImpact(),
 
     "q_dedup_cluster" -> OracleSql.minhashClusters(),
 

@@ -1475,6 +1475,35 @@ object Dedup {
       winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared),
       idCol)
 
+  /** Dedup impact report — the decide-before-you-run diagnostic: the
+    * near-dup cluster-size histogram and the projected shrink if each
+    * cluster kept one survivor. `n_dropped = (size − 1) · n_clusters`
+    * per row; summing the column gives the corpus-wide removal count a
+    * [[dedupByMinhash]]-style pass would approach. Cost = the candidate
+    * stage + two tiny re-aggregations of the label frame (the corpus
+    * itself contributes only singleton counts, computed from its row
+    * count — never shuffled). */
+  def dedupImpact(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
+                  minEstJaccard: Double = 0.5): DataFrame = {
+    requireIntegralId(df, idCol)
+    val labels = componentLabels(df.sparkSession,
+      minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard))
+    val memberTotal = labels.agg(count(lit(1)).as("__m"))
+    val clustered = labels.groupBy("component")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val singletons = df.agg(count(lit(1)).as("__t"))
+      .crossJoin(broadcast(memberTotal))
+      .select(lit(1L).as("sz"), (col("__t") - col("__m")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    clustered.unionByName(singletons)
+      .groupBy("sz").agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("n_dropped"))
+  }
+
   /** Quality-aware near-dup removal: each near-dup CLUSTER keeps its
     * best member by `scoreCol` (highest wins; ties → smallest id)
     * instead of [[dedupByMinhash]]'s keep-smallest-id rule — the
