@@ -160,6 +160,26 @@ private[graft] object QueriesCorpus {
           .arrange("doc_id").df),
 
 
+      // language-ID CONFUSION MATRIX: the q_lang_id heuristic evaluated
+      // against the stored lang label — per (label, guess) cell counts
+      // plus a hit flag; the accuracy readout a lang gate needs before
+      // filtering by guess
+      "q_langid_confusion" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("lang"),
+            langGuessFromCounts(
+              stopwordCount(col("text"), StopwordsEn).cast("long"),
+              stopwordCount(col("text"), StopwordsDe).cast("long"),
+              stopwordCount(col("text"), StopwordsEs).cast("long"),
+              stopwordCount(col("text"), StopwordsFr).cast("long"))
+              .as("lang_guess"))
+          .df.groupBy("lang", "lang_guess")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("is_hit",
+            when(col("lang") === col("lang_guess"), 1L).otherwise(0L))
+          .orderBy("lang", "lang_guess")),
+
+
       // corpus vocabulary: top-50 tokens by frequency (canonical
       // explode -> partial-agg wordcount; deterministic tiebreak)
       "q_vocab" -> ((s: SparkSession, dir: String) =>
@@ -1001,6 +1021,28 @@ private[graft] object QueriesCorpus {
         |    WHEN s_es >= s_fr THEN 'es'
         |    ELSE 'fr' END AS lang_guess
         |FROM t ORDER BY doc_id""".stripMargin,
+
+
+    // confusion matrix: the q_lang_id guess chain grouped against the
+    // stored label
+    "q_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+        |    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        |    len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS s_es,
+        |    len(list_filter(w, x -> list_contains(['le','la','de','et','un','que','pour','dans','ce','une'], x))) AS s_fr,
+        |    CASE
+        |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_guess
+        |  FROM t)
+        |SELECT lang, lang_guess, COUNT(*)::BIGINT AS n,
+        |  (CASE WHEN lang = lang_guess THEN 1 ELSE 0 END)::BIGINT AS is_hit
+        |FROM g GROUP BY lang, lang_guess
+        |ORDER BY lang, lang_guess""".stripMargin,
 
 
     "q_vocab" ->

@@ -149,6 +149,19 @@ private[graft] object QueriesVector {
       }),
 
 
+      // semantic JOIN (vector entity matching): each bench-side vector
+      // (vec_id < 8) left-joined with its best corpus-side match at
+      // cosine >= 0.2 — the jaccard_join_ab idea in embedding space
+      "q_semantic_join" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.api.DataTable(
+          Similarity.semanticJoin(
+            emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+            "embedding", "vec_id", "vec_id", minCos = 0.2))
+          .arrange("vec_id").df
+      }),
+
+
       // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim selection
       // over each query's bounded top-20 candidate set — RAG/few-shot
       // retrieval without k near-copies; step-generated CTE oracle
@@ -357,6 +370,28 @@ private[graft] object QueriesVector {
     "q_ann_ivf" -> OracleSql.annIvf(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),
+
+    // semantic join: per left row the (cos DESC, right id) argmax above
+    // the threshold, LEFT JOIN so unmatched rows survive with nulls
+    "q_semantic_join" ->
+      """WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |r AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT l.vec_id AS query_id, r.vec_id AS match_id,
+        |    list_dot_product(r.cv, l.qv)
+        |      / (sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(l.qv, l.qv))) AS cos
+        |  FROM r CROSS JOIN l),
+        |best AS (
+        |  SELECT query_id, match_id, cos FROM (
+        |    SELECT query_id, match_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, match_id) AS rn
+        |    FROM s WHERE cos >= 0.2) WHERE rn = 1)
+        |SELECT l.vec_id, b.match_id, b.cos AS match_cos
+        |FROM l LEFT JOIN best b ON b.query_id = l.vec_id
+        |ORDER BY l.vec_id""".stripMargin,
 
     "q_mmr_rerank" -> OracleSql.mmrRerank(),
 

@@ -533,6 +533,37 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** Embedding-similarity JOIN — entity matching for vectors (the
+    * [[graft.operators.Dedup.jaccardSimilarityJoinAB]] idea in cosine
+    * space): every LEFT row enriched with its single best RIGHT match at
+    * or above `minCos` (ties → smallest right id), null match columns
+    * when nothing qualifies — a left outer join, not a top-k report.
+    * No self-pair exclusion: the two sides are different entity tables,
+    * so colliding id VALUES are unrelated rows.
+    *
+    * Scale shape: LEFT is the broadcast side (the probe set — catalogs,
+    * queries, label sets are small by nature); the right/corpus side
+    * streams through the bounded per-partition heap at k=1, so the
+    * final shuffle carries ≤ partitions rows per left row. */
+  def semanticJoin(left: DataFrame, right: DataFrame, vecCol: String,
+                   leftIdCol: String, rightIdCol: String,
+                   minCos: Double = 0.5): DataFrame = {
+    val l = left.select(col(leftIdCol).cast("long").as("query_id"),
+      toDoubleArray(col(vecCol)).as("qv"))
+    val r = right.select(col(rightIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("cv"))
+    val scored = r.crossJoin(broadcast(l))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val best = rankTopK(partitionTopK(scored, 1), 1)
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        col("cos").as("match_cos"))
+    left.select(col(leftIdCol).cast("long").as(leftIdCol))
+      .join(best, col(leftIdCol) === col("query_id"), "left")
+      .select(col(leftIdCol), col("match_id"), col("match_cos"))
+  }
+
   /** DCG ranking-quality eval — the graded complement of the recall@k
     * harness: recall counts set overlap, DCG also penalizes an index for
     * returning the right vectors in the wrong ORDER (and credits

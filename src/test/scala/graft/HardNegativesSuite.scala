@@ -124,4 +124,27 @@ class HardNegativesSuite extends SparkSpec {
       .collect()
     assert(one.length == 1 && one.head.getDouble(3) == 1.0)
   }
+
+  test("semanticJoin: best-match enrichment, null misses, no self-exclusion") {
+    val l = spark.sql(
+      """SELECT * FROM VALUES
+        |  (5L, array(1.0F, 0.0F)),
+        |  (6L, array(0.0F, 1.0F)),
+        |  (7L, array(-1.0F, 0.0F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val r = spark.sql(
+      """SELECT * FROM VALUES
+        |  (5L, array(1.0F, 0.0F)),
+        |  (9L, array(1.0F, 0.0F)),
+        |  (8L, array(0.1F, 1.0F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val out = Similarity.semanticJoin(l, r, "embedding", "vec_id", "vec_id",
+      minCos = 0.5).orderBy("vec_id").collect()
+    // left 5 matches RIGHT 5 (cos 1, id collision is NOT a self-pair;
+    // tie with 9 -> smallest right id)
+    assert(out(0).getLong(0) == 5L && out(0).getLong(1) == 5L)
+    assert(out(1).getLong(0) == 6L && out(1).getLong(1) == 8L)
+    // left 7 has no match at cos >= 0.5 -> null enrichment survives
+    assert(out(2).getLong(0) == 7L && out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
 }

@@ -482,4 +482,33 @@ class StreamingSuite extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
   }
+
+  test("expectations row rules run as a streaming aggregate (complete mode)") {
+    // RowRule flags are stateless projections and the report is one
+    // global aggregate, so row-local expectations monitor an unbounded
+    // stream in complete mode (UniqueRule chains two aggregates and is
+    // batch-only — documented)
+    import graft.operators.Expectations._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inDir = Paths.get("/tmp/graft_stream_expect")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+    val rules = Seq(
+      RowRule("text_not_null", col("text").isNotNull),
+      RowRule("n_chars_positive", col("n_chars") > 0))
+    val rep = check(stream, rules)
+    assert(rep.isStreaming)
+    val q = rep.writeStream.format("memory").queryName("graft_expect_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_expect_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = check(docs, rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
