@@ -31,10 +31,17 @@ object OracleSql {
   }
 
   /** Exact double literal that DuckDB parses back to the same IEEE value
-    * (Java shortest round-trip repr). */
+    * (Java shortest round-trip repr) — WITH an exponent suffix forced:
+    * DuckDB types a plain decimal literal as DECIMAL and converts
+    * DECIMAL→DOUBLE through an int128/10^scale division that DOUBLE-
+    * ROUNDS 17-significant-digit constants (found via q_jl_project: 226
+    * of 500 dots off by 1 ulp; an exponent makes the lexer emit DOUBLE
+    * directly, correctly-rounded parse, 0 of 500). */
   private def dlit(d: Double): String = {
     val s = java.lang.Double.toString(d)
-    if (s.contains("E") || s.contains(".")) s else s + ".0"
+    if (s.contains("E") || s.contains("e")) s
+    else if (s.contains(".")) s + "e0"
+    else s + ".0e0"
   }
 
   private def dot(a: String, b: String): String = s"list_dot_product($a, $b)"
@@ -510,6 +517,41 @@ object OracleSql {
        |LEFT JOIN tp t ON t.id_a = c.id_a AND t.id_b = c.id_b
        |ORDER BY c.id_a, c.id_b""".stripMargin
   }
+
+  /** Replays Dedup.containmentPairs: winnow copied-span candidate
+    * pairs annotated with exact word-shingle intersections, sizes, and
+    * integer-percent containments both directions. */
+  def containmentPairs(k: Int = 12, w: Int = 8, bucketCap: Int = 64,
+                       minShared: Long = 4L,
+                       shingleSize: Int = 3): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+       |okf AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fps a JOIN fps b USING (fp) JOIN okf USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minShared),
+       |docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |${shingleSetShCte(shingleSize)},
+       |sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  COALESCE(t.inter, 0)::BIGINT AS inter,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  (COALESCE(t.inter, 0) * 100 // sa.n)::BIGINT AS cont_a_pct,
+       |  (COALESCE(t.inter, 0) * 100 // sb.n)::BIGINT AS cont_b_pct
+       |FROM cand c
+       |JOIN sz sa ON sa.doc_id = c.id_a
+       |JOIN sz sb ON sb.doc_id = c.id_b
+       |LEFT JOIN tp t ON t.id_a = c.id_a AND t.id_b = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
 
   /** Replays `Dedup.minhashRecallEval`: exact distinct-shingle Jaccard
     * truth pairs (integer cross-multiplied threshold) LEFT JOIN the
@@ -1050,6 +1092,20 @@ object OracleSql {
        |${steps.mkString(",\n")}
        |SELECT query_id, vec_id, step AS mmr_rank FROM cum$k
        |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  /** Replays Similarity.jlProject: the same md5-derived planes
+    * interpolated as literals, left-fold dots, one literal scale. */
+  def jlProject(dim: Int = 64, outDim: Int = 16, seed: Long = 42L): String = {
+    val planes = VectorFunctions.hashPlanes(outDim, dim, seed)
+    val scale = dlit(1.0 / math.sqrt(outDim.toDouble))
+    val cols = planes.zipWithIndex.map { case (p, i) =>
+      s"${dot("v", planeList(p))} * $scale AS jl_$i"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Shared SQ8 CTE prefix `e, b`: per-dimension min/max bounds — the

@@ -150,6 +150,17 @@ private[graft] object QueriesDedup {
           .arrange("doc_id").df),
 
 
+      // containment annotation: winnow copied-span candidates with exact
+      // word-shingle intersections and integer-percent containments both
+      // ways — the subset-duplication (quote/wrapper) detector that
+      // Jaccard banding structurally cannot surface
+      "q_containment_pairs" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.containmentPairs(Tables.df(s, dir, "documents"),
+            "text", "doc_id"))
+          .arrange("id_a", "id_b").df),
+
+
       // MinHash-LSH near-dup candidates (exact oracle: md5-derived hashes)
       "q_minhash_pairs" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
@@ -407,6 +418,8 @@ private[graft] object QueriesDedup {
     "q_dedup_incr_simhash" -> OracleSql.simhashIncremental(splitId = 400L),
 
     "q_dedup_incr_near" -> OracleSql.minhashIncremental(splitId = 400L),
+
+    "q_containment_pairs" -> OracleSql.containmentPairs(),
 
     "q_dedup_impact" -> OracleSql.dedupImpact(),
 

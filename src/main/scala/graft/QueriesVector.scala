@@ -149,6 +149,16 @@ private[graft] object QueriesVector {
       }),
 
 
+      // JL random projection: 64 -> 16 dims via the deterministic
+      // md5-derived planes — the dimensionality lever before the ANN
+      // family; pure projection, every component bit-replayable
+      "q_jl_project" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Similarity.jlProject(Tables.df(s, dir, "embeddings"),
+            "embedding", "vec_id", dim = 64, outDim = 16))
+          .arrange("vec_id").df),
+
+
       // semantic JOIN (vector entity matching): each bench-side vector
       // (vec_id < 8) left-joined with its best corpus-side match at
       // cosine >= 0.2 — the jaccard_join_ab idea in embedding space
@@ -370,6 +380,8 @@ private[graft] object QueriesVector {
     "q_ann_ivf" -> OracleSql.annIvf(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),
+
+    "q_jl_project" -> OracleSql.jlProject(),
 
     // semantic join: per left row the (cos DESC, right id) argmax above
     // the threshold, LEFT JOIN so unmatched rows survive with nulls

@@ -470,6 +470,40 @@ object Dedup {
           .cast("long").as("is_true"))
   }
 
+  /** CONTAINMENT annotation — the subset-duplication detector Jaccard
+    * misses: a short doc quoted whole inside a long one has tiny
+    * Jaccard (the union is huge) but containment C(A→B) = |A∩B|/|A|
+    * near 1. Candidates deliberately come from the WINNOW copied-span
+    * graph, NOT MinHash banding: Jaccard-LSH collision probability
+    * decays with Jaccard, so the very pairs this operator exists for
+    * (low-Jaccard, high-containment) would never surface from it —
+    * while a contained span of ≥ k+w−1 chars PROVABLY shares a winnow
+    * fingerprint. Each candidate is annotated with exact distinct
+    * word-shingle `inter`, both sizes, and integer-percent containments
+    * both directions (`DIV` — exact cross-engine); gate on the greater
+    * of the two to catch quote/wrapper duplication. Bounded shape:
+    * candidates are capped-bucket-bounded, the exact side is one
+    * array_intersect per candidate — never all-pairs. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 12, w: Int = 8, bucketCap: Int = 64,
+                       minShared: Long = 4L,
+                       shingleSize: Int = 3): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, shingleSize)
+      .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n"))
+    winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared)
+      .select(col("id_a"), col("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("__ss").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__ss").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr("inter * 100 DIV __na").as("cont_a_pct"),
+        expr("inter * 100 DIV __nb").as("cont_b_pct"))
+  }
+
   /** TWO-TABLE exact Jaccard similarity join — [[jaccardSimilarityJoin]]
     * across relations (entity matching / record linkage: crawl vs
     * curated, batch vs corpus): every (left, right) pair with

@@ -533,6 +533,28 @@ object Similarity {
     rankTopK(partitionTopK(scored, k), k)
   }
 
+  /** Johnson-Lindenstrauss random projection: `outDim` deterministic
+    * hyperplanes (the [[graft.functions.VectorFunctions.hashPlanes]]
+    * md5-derived family — exact-double components, so the oracle
+    * re-derives them), each output component `dot(v, p_i)/√outDim`. The
+    * dimensionality lever BEFORE the ANN family: projecting 64 → 16
+    * dims cuts every downstream scoring/bucketing pass ~4× while JL
+    * keeps pairwise distances within (1±ε). A pure projection — no
+    * join, no shuffle; output is wide (`jl_0..jl_{outDim−1}`), each
+    * component bit-replayable (left-fold dot × one literal scale). */
+  def jlProject(corpus: DataFrame, vecCol: String, idCol: String,
+                dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"jlProject: need 1 <= outDim <= dim, got outDim=$outDim dim=$dim")
+    val planes = hashPlanes(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val e = normalized(corpus, vecCol, idCol)
+    e.select(col("vec_id") +: planes.zipWithIndex.map { case (p, i) =>
+      (dot(col("v"), array(p.toIndexedSeq.map(lit): _*)) * lit(scale))
+        .as(s"jl_$i")
+    }: _*)
+  }
+
   /** Embedding-similarity JOIN — entity matching for vectors (the
     * [[graft.operators.Dedup.jaccardSimilarityJoinAB]] idea in cosine
     * space): every LEFT row enriched with its single best RIGHT match at

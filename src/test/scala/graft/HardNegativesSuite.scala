@@ -147,4 +147,33 @@ class HardNegativesSuite extends SparkSpec {
     // left 7 has no match at cos >= 0.5 -> null enrichment survives
     assert(out(2).getLong(0) == 7L && out(2).isNullAt(1) && out(2).isNullAt(2))
   }
+
+  test("jlProject: deterministic, scaled plane dots, JL distance sanity") {
+    val emb = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.jlProject(emb, "embedding", "vec_id",
+      dim = 64, outDim = 16)
+    assert(out.columns.toSeq == "vec_id" +: (0 until 16).map(i => s"jl_$i"))
+    // component 0 of vector 0 equals the manual fold x plane scale
+    val planes = graft.functions.VectorFunctions.hashPlanes(16, 64)
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    var s0 = 0.0
+    v0.indices.foreach(i => s0 += v0(i) * planes(0)(i))
+    val got = out.filter(col("vec_id") === 0).head().getDouble(1)
+    assert(got == s0 * 0.25, s"got $got want ${s0 * 0.25}")
+    // JL sanity: with uniform[-1,1) plane components E[p^2] = 1/3, so
+    // the projected/original norm ratio concentrates around 1/3 (the
+    // 1/sqrt(outDim) scale normalizes the dimension count, not the
+    // component variance); pin the MEAN near 1/3 — no systematic
+    // blow-up or collapse
+    val jlCols = (0 until 16).map(i => col(s"jl_$i") * col(s"jl_$i"))
+      .reduce(_ + _)
+    val ratio = out
+      .join(emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("__n2")),
+        Seq("vec_id"))
+      .select((jlCols / col("__n2")).as("r")).collect().map(_.getDouble(0))
+    val mean = ratio.sum / ratio.length
+    assert(mean > 0.2 && mean < 0.5, s"norm-ratio mean $mean drifted from 1/3")
+  }
 }

@@ -493,4 +493,24 @@ class PipelineOpsSuite extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(got == want)
   }
+
+  test("containmentPairs flags subset duplication that Jaccard misses") {
+    // doc 2 is doc 1's text quoted whole inside much more material:
+    // Jaccard is low (big union) but containment of 1 in 2 is ~100%
+    val core = (1 to 12).map(i => s"core$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"fill$i").mkString(" ")
+    val docs = toDf(spark)(
+      "doc_id" -> Seq(1, 2),
+      "text" -> Seq(core, s"$filler $core")).df
+    val out = Dedup.containmentPairs(docs, "text", "doc_id")
+    val r = out.collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    val (na, contA) = (row.getLong(3), row.getLong(5))
+    assert(contA >= 90L, s"doc 1 nearly contained: cont_a_pct=$contA")
+    // while plain Jaccard (inter/union) is below 20%
+    val inter = row.getLong(2); val nb = row.getLong(4)
+    assert(inter * 100 < 20 * (na + nb - inter))
+  }
 }
