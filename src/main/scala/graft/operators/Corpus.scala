@@ -97,6 +97,27 @@ object Corpus {
           .otherwise(expr("n_boiler * 1000000 DIV n_grams")))
   }
 
+  /** Compression-ratio quality signal (the Gopher-family repetition
+    * heuristic): DEFLATE length over raw UTF-8 length per document —
+    * templated/boilerplate text compresses far below natural prose
+    * (low ratio), word soup barely compresses (ratio near 1e6 micro).
+    * One codegen'd kernel call per row
+    * ([[org.apache.spark.sql.graftshim.DeflateLen]]), scan-local, pure
+    * projection → stream-safe. SUITE-PINNED, not oracle-replayed:
+    * DuckDB has no deflate function (the documented ceiling — the
+    * signal itself is deterministic for a fixed zlib level). */
+  def compressionRatio(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{DeflateLen, Shim}
+    df.select(col(idCol),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      Shim.toColumn(DeflateLen(Shim.toExpression(col(textCol))))
+        .as("n_deflate"))
+      .withColumn("ratio_micro",
+        when(coalesce(col("n_bytes"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_deflate * 1000000 DIV n_bytes")))
+  }
+
   /** Unigram language-model surprisal — the CCNet-style quality signal:
     * score each document by the total information content of its tokens
     * under the corpus's own unigram distribution (boilerplate/word-soup

@@ -101,6 +101,27 @@ object GraftHash {
     new GenericArrayData(counts)
   }
 
+  /** DEFLATE-compressed byte length of the text (zlib level 6, default
+    * strategy — java.util.zip.Deflater, deterministic for a fixed
+    * level/strategy/library): the compression-ratio quality signal
+    * (Gopher-family) — templated/repetitive text compresses far below
+    * natural prose, word soup barely compresses at all. Returned as the
+    * compressed LENGTH; callers divide by the raw byte length. No
+    * DuckDB twin exists (no deflate function), so this signal is
+    * suite-pinned rather than oracle-replayed — the documented ceiling. */
+  def deflateLen(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer) — canonical
     * composition, the precondition for cross-source exact/fuzzy dedup:
     * 'e' + COMBINING ACUTE and precomposed 'é' are byte-different but
@@ -605,6 +626,27 @@ case class SortedMembershipCount(child: Expression, sorted: Array[Long])
     val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
     nullSafeCodeGen(ctx, ev, arr =>
       s"${ev.value} = $gh.countSortedIn($arr, $sRef);")
+  }
+}
+
+/** Codegen'd DEFLATE length — see [[GraftHash.deflateLen]]. */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.deflateLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gh = GraftHash.getClass.getName.stripSuffix("$") // static forwarder
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $gh.deflateLen($text);")
   }
 }
 

@@ -69,6 +69,11 @@ class CodegenSuite extends SparkSpec {
                   5))),
             Array(1L, 2L, 3L))).as("c"))
       assert(smc.limit(3).collect().length == 3)
+      val dfl = docs.select(
+        org.apache.spark.sql.graftshim.Shim.toColumn(
+          org.apache.spark.sql.graftshim.DeflateLen(
+            org.apache.spark.sql.graftshim.Shim.toExpression(col("text")))).as("z"))
+      assert(dfl.limit(3).collect().length == 3)
       val sph = docs.select(
         org.apache.spark.sql.graftshim.Shim.toColumn(
           org.apache.spark.sql.graftshim.ShinglePolyHashes(

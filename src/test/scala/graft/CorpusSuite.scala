@@ -303,6 +303,25 @@ class CorpusSuite extends SparkSpec {
       (4L, 1L, 0L, 0L), (5L, 2L, 0L, 0L)))
   }
 
+  test("compressionRatio: repetition compresses, prose doesn't; stream-safe plan") {
+    val rep = ("spam " * 200).trim
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val out = Corpus.compressionRatio(docs(1L -> rep, 2L -> prose),
+      "text", "doc_id").orderBy("doc_id").collect()
+    val r1 = out(0).getLong(3); val r2 = out(1).getLong(3)
+    assert(r1 < 100000L, s"pure repetition must compress hard, got $r1")
+    assert(r2 > 300000L, s"high-entropy text must not, got $r2")
+    // deterministic across evaluations (fixed zlib level)
+    val again = Corpus.compressionRatio(docs(1L -> rep, 2L -> prose),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+    // scan-local: no join, no exchange before the projection
+    val plan = Corpus.compressionRatio(
+      graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "documents"),
+      "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("boilerplate broadcasts the top-gram list") {
     val plan = Corpus.boilerplate(docs(1L -> "a b c d"), "text", "doc_id")
       .queryExecution.executedPlan.toString
