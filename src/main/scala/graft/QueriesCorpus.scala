@@ -238,6 +238,19 @@ private[graft] object QueriesCorpus {
           .arrange("w1", "w2").df),
 
 
+      // THE FLAGSHIP, hash-checked: the entry() curation pipeline
+      // (quality gate → lang ID → exact dedup survivors → split →
+      // rollup) as ONE Catalyst plan, replayed stage by stage in SQL —
+      // the individually-proven operators proven COMPOSED
+      "q_pipeline_e2e" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          SparkEntry.curated(s, dir)
+            .groupBy(col("split"), col("lang_guess"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_dups") - 1).as("n_dups_removed")))
+          .arrange("split", "lang_guess").df),
+
+
       // HTML → text extraction: script/style blocks dropped whole, tags
       // stripped, entities decoded (&amp; last), whitespace squeezed —
       // the WET-style ingestion step; synthetic HTML derived per row so
@@ -673,6 +686,59 @@ private[graft] object QueriesCorpus {
         |SELECT source, MAX(n)::BIGINT AS n_tokens, SUM(t)::BIGINT AS kl_num,
         |  SUM(t)::DOUBLE / (MAX(n) + 64)::DOUBLE AS kl_micro
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // flagship pipeline: quality + lang CASE chains (the q_quality /
+    // q_lang_id replays), min-id survivor per fp over the FILTERED set,
+    // survivor-row lang, split buckets, HUGEINT-pinned rollup sums
+    "q_pipeline_e2e" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+        |      / len(string_split_regex(trim(text), '\s+')) * 0.5
+        |    + CASE WHEN length(regexp_replace(text, '\s+', '', 'g'))
+        |        / len(string_split_regex(trim(text), '\s+')) BETWEEN 3.0 AND 10.0
+        |        THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |        / length(text) < 0.1 THEN 0.2 ELSE 0.0 END AS quality,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['le','la','de','et','un','que','pour','dans','ce','une'], x))) AS s_fr
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_guess
+        |  FROM q WHERE quality > 0.1),
+        |d AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    COUNT(*)::BIGINT AS n_dups
+        |  FROM g GROUP BY fp),
+        |s AS (SELECT d.doc_id, d.n_dups, g.lang_guess
+        |      FROM d JOIN g USING (doc_id)),
+        |sp AS (
+        |  SELECT n_dups, lang_guess,
+        |    CASE WHEN b < 800000 THEN 'train'
+        |         WHEN b < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |          ('0x' || substring(md5('graft_split_42_' || doc_id), 1, 12))::BIGINT
+        |            % 1000000 AS b
+        |        FROM s))
+        |SELECT split, lang_guess, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_dups - 1)::BIGINT AS n_dups_removed
+        |FROM sp GROUP BY split, lang_guess
+        |ORDER BY split, lang_guess""".stripMargin,
 
 
     // html extract: the same regex/replace chain, RE2 'g' flags, &amp;
