@@ -38,6 +38,8 @@ object OracleSql {
     * of 500 dots off by 1 ulp; an exponent makes the lexer emit DOUBLE
     * directly, correctly-rounded parse, 0 of 500). */
   private def dlit(d: Double): String = {
+    require(java.lang.Double.isFinite(d),
+      s"dlit: non-finite constant $d has no DuckDB double literal")
     val s = java.lang.Double.toString(d)
     if (s.contains("E") || s.contains("e")) s
     else if (s.contains(".")) s + "e0"

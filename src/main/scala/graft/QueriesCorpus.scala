@@ -165,14 +165,18 @@ private[graft] object QueriesCorpus {
       // plus a hit flag; the accuracy readout a lang gate needs before
       // filtering by guess
       "q_langid_confusion" -> ((s: SparkSession, dir: String) =>
+        // counts aliased FIRST (the langGuessFromCounts contract): the
+        // when-chain references each count several times and interpreted
+        // HOFs get no CSE — inlining would re-scan the tokens ~12x/row
         Tables(s, dir, "documents")
           .selectCols(col("lang"),
-            langGuessFromCounts(
-              stopwordCount(col("text"), StopwordsEn).cast("long"),
-              stopwordCount(col("text"), StopwordsDe).cast("long"),
-              stopwordCount(col("text"), StopwordsEs).cast("long"),
-              stopwordCount(col("text"), StopwordsFr).cast("long"))
-              .as("lang_guess"))
+            stopwordCount(col("text"), StopwordsEn).cast("long").as("__en"),
+            stopwordCount(col("text"), StopwordsDe).cast("long").as("__de"),
+            stopwordCount(col("text"), StopwordsEs).cast("long").as("__es"),
+            stopwordCount(col("text"), StopwordsFr).cast("long").as("__fr"))
+          .selectCols(col("lang"),
+            langGuessFromCounts(col("__en"), col("__de"), col("__es"),
+              col("__fr")).as("lang_guess"))
           .df.groupBy("lang", "lang_guess")
           .agg(count(lit(1)).as("n"))
           .withColumn("is_hit",

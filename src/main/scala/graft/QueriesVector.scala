@@ -400,7 +400,10 @@ private[graft] object QueriesVector {
         |    SELECT query_id, match_id, cos,
         |      ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, match_id) AS rn
-        |    FROM s WHERE cos >= 0.2) WHERE rn = 1)
+        |    -- NOT isnan: a zero-norm right-side vector scores NaN, which
+        |    -- DuckDB orders GREATEST while Spark's partitionTopK drops it
+        |    -- — exclude explicitly so both engines agree on any corpus
+        |    FROM s WHERE cos >= 0.2 AND NOT isnan(cos)) WHERE rn = 1)
         |SELECT l.vec_id, b.match_id, b.cos AS match_cos
         |FROM l LEFT JOIN best b ON b.query_id = l.vec_id
         |ORDER BY l.vec_id""".stripMargin,

@@ -109,17 +109,26 @@ object GraftHash {
     * compressed LENGTH; callers divide by the raw byte length. No
     * DuckDB twin exists (no deflate function), so this signal is
     * suite-pinned rather than oracle-replayed — the documented ceiling. */
+  // per-thread Deflater reused via reset(): deflateInit/deflateEnd
+  // allocate a ~256KB native window per instance — paying that once per
+  // ROW would rival the compression itself on short documents
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+  private val deflateBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   def deflateLen(text: UTF8String): Long = {
-    val bytes = text.getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(text.getBytes)
+    d.finish()
+    val buf = deflateBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** Unicode NFC normalization (java.text.Normalizer) — canonical
