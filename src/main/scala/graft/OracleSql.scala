@@ -658,6 +658,21 @@ object OracleSql {
        |  FROM sh, unnest([0,1,2,3]) AS t(c))""".stripMargin
   }
 
+  /** Replays the batch twin of `Streaming.streamingSimhashDedup`
+    * (arrival ts derived from doc_id → first-arrival == min doc_id):
+    * every (chunk, cval) bucket is claimed by its smallest doc id, and
+    * a document survives iff it claimed all 4 chunks. */
+  def streamSimhashSurvivors(): String =
+    s"""WITH $simhashChunkCtes,
+       |winners AS (
+       |  SELECT chunk, cval, MIN(doc_id) AS w FROM banded GROUP BY chunk, cval),
+       |claims AS (
+       |  SELECT b.doc_id, COUNT(*) AS n
+       |  FROM banded b JOIN winners win
+       |    ON b.chunk = win.chunk AND b.cval = win.cval AND b.doc_id = win.w
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id FROM claims WHERE n = 4 ORDER BY doc_id""".stripMargin
+
   /** Replays Dedup.simhashIncremental over the house incremental split
     * (new = doc_id >= splitId): the batch screened against the corpus
     * chunk store (capped corpus buckets, min size 1; Hamming ≤

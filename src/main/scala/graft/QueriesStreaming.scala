@@ -49,6 +49,20 @@ private[graft] object QueriesStreaming {
           .arrange("doc_id").df),
 
 
+      // batch twin of the streaming SIMHASH dedup: first-arrival chunk
+      // claiming with doc_id-derived ts — the Hamming family's streaming
+      // screen replayed in DuckDB (chunk equality, stricter than the
+      // batch Hamming pass by design)
+      "q_stream_dedup_simhash" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          graft.streaming.Streaming.streamingSimhashDedup(
+            Tables.df(s, dir, "documents").withColumn("ts_utc",
+              expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")),
+            "text", "doc_id")
+            .select("doc_id"))
+          .arrange("doc_id").df),
+
+
       // batch twin of the flatMapGroupsWithState sessionizer: on a batch
       // Dataset timeouts don't exist and the open session flushes at end
       // of group, so the emitted sessions are exactly the gap rule's —
@@ -89,6 +103,8 @@ private[graft] object QueriesStreaming {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  COUNT(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_dedup_simhash" -> OracleSql.streamSimhashSurvivors(),
 
     "q_stream_dedup_twin" -> OracleSql.streamNearDedupSurvivors(),
 

@@ -145,6 +145,46 @@ object Streaming {
       .select(col(idCol), col("window.start").as("win_start"))
   }
 
+  /** [[streamingNearDedup]]'s SimHash twin — the Hamming-family screen
+    * on an unbounded feed: each doc's 48-bit simhash splits into 4
+    * 12-bit chunk buckets, buckets are claimed FIRST-ARRIVAL within the
+    * watermark, and a doc survives iff it claims all 4. The candidate
+    * rule is CHUNK EQUALITY only (no in-bucket Hamming re-check — the
+    * claim state cannot expose the winner's simhash), i.e. a STRICTER
+    * screen than batch [[graft.operators.Dedup.simhashCandidates]]:
+    * stream-dropped docs are a subset of what a batch Hamming pass at
+    * maxHamming ≥ 0 would drop. Watermark-bounded state, the
+    * [[streamingNearDedup]] lifecycle exactly. */
+  def streamingSimhashDedup(docs: DataFrame, textCol: String, idCol: String,
+                            tsCol: String = "ts_utc",
+                            watermark: String = "2 hours",
+                            windowLen: String = "1 hour"): DataFrame = {
+    val chunked = docs
+      .withColumn("__sh", org.apache.spark.sql.graftshim.Shim.toColumn(
+        org.apache.spark.sql.graftshim.SimHashText(
+          org.apache.spark.sql.graftshim.Shim.toExpression(col(textCol)))))
+      .select(col(idCol), col(tsCol),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("__sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*))
+          .as(Seq("chunk", "cval")))
+    val claimed =
+      if (docs.isStreaming)
+        chunked.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("chunk", "cval")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk"), col("cval"))
+          .orderBy(col(tsCol), col(idCol))
+        chunked.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    claimed
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_claimed"))
+      .filter(col("n_claimed") === lit(4))
+      .select(col(idCol), col("window.start").as("win_start"))
+  }
+
   /** Open-session state for [[statefulSessions]]. */
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
 

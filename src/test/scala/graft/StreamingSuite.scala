@@ -511,4 +511,45 @@ class StreamingSuite extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming SimHash dedup matches the batch twin") {
+    // the MinHash stream-parity scenario on the Hamming family: one file
+    // per doc + pinned mtimes make arrival order deterministic
+    val docs = Seq(
+      (1L, 0, "the quick brown fox jumps over the lazy dog and then runs far away home tonight"),
+      (2L, 60, "the quick brown fox jumps over the lazy dog and then runs far away home tonight"),
+      (3L, 120, "distributed query engines push filters into columnar scans and prune partitions aggressively"),
+      (4L, 180, "watermarks bound streaming state so unbounded feeds keep constant memory per key"))
+    val mkDf = (rows: Seq[(Long, Int, String)]) =>
+      spark.createDataFrame(rows).toDF("doc_id", "offset_s", "text")
+        .withColumn("ts_utc", expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,offset_s)"))
+        .drop("offset_s")
+    val inDir = Files.createTempDirectory("graft_stream_simhash")
+    val all = docs.zipWithIndex :+ ((99L, 6 * 3600, "sentinel advances the watermark and nothing else"), docs.length)
+    all.foreach { case (row, i) =>
+      val tmp = Files.createTempDirectory("graft_shdoc_part")
+      mkDf(Seq(row)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      val dst = inDir.resolve(f"doc_$i%03d.parquet")
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = mkDf(docs.take(1)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val query = Streaming.streamingSimhashDedup(stream, "text", "doc_id",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("graft_simhash_dedup")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val got = spark.table("graft_simhash_dedup").collect().map(_.getLong(0)).toSet
+    val want = Streaming.streamingSimhashDedup(mkDf(docs), "text", "doc_id",
+        watermark = "10 minutes")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"stream survivors $got != batch survivors $want")
+    assert(!got.contains(2L)) // exact dup shares every chunk -> dropped
+    assert(got.contains(1L) && got.contains(3L) && got.contains(4L))
+  }
 }
