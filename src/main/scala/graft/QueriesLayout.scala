@@ -171,6 +171,20 @@ private[graft] object QueriesLayout {
       }),
 
 
+      // robust (median/MAD) outliers: the heavy-tail-immune twin of
+      // q_outliers — modified z with the conventional 3.5 cut, exact
+      // half-integer percentile parity; threshold 1.5 here so the
+      // synthetic corpus actually flags rows
+      "q_robust_outliers" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Outliers.robustOutliers(
+            Tables.df(s, dir, "documents")
+              .select("doc_id", "source", "lang", "n_chars"),
+            "n_chars", Seq("source", "lang"), threshold = 1.5)
+            .select("doc_id", "source", "lang", "n_chars", "rz"))
+          .arrange("doc_id").df),
+
+
       // key-skew pre-flight: the 20 heaviest l_suppkey values with exact
       // counts + corpus share — the decide-salting-vs-broadcast report
       "q_key_skew" -> ((s: SparkSession, dir: String) =>
@@ -332,6 +346,34 @@ private[graft] object QueriesLayout {
         |         ELSE 'unchanged' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // robust outliers: two quantile_cont stages (integral then
+    // half-integer inputs — both interpolations exact), null-safe group
+    // joins, 0.6745 modified-z scale, degenerate MAD -> 0
+    "q_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT source, lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY source, lang),
+        |a AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars, m.med,
+        |    abs(d.n_chars::DOUBLE - m.med) AS ad
+        |  FROM documents d JOIN m
+        |    ON d.source IS NOT DISTINCT FROM m.source
+        |   AND d.lang IS NOT DISTINCT FROM m.lang),
+        |md AS (
+        |  SELECT source, lang, quantile_cont(ad, 0.5) AS mad
+        |  FROM a GROUP BY source, lang)
+        |SELECT doc_id, source, lang, n_chars, rz FROM (
+        |  SELECT a.doc_id, a.source, a.lang, a.n_chars,
+        |    CASE WHEN md.mad > 0.0e0
+        |         THEN 0.6745e0 * (a.n_chars::DOUBLE - a.med) / md.mad
+        |         ELSE 0.0e0 END AS rz
+        |  FROM a JOIN md
+        |    ON a.source IS NOT DISTINCT FROM md.source
+        |   AND a.lang IS NOT DISTINCT FROM md.lang)
+        |WHERE abs(rz) > 1.5e0
         |ORDER BY doc_id""".stripMargin,
 
 

@@ -68,4 +68,61 @@ object Outliers {
                      threshold: Double, zName: String = "z"): DataFrame =
     withZscore(df, scaledValue, groups, zName)
       .filter(abs(col(zName)) > lit(threshold))
+
+  /** ROBUST (median/MAD) modified z-score (Iglewicz & Hoaglin 1993) —
+    * [[withZscore]]'s heavy-tail-immune twin: a single extreme value
+    * drags a mean/std z toward itself (masking), while the median and
+    * the median absolute deviation ignore it. `rz = 0.6745·(v − med) /
+    * MAD`, 0.0 for degenerate groups (MAD = 0), NULL keys first-class
+    * (null-safe joins, the zscore contract).
+    *
+    * Exactness: `scaledValue` must be integral; the group median
+    * interpolates only at the exact binary fraction 0.5 over integral
+    * inputs (quantileGate parity), so med and every |v − med| are exact
+    * .0/.5-valued doubles — the SECOND percentile (MAD over those
+    * half-integers) stays exactly representable and both engines'
+    * interpolation forms agree bit-for-bit.
+    *
+    * Scale shape: two grouped exact-percentile aggregates (the
+    * documented exact-percentile state bound — at 100 TB switch to
+    * approx_percentile and lose the hash check, not the shape), each
+    * stats table broadcast back; the value column itself never
+    * shuffles. */
+  def withRobustZ(df: DataFrame, valueCol: String, groups: Seq[String],
+                  rzName: String = "rz"): DataFrame = {
+    require(groups.nonEmpty, "withRobustZ: need at least one group column")
+    import org.apache.spark.sql.types._
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"withRobustZ: '$valueCol' must be integral (micro-quantize doubles " +
+          s"first — the exact-percentile parity contract), got ${dt.simpleString}")
+    }
+    val statKey = (g: String) => s"__g_$g"
+    def keyed(stats: DataFrame): DataFrame =
+      groups.foldLeft(stats)((d, g) => d.withColumnRenamed(g, statKey(g)))
+    def joinKeys: Column =
+      groups.map(g => col(g) <=> col(statKey(g))).reduce(_ && _)
+    val med = df.groupBy(groups.map(col): _*)
+      .agg(expr(s"percentile(`$valueCol`, CAST(0.5 AS DOUBLE))").as("__med"))
+    val withMed = df.join(broadcast(keyed(med)), joinKeys)
+      .drop(groups.map(statKey): _*)
+      .withColumn("__ad", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = withMed.groupBy(groups.map(col): _*)
+      .agg(expr("percentile(__ad, CAST(0.5 AS DOUBLE))").as("__mad"))
+    withMed.join(broadcast(keyed(mad)), joinKeys)
+      .withColumn(rzName,
+        when(col("__mad") > lit(0.0),
+          lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"))
+          .otherwise(lit(0.0)))
+      .drop(groups.map(statKey) :+ "__med" :+ "__ad" :+ "__mad": _*)
+  }
+
+  /** Rows whose |rz| exceeds `threshold` within their group. The
+    * conventional cut for the modified z-score is 3.5. */
+  def robustOutliers(df: DataFrame, valueCol: String, groups: Seq[String],
+                     threshold: Double = 3.5,
+                     rzName: String = "rz"): DataFrame =
+    withRobustZ(df, valueCol, groups, rzName)
+      .filter(abs(col(rzName)) > lit(threshold))
 }

@@ -72,4 +72,36 @@ class OutliersSuite extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
+
+  test("robust z resists the masking that breaks the plain z-score") {
+    // group: nine ordinary values + one colossal outlier. The outlier
+    // drags mean and std so hard its PLAIN z stays modest (~3 is
+    // unreachable: max z in a 10-point sample is (n-1)/sqrt(n) ~ 2.85),
+    // while median/MAD ignore it: robust z flags it at the 3.5 cut.
+    val rows = ((1 to 9).map(i => ("a", 100L + i)) :+ ("a", 1000000L))
+    val plain = Outliers.withZscore(df(rows), col("v"), Seq("g"))
+      .filter(col("v") === 1000000L).head().getAs[Double]("z")
+    assert(math.abs(plain) < 3.5, s"plain z is masked by design: $plain")
+    val robust = Outliers.withRobustZ(df(rows), "v", Seq("g"))
+      .filter(col("v") === 1000000L).head().getAs[Double]("rz")
+    assert(math.abs(robust) > 1000.0, s"robust z must flag it: $robust")
+    // ordinary members stay un-flagged
+    val others = Outliers.robustOutliers(df(rows), "v", Seq("g"), 3.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(others == Seq(1000000L))
+  }
+
+  test("robust z: degenerate (constant) groups score 0, not NaN") {
+    val out = Outliers.withRobustZ(df(Seq(("c", 7L), ("c", 7L), ("c", 7L))),
+      "v", Seq("g")).collect().map(_.getAs[Double]("rz")).toSeq
+    assert(out == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("robust z rejects non-integral measures") {
+    val dbl = graft.api.toDf(spark)("g" -> Seq("a"), "v" -> Seq(0.5)).df
+    val e = intercept[IllegalArgumentException] {
+      Outliers.withRobustZ(dbl, "v", Seq("g"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
