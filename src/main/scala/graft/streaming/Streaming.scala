@@ -126,22 +126,34 @@ object Streaming {
     val banded = graft.operators.Dedup.withBandHashes(docs, textCol, k, bands)
       .select(col(idCol), col(tsCol),
         posexplode(col("__bands")).as(Seq("band", "bhash")))
+    firstArrivalClaimSurvivors(banded, docs.isStreaming,
+      Seq("band", "bhash"), bands, idCol, tsCol, watermark, windowLen)
+  }
+
+  /** The shared claim-and-count scaffold of the streaming dedup family:
+    * each (key) bucket is claimed first-arrival (within the watermark on
+    * a stream; earliest (ts, id) on the deterministic batch twin), and a
+    * doc survives iff it claimed all `nClaims` of its buckets. */
+  private def firstArrivalClaimSurvivors(keyed: DataFrame, streaming: Boolean,
+                                         keyCols: Seq[String], nClaims: Int,
+                                         idCol: String, tsCol: String,
+                                         watermark: String,
+                                         windowLen: String): DataFrame = {
     val claimed =
-      if (docs.isStreaming)
-        banded.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("band", "bhash")
+      if (streaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
       else {
-        // deterministic batch twin: earliest (ts, id) claims each bucket
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bhash"))
+          .partitionBy(keyCols.map(col): _*)
           .orderBy(col(tsCol), col(idCol))
-        banded.withColumn("__rn", row_number().over(w))
+        keyed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
     claimed
       .groupBy(window(col(tsCol), windowLen), col(idCol))
       .agg(count(lit(1)).as("n_claimed"))
-      .filter(col("n_claimed") === lit(bands))
+      .filter(col("n_claimed") === lit(nClaims))
       .select(col(idCol), col("window.start").as("win_start"))
   }
 
@@ -163,26 +175,18 @@ object Streaming {
       .withColumn("__sh", org.apache.spark.sql.graftshim.Shim.toColumn(
         org.apache.spark.sql.graftshim.SimHashText(
           org.apache.spark.sql.graftshim.Shim.toExpression(col(textCol)))))
+      // null text → null simhash: such a doc has nothing to claim (the
+      // MinHash twin drops these implicitly — posexplode of a null band
+      // array emits no rows — while array-of-null chunk values WOULD
+      // emit 4 null-keyed rows and claim a shared null bucket, a
+      // survivor set the oracle's equality join can never reproduce)
+      .filter(col("__sh").isNotNull)
       .select(col(idCol), col(tsCol),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("__sh"), i * 12).bitwiseAND(lit(0xFFFL))): _*))
           .as(Seq("chunk", "cval")))
-    val claimed =
-      if (docs.isStreaming)
-        chunked.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("chunk", "cval")
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("chunk"), col("cval"))
-          .orderBy(col(tsCol), col(idCol))
-        chunked.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
-    claimed
-      .groupBy(window(col(tsCol), windowLen), col(idCol))
-      .agg(count(lit(1)).as("n_claimed"))
-      .filter(col("n_claimed") === lit(4))
-      .select(col(idCol), col("window.start").as("win_start"))
+    firstArrivalClaimSurvivors(chunked, docs.isStreaming,
+      Seq("chunk", "cval"), 4, idCol, tsCol, watermark, windowLen)
   }
 
   /** Open-session state for [[statefulSessions]]. */
