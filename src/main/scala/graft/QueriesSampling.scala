@@ -104,6 +104,18 @@ private[graft] object QueriesSampling {
           .arrange("doc_id").df),
 
 
+      // exact-total proportional sample: Hamilton largest-remainder
+      // quotas across sources, exactly 200 rows overall — the draw
+      // neither fixed-n-per-stratum nor rate samplers can make
+      "q_proportional_sample" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.proportionalSample(
+            Tables.df(s, dir, "documents").select("doc_id", "source"),
+            "doc_id", "source", totalN = 200L)
+            .select(col("doc_id"), col("source")))
+          .arrange("doc_id").df),
+
+
       // leakage-safe split: the 80/10/10 assignment keyed on the
       // near-dup CLUSTER label — no near-dup pair ever straddles
       // train/test (the invariant a doc-keyed split cannot give)
@@ -204,6 +216,32 @@ private[graft] object QueriesSampling {
         |         ELSE 1000000 END AS cut
         |  FROM documents)
         |WHERE b < cut ORDER BY doc_id""".stripMargin,
+
+
+    // proportional sample: integer Hamilton quotas (base DIV + largest
+    // remainder, ties -> stratum asc), md5-rank rows per stratum
+    "q_proportional_sample" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*)::BIGINT AS c FROM documents GROUP BY source),
+        |t AS (SELECT SUM(c)::BIGINT AS t FROM c),
+        |q AS (SELECT source, (200 * c // t)::BIGINT AS base,
+        |        ((200 * c) % t)::BIGINT AS rem
+        |      FROM c CROSS JOIN t),
+        |b AS (SELECT SUM(base)::BIGINT AS bsum FROM q),
+        |qt AS (
+        |  SELECT source,
+        |    base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+        |                      <= 200 - bsum THEN 1 ELSE 0 END) AS quota
+        |  FROM q CROSS JOIN b),
+        |r AS (
+        |  SELECT d.doc_id, d.source,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY ('0x' || substring(md5('graft_propn_42_' || d.doc_id), 1, 12))::BIGINT
+        |                 % 1000000, d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.doc_id, r.source FROM r JOIN qt ON qt.source = r.source
+        |WHERE r.rk <= qt.quota
+        |ORDER BY r.doc_id""".stripMargin,
 
 
     // leakage-safe split: split buckets over the recursive-CTE cluster

@@ -71,6 +71,44 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** EXACT-TOTAL proportional stratified sample (largest-remainder /
+    * Hamilton apportionment): draw exactly `totalN` rows overall,
+    * allocated across strata proportionally to their sizes — the draw
+    * neither a fixed-n-per-stratum sampler nor a rate-based sampler can
+    * make (rates only hit a total in expectation). Quotas are pure
+    * integer arithmetic: base = totalN·count DIV total, the leftover
+    * seats go to the largest remainders (ties → stratum ascending);
+    * within a stratum the deterministic md5-rank picks rows (the
+    * stratifiedTopN discipline). Exact whenever totalN ≤ total rows
+    * (above that every row returns).
+    *
+    * Scale shape: one bounded count aggregate (|strata| rows) computes
+    * every quota — window over that tiny frame, never the corpus — then
+    * quotas broadcast back and the per-stratum rank window prunes
+    * map-side (WindowGroupLimit). */
+  def proportionalSample(df: DataFrame, idCol: String, stratumCol: String,
+                         totalN: Long, seed: Long = 42L): DataFrame = {
+    require(totalN >= 0, s"proportionalSample: totalN >= 0, got $totalN")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__t"))
+    val w = Window.orderBy(col("__rem").desc, col(stratumCol))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"$totalN * __c DIV __t"))
+      .withColumn("__rem", expr(s"($totalN * __c) % __t"))
+      .crossJoin(broadcast(counts.crossJoin(tot)
+        .agg(sum(expr(s"$totalN * __c DIV __t")).as("__bsum"))))
+      .withColumn("__seat",
+        when(row_number().over(w) <= lit(totalN) - col("__bsum"), 1L)
+          .otherwise(0L))
+      .select(col(stratumCol), (col("__base") + col("__seat")).as("__quota"))
+    val rw = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), "propn", seed), col(idCol))
+    df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(rw))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__quota", "__rk")
+  }
+
   /** Quantile winsorization — the robust-statistics clip: values below
     * the `lo` quantile raise to it, values above the `hi` quantile
     * lower to it (heavy-tail taming before means/z-scores, the

@@ -362,4 +362,30 @@ class SamplingSuite extends SparkSpec {
       (4L, "changed"),   // "d" -> null
       (6L, "added")))    // 2: same value, 5: null -> null => unchanged
   }
+
+  test("proportionalSample: exact total, Hamilton quotas within 1 of exact share") {
+    val df = toDf(spark)(
+      "id" -> (0 until 1000),
+      "g" -> (0 until 1000).map(i =>
+        if (i < 700) "big" else if (i < 930) "mid" else "small")).df
+    val out = Sampling.proportionalSample(df, "id", "g", totalN = 97L)
+    val counts = out.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 97L, s"exact total violated: $counts")
+    // exact shares: 67.9 / 22.31 / 6.79 — each quota within 1 of exact
+    val exact = Map("big" -> 0.7 * 97, "mid" -> 0.23 * 97, "small" -> 0.07 * 97)
+    exact.foreach { case (g, e) =>
+      assert(math.abs(counts(g) - e) <= 1.0, s"$g quota ${counts(g)} vs $e")
+    }
+    // deterministic
+    val again = Sampling.proportionalSample(df, "id", "g", totalN = 97L)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == out.collect().map(_.getLong(1)).toSet)
+  }
+
+  test("proportionalSample: totalN >= rows returns everything; 0 returns none") {
+    val df = toDf(spark)("id" -> (0 until 10), "g" -> Seq.fill(10)("x")).df
+    assert(Sampling.proportionalSample(df, "id", "g", 100L).count() == 10L)
+    assert(Sampling.proportionalSample(df, "id", "g", 0L).count() == 0L)
+  }
 }
