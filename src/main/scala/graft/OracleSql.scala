@@ -19,6 +19,13 @@ object OracleSql {
   private def h48(e: String): String =
     s"('0x' || substring(md5($e), 1, 12))::BIGINT"
 
+  /** Predicate replaying `Sampling.evalSample(df, "doc_id", fraction)` —
+    * the deterministic bound the exact-eval ledger entries run under.
+    * Returned WITHOUT a leading WHERE so callers can conjoin it. */
+  def evalSampleWhere(fraction: Double, seed: Long = 42L): String =
+    s"${h48(s"'graft_eval_${seed}_' || doc_id")} % 1000000 < " +
+      s"${graft.operators.Sampling.cutFor(fraction)}"
+
   /** Cents SUM with the ::BIGINT discipline built in. DuckDB types a
     * SUM(BIGINT) — window or grouped — as HUGEINT (INT128); the driver's
     * result hash is type-sensitive, so against Spark's LONG the bare sum
@@ -305,14 +312,15 @@ object OracleSql {
     * mod P, rolling polynomial per `s`-window (fallback single shingle
     * below `s` tokens) — the MinHash base convention, shared by the
     * signature chain and the boilerplate gram counter. */
-  private def tokenShingleCtes(s: Int): String = {
+  private def tokenShingleCtes(s: Int, where: String = ""): String = {
     val c = Dedup.ShingleC
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     // shingle hash = left fold (acc*C + h) % P over the token-hash
     // window; DuckDB list_reduce seeds with the first element, which
     // equals the fold-with-zero since (0*C + h) % P = h
     val polyRed = s"(acc, x) -> (acc * $c + x) % $P"
     s"""docs AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents$w),
        |th AS (
        |  SELECT doc_id, list_transform(w, tk -> ${h48("tk")} % $P) AS t FROM docs),
        |hs AS (
@@ -345,13 +353,14 @@ object OracleSql {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private def sigBandedCtes(k: Int, shingleSize: Int, bands: Int): String = {
+  private def sigBandedCtes(k: Int, shingleSize: Int, bands: Int,
+                            where: String = ""): String = {
     val rows = k / bands
     val sigElems = (0 until k).map { j =>
       val (a, b) = Dedup.perm(j)
       s"list_min(list_transform(h, x -> (x * ${a}::BIGINT + ${b}::BIGINT) % $P))"
     }.mkString(",\n      ")
-    s"""${tokenShingleCtes(shingleSize)},
+    s"""${tokenShingleCtes(shingleSize, where)},
        |sig AS (
        |  SELECT doc_id, [
        |      $sigElems
@@ -437,9 +446,11 @@ object OracleSql {
     * exact formulation (distinct-shingle index self-join + size
     * arithmetic) — the prefix-filtered Spark plan must produce exactly
     * this relation, which is the exactness claim the oracle pins. */
-  def jaccardJoin(shingleSize: Int = 3, tauPct: Int = 50): String = {
+  def jaccardJoin(shingleSize: Int = 3, tauPct: Int = 50,
+                  where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     s"""WITH docs AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents$w),
        |${jaccardTruthCtes(shingleSize, tauPct)}
        |SELECT id_a, id_b, inter, uni FROM truth
        |ORDER BY id_a, id_b""".stripMargin
@@ -449,10 +460,12 @@ object OracleSql {
     * JOIN the simhash chunk-banded candidate replay — how much of the
     * true near-dup population the Hamming screen recovers. */
   def simhashRecall(maxHamming: Int = 8, bucketCap: Int = 256,
-                    shingleSize: Int = 3, tauPct: Int = 50): String = {
+                    shingleSize: Int = 3, tauPct: Int = 50,
+                    where: String = ""): String = {
     val bits = Dedup.SimhashBits
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     s"""WITH docs AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents$w),
        |${jaccardTruthCtes(shingleSize, tauPct)},
        |th AS (
        |  SELECT doc_id, list_transform(w, tk -> ${h48("tk")}) AS h FROM docs),
@@ -577,8 +590,8 @@ object OracleSql {
 
   def minhashRecall(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
                     bucketCap: Int = 64, minEstJaccard: Double = 0.5,
-                    tauPct: Int = 50): String = {
-    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+                    tauPct: Int = 50, where: String = ""): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands, where)},
        |${jaccardTruthCtes(shingleSize, tauPct)},
        |ok AS (
        |  SELECT band, bhash FROM banded GROUP BY band, bhash

@@ -16,6 +16,16 @@ import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, FpStore, La
   * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
 private[graft] object QueriesDedup {
 
+  /** Fraction of `documents` the exact-eval harness entries run on
+    * (deterministic `Sampling.evalSample` bound, oracle-replayed via
+    * `OracleSql.evalSampleWhere`). The truth side of these harnesses is
+    * inherently pairwise — the correct 100 TB posture is a bounded
+    * sample (each operator's scaladoc), and the ledger eats its own
+    * dog food: 0.4 keeps ~2k docs at the bench scale (pair work ≈ 16%
+    * of unbounded) while the sf0.01 correctness slice (~200 docs) still
+    * carries a meaningful truth-pair population. */
+  private val EvalFrac = 0.4
+
   val queries: Map[String, Q] = Map(
 
 
@@ -172,18 +182,25 @@ private[graft] object QueriesDedup {
       // exact set-similarity join: every Jaccard >= 0.5 pair with exact
       // counts, prefix-filtered (rarest-first index) so the plan never
       // pays the hot-shingle quadratic; oracle is the NAIVE spelling —
-      // the pruned plan must reproduce it exactly
+      // the pruned plan must reproduce it exactly. Ledger runs under the
+      // deterministic eval bound (the bounded-sample posture the
+      // operator's scaladoc prescribes — truth output is inherently
+      // pairwise, so the HARNESS input is what gets bounded, not the
+      // operator); the oracle replays the identical predicate.
       "q_jaccard_join" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
-          Dedup.jaccardSimilarityJoin(Tables.df(s, dir, "documents"),
+          Dedup.jaccardSimilarityJoin(
+            Sampling.evalSample(Tables.df(s, dir, "documents"),
+              "doc_id", EvalFrac),
             "text", "doc_id"))
           .arrange("id_a", "id_b").df),
 
 
       // two-table similarity join (entity matching): even-id docs vs
-      // odd-id docs under ONE shared rare-first order
+      // odd-id docs under ONE shared rare-first order (same eval bound)
       "q_jaccard_join_ab" -> ((s: SparkSession, dir: String) => {
-        val d = Tables.df(s, dir, "documents")
+        val d = Sampling.evalSample(Tables.df(s, dir, "documents"),
+          "doc_id", EvalFrac)
         graft.api.DataTable(
           Dedup.jaccardSimilarityJoinAB(
             d.filter(col("doc_id") % 2 === 0),
@@ -195,10 +212,15 @@ private[graft] object QueriesDedup {
 
       // LSH recall harness: exact-Jaccard truth pairs (tau 0.5) flagged
       // with whether the production banding config recovers them — the
-      // number to check before trusting (k, bands, minEst) on a corpus
+      // number to check before trusting (k, bands, minEst) on a corpus.
+      // Runs on the deterministic eval sample (truth side is pairwise;
+      // candidates come from the UNCHANGED production banding path over
+      // the same bound, so recall semantics are intact).
       "q_minhash_recall" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
-          Dedup.minhashRecallEval(Tables.df(s, dir, "documents"),
+          Dedup.minhashRecallEval(
+            Sampling.evalSample(Tables.df(s, dir, "documents"),
+              "doc_id", EvalFrac),
             "text", "doc_id"))
           .arrange("id_a", "id_b").df),
 
@@ -215,10 +237,13 @@ private[graft] object QueriesDedup {
 
       // SimHash recall vs the same exact-Jaccard truth: the cross-metric
       // number to compare against q_minhash_recall before picking a
-      // screen (SimHash approximates cosine, not Jaccard)
+      // screen (SimHash approximates cosine, not Jaccard); same eval
+      // bound as its MinHash twin so the two numbers stay comparable
       "q_simhash_recall" -> ((s: SparkSession, dir: String) =>
         graft.api.DataTable(
-          Dedup.simhashRecallEval(Tables.df(s, dir, "documents"),
+          Dedup.simhashRecallEval(
+            Sampling.evalSample(Tables.df(s, dir, "documents"),
+              "doc_id", EvalFrac),
             "text", "doc_id"))
           .arrange("id_a", "id_b").df),
 
@@ -429,16 +454,20 @@ private[graft] object QueriesDedup {
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
 
-    "q_jaccard_join" -> OracleSql.jaccardJoin(),
+    "q_jaccard_join" -> OracleSql.jaccardJoin(
+      where = OracleSql.evalSampleWhere(EvalFrac)),
 
     "q_jaccard_join_ab" -> OracleSql.jaccardJoinAB(
-      "WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 1"),
+      s"WHERE doc_id % 2 = 0 AND ${OracleSql.evalSampleWhere(EvalFrac)}",
+      s"WHERE doc_id % 2 = 1 AND ${OracleSql.evalSampleWhere(EvalFrac)}"),
 
-    "q_minhash_recall" -> OracleSql.minhashRecall(),
+    "q_minhash_recall" -> OracleSql.minhashRecall(
+      where = OracleSql.evalSampleWhere(EvalFrac)),
 
     "q_minhash_precision" -> OracleSql.minhashPrecision(minEstJaccard = 0.3),
 
-    "q_simhash_recall" -> OracleSql.simhashRecall(),
+    "q_simhash_recall" -> OracleSql.simhashRecall(
+      where = OracleSql.evalSampleWhere(EvalFrac)),
 
     "q_simhash_pairs" -> OracleSql.simhashPairs(),
 

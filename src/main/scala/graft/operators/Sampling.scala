@@ -52,6 +52,16 @@ object Sampling {
                  seed: Long = 42L): DataFrame =
     df.filter(hashBucket(col(idCol), "sample", seed) < lit(cutFor(fraction)))
 
+  /** The eval-harness bound: the deterministic sample the exact-eval
+    * harnesses (Jaccard truth joins, LSH recall/precision) run on — the
+    * bounded-sample posture their scaladoc prescribes, as a fixture.
+    * Identical mechanics to [[hashSample]] under a distinct tag, so the
+    * eval subset is independent of any production sample and exactly
+    * replayable by the oracle (`OracleSql.evalSampleWhere`). */
+  def evalSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: Long = 42L): DataFrame =
+    df.filter(hashBucket(col(idCol), "eval", seed) < lit(cutFor(fraction)))
+
   /** Append a `split` column assigning each row to one of the named
     * fractions (e.g. train/val/test). Weights must sum to ≤ 1; any
     * remainder falls into the LAST split. */
