@@ -65,6 +65,8 @@ private[operators] object RangeBuckets {
         Some((col(firstOkName).cast("long"), true)) // ties → one bucket
       case FloatType | DoubleType =>
         Some((col(firstOkName).cast("double"), false))
+      case StringType =>
+        stringPrefixKey(keyed, firstOkName)
       case _ => None
     }
     bk.flatMap { case (bkCol, integral) =>
@@ -79,6 +81,57 @@ private[operators] object RangeBuckets {
           when(bkCol >= boundary, 1).otherwise(0)
         }.reduce(_ + _)
         Some(keyed.withColumn("__pid", pid))
+      }
+    }
+  }
+
+  /** Bytes of string key used for split points, AFTER the corpus-wide
+    * common prefix: 6 bytes = 48 bits keeps every derived long exactly
+    * representable as a double, so approxQuantile (which works in
+    * doubles) cannot perturb the ordering of candidate boundaries. */
+  private val PrefixBytes = 6
+
+  /** Monotone long image of a STRING first key — the binary-prefix tier
+    * (closes the last persisted-snapshot path for the common crawl-scale
+    * case of text order keys: URL, domain, doc id).
+    *
+    * Under the default binary collation Spark compares strings bytewise
+    * unsigned on UTF-8, so "first K bytes as a big-endian integer" is a
+    * monotone (ties-collapsing) map — exactly what the split-point
+    * invariant needs: contiguous buckets, equal keys never straddling a
+    * boundary (keys sharing the K-byte image collapse into one bucket —
+    * balance, not correctness, is at stake). A naive first-K-bytes dies
+    * on exactly the motivating workload, though: every URL starts
+    * "https://", so K=6 would collapse the whole corpus into one image.
+    * One bounded min/max aggregate (2 values to the driver, pruned scan,
+    * map-side partials) finds the corpus-wide common prefix — for a
+    * bytewise order every value between min and max shares their common
+    * prefix, so ordering within the corpus is decided from byte L+1 on,
+    * and the image takes [[PrefixBytes]] bytes from there. min = max
+    * (single distinct key) is rejected as too coarse; all-null keys
+    * likewise (the legacy sampled tier handles both).
+    *
+    * The image is computed per row as a pure projection:
+    * `conv(rpad(hex(substring(utf8, L+1, 6)), 12, '0'), 16, 10)` —
+    * shorter/absent suffixes zero-pad, preserving bytewise order since
+    * suffix bytes are unsigned. Costs one extra bounded job vs the
+    * numeric tier (min/max before the quantile probe). */
+  private def stringPrefixKey(keyed: DataFrame,
+                              name: String): Option[(Column, Boolean)] = {
+    val mm = keyed.agg(min(col(name)).as("lo"), max(col(name)).as("hi")).head()
+    if (mm.isNullAt(0) || mm.isNullAt(1)) None
+    else {
+      val lo = mm.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hi = mm.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var l = 0
+      while (l < lo.length && l < hi.length && lo(l) == hi(l)) l += 1
+      if (l == lo.length && l == hi.length) None // single distinct key
+      else {
+        val img = conv(
+          rpad(hex(substring(encode(col(name), "UTF-8"), l + 1, PrefixBytes)),
+            PrefixBytes * 2, "0"),
+          16, 10).cast("long")
+        Some((img, true))
       }
     }
   }

@@ -95,6 +95,46 @@ class GlobalRankSuite extends SparkSpec {
     checkParity(uniq)
   }
 
+  test("string key with a corpus-wide common prefix: split tier, no persist, plan-pinned") {
+    // the motivating 100 TB workload (VERDICT r15 #3): ranking by URL —
+    // every value shares a long common prefix, so a naive first-K-bytes
+    // image collapses to one bucket; the tier must strip the corpus-wide
+    // common prefix (from one bounded min/max aggregate) and bucket on
+    // the bytes after it, persisting nothing
+    val urls = spark.range(1000)
+      .select(concat(lit("https://www.example.com/page/"),
+        format_string("%05d", (col("id") * 379) % 10007)).as("v"),
+        col("id").as("rid"))
+      .repartition(5)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (ranked, release) = GlobalRank.withGlobalRanksReleasable(urls, Seq(col("v")))
+    assert(ranked.count() == 1000L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "string split-point tier must not persist anything")
+    assert(!release(), "nothing to release on the string split tier")
+    val plan = GlobalRank.withGlobalRanks(urls, Seq(col("v")))
+      .queryExecution.executedPlan.toString
+    val lower = plan.toLowerCase
+    assert(lower.contains("hashpartitioning(__pid"),
+      s"expected deterministic __pid buckets, got:\n$plan")
+    assert(!lower.contains("inmemorytablescan"),
+      s"string split tier must not read through a cached snapshot:\n$plan")
+    checkParity(urls)
+  }
+
+  test("single-distinct-value string key falls back to the legacy tier, stays exact") {
+    // min == max -> the prefix image is degenerate by construction; the
+    // tier must reject and the sampled legacy path must still rank
+    // (ties broken by nothing — all rank 1)
+    val const = spark.range(100)
+      .select(lit("https://only.example.com/").as("v"), col("id").as("rid"))
+      .repartition(3)
+    val (ranked, release) = GlobalRank.withGlobalRanksReleasable(const, Seq(col("v")))
+    val rows = ranked.collect()
+    assert(rows.length == 100 && rows.forall(_.getAs[Long]("rnk") == 1L))
+    assert(release(), "legacy tier pins a snapshot the caller releases")
+  }
+
   test("parity holds under AQE with coalescing forced (cross-job alignment)") {
     // The operator's correctness rests on the stats job and the rank job
     // deriving identical range partitions. AQE's partition coalescing is
@@ -115,9 +155,13 @@ class GlobalRankSuite extends SparkSpec {
       conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
       checkParity(tied)
       checkParity(uniq)
-      // string keys FORCE the legacy sampled-range + persist tier — the
-      // path whose alignment this test was written to pin (numeric keys
-      // now take the split-point tier, where misalignment is impossible)
+      // decimal keys FORCE the legacy sampled-range + persist tier — the
+      // path whose alignment this test was written to pin (numeric AND
+      // string keys now take split-point tiers, where misalignment is
+      // impossible)
+      checkParity(tied.select(
+        col("v").cast("decimal(12,0)").as("v"), col("rid")))
+      // and the string binary-prefix tier under the same AQE pressure
       checkParity(tied.select(
         format_string("%05d", col("v")).as("v"), col("rid")))
     } finally saved.foreach {
@@ -140,9 +184,13 @@ class GlobalRankSuite extends SparkSpec {
         .repartition(9)
         .write.mode("overwrite").parquet(dir)
       checkParity(spark.read.parquet(dir))
-      // legacy-tier twin: zero-padded string keys (same values, same
-      // heavy ties) go through the sampled range partitioner + persisted
-      // snapshot — the exact r10 regression this test exists for
+      // legacy-tier twin: decimal keys (same values, same heavy ties) go
+      // through the sampled range partitioner + persisted snapshot — the
+      // exact r10 regression this test exists for
+      checkParity(spark.read.parquet(dir).select(
+        col("v").cast("decimal(12,2)").as("v"), col("rid")))
+      // string twin now rides the binary-prefix split tier — parity must
+      // hold there too on the same tie-heavy parquet source
       checkParity(spark.read.parquet(dir).select(
         format_string("%09.2f", col("v")).as("v"), col("rid")))
     } finally {
@@ -183,10 +231,10 @@ class GlobalRankSuite extends SparkSpec {
     // callers must not be able to unpersist each other's snapshot
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val live0 = GlobalRank.liveSnapshotCount
-    // string keys -> always the legacy persist tier (the split-point
-    // tier pins nothing and is tested separately)
-    val tiedS = tied.select(format_string("%05d", col("v")).as("v"), col("rid"))
-    val uniqS = uniq.select(format_string("%05d", col("v")).as("v"), col("rid"))
+    // decimal keys -> always the legacy persist tier (the split-point
+    // tiers pin nothing and are tested separately)
+    val tiedS = tied.select(col("v").cast("decimal(12,0)").as("v"), col("rid"))
+    val uniqS = uniq.select(col("v").cast("decimal(12,0)").as("v"), col("rid"))
     val (r1, rel1) = GlobalRank.withGlobalRanksReleasable(tiedS, Seq(col("v")))
     val (r2, rel2) = GlobalRank.withGlobalRanksReleasable(uniqS, Seq(col("v")))
     assert(r1.count() == 400L && r2.count() == 1000L)

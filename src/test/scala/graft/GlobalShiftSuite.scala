@@ -154,13 +154,32 @@ class GlobalShiftSuite extends SparkSpec {
   }
 
   test("releasable handle is idempotent and reports one real release (legacy tier)") {
-    // string first key -> sampled range partitioner + persisted snapshot
-    val sframe = frame.withColumn("ks", format_string("%09d", col("k")))
+    // decimal first key -> not in the split-point tier's type set ->
+    // sampled range partitioner + persisted snapshot (strings now take
+    // the binary-prefix split tier, pinned separately below)
+    val sframe = frame.withColumn("ks", col("k").cast("decimal(12,0)"))
     val (out, release) = GlobalShift.withGlobalLagReleasable(
       sframe, "prev", col("v"), 1, Seq(col("ks")))
     assert(got(out, "prev") == expectedLag(1), "legacy tier stays exact")
     assert(release())
     assert(!release())
+  }
+
+  test("string first key with a shared prefix: split-point tier, no persist, exact") {
+    // the crawl-scale case (VERDICT r15 #3): a text order key whose
+    // values all share a long common prefix — the binary-prefix tier
+    // must strip the prefix, bucket on the next bytes, persist NOTHING,
+    // and stay exactly equal to the reference shift
+    val sframe = frame.withColumn(
+      "ks", concat(lit("https://www.example.com/page-"),
+        format_string("%09d", col("k"))))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = GlobalShift.withGlobalLagReleasable(
+      sframe, "prev", col("v"), 1, Seq(col("ks")))
+    assert(got(out, "prev") == expectedLag(1), "string split tier stays exact")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "string split-point tier must not persist anything")
+    assert(!release(), "nothing to release on the string split tier")
   }
 
   test("empty input yields an empty shifted frame") {
