@@ -21,4 +21,15 @@ if [ "$#" -gt 0 ]; then
   python3 tools/compare.py /root/testdata/sf0.01 "$out" "$@"
   rm -rf "$out"
 fi
+
+# Per-query bench ratchet (VERDICT r15 #6): if a local bench_detail.json
+# exists (i.e. graft.Bench was run), compare it against the newest
+# committed per-round snapshot and fail on >2.5x unexplained per-query
+# regressions. Runs only when both sides exist — the compile/test gate
+# stays bench-independent for pure source milestones.
+ref=$(ls BENCH_DETAIL_r*.json 2>/dev/null | sort -V | tail -1 || true)
+if [ -n "$ref" ] && [ -f bench_detail.json ] && [ "$ref" != "bench_detail.json" ]; then
+  echo "== gate: bench ratchet vs $ref =="
+  python3 tools/bench_ratchet.py "$ref" bench_detail.json
+fi
 echo "== gate: PASS =="
