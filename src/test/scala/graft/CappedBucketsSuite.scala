@@ -122,6 +122,65 @@ class CappedBucketsSuite extends SparkSpec {
     assert(got == Set((1L, Seq(10L, 11L, 12L))))
   }
 
+  // ---- the same adversary at 10x the pinned scale (VERDICT r15 #5):
+  // 30k docs sharing one over-cap fingerprint. The cap discipline's real
+  // test is an order of magnitude past the pin — an uncapped formulation
+  // would build a 30k-member buffer and a 450M-pair bucket join; the
+  // capped plan must stay near-linear. The wall-clock bound is
+  // deliberately loose (shared CI box) — quadratic work here is not
+  // seconds slower, it is minutes-to-OOM.
+
+  private lazy val hotCorpus30k: DataFrame =
+    ((1L to 2L).map(id => (id, PairText)) ++
+      (100L until 30100L).map(id => (id, Template)))
+      .toDF("doc_id", "text").repartition(8)
+
+  private def bounded[T](limitSec: Int)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < limitSec, f"took $dt%.1f s — cap discipline broken " +
+      f"(bound $limitSec s; quadratic hot-bucket work would blow far past it)")
+    r
+  }
+
+  test("hot bucket 10x: minhashCandidates at 30k template docs, bounded, exact") {
+    val got = bounded(90)(pairIds(
+      Dedup.minhashCandidates(hotCorpus30k, "text", "doc_id", bucketCap = 64)))
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("hot bucket 10x: simhashCandidates at 30k template docs, bounded, exact") {
+    val got = bounded(90)(pairIds(
+      Dedup.simhashCandidates(hotCorpus30k, "text", "doc_id", bucketCap = 256)))
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("hot bucket 10x: winnowCandidates at 30k template docs, bounded, exact") {
+    val got = bounded(90)(pairIds(
+      Dedup.winnowCandidates(hotCorpus30k, "text", "doc_id", bucketCap = 64)))
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("hot shingle 10x: jaccard prefix filter never indexes a 30k-df boilerplate shingle") {
+    // the jaccard adversary is different in kind: 30k IDENTICAL docs are
+    // true pairs (quadratic OUTPUT by semantics), so the hot thing here
+    // is one boilerplate sentence shared by every otherwise-unique doc.
+    // The naive index self-join pays df^2 = 900M probes on its shingles;
+    // rarest-first prefix filtering sorts them past every prefix and
+    // never indexes them. Each doc: 20 unique tokens + the 6-token
+    // boilerplate tail -> Jaccard vs any other doc ~0.15 << 0.5, so the
+    // only true pair is the planted twin.
+    val boiler = "all rights reserved contact us today"
+    val docs = ((1L to 2L).map(id => (id, s"the planted twin document text $boiler")) ++
+      (100L until 30100L).map(id => (id,
+        (0 until 20).map(j => s"u${id}w$j").mkString(" ") + " " + boiler)))
+      .toDF("doc_id", "text").repartition(8)
+    val got = bounded(90)(pairIds(
+      Dedup.jaccardSimilarityJoin(docs, "text", "doc_id")))
+    assert(got == Set((1L, 2L)))
+  }
+
   test("hot bucket: embeddingCandidates drops the 3000-vec bucket, keeps the pair") {
     val vecs = ((1L to 2L).map(id => (id, Array(0f, 1f, 0f, 0f))) ++
       (100L until 3100L).map(id => (id, Array(1f, 0f, 0f, 0f))))
