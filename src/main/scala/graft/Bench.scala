@@ -37,6 +37,7 @@ object Bench {
       // span.
       graft.operators.GlobalRank.releaseSnapshots()
       graft.operators.GlobalShift.releaseSnapshots()
+      graft.operators.GlobalCumSum.releaseSnapshots()
       dt
     }
 

@@ -30,6 +30,7 @@ object BenchOne {
         // cached copy of the keyed table each
         graft.operators.GlobalRank.releaseSnapshots()
         graft.operators.GlobalShift.releaseSnapshots()
+        graft.operators.GlobalCumSum.releaseSnapshots()
       }
     }
     spark.stop()

@@ -28,6 +28,7 @@ object ExplainQuery {
       fn(spark, sfDir).explain("formatted")
       graft.operators.GlobalRank.releaseSnapshots()
       graft.operators.GlobalShift.releaseSnapshots()
+      graft.operators.GlobalCumSum.releaseSnapshots()
     }
     spark.stop()
   }

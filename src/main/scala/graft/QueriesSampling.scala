@@ -116,6 +116,19 @@ private[graft] object QueriesSampling {
           .arrange("doc_id").df),
 
 
+      // systematic weighted resample WITH replacement: exactly 1000
+      // draws over the length distribution — the deterministic
+      // importance-resampling draw (heavy docs emit multiple copies);
+      // global cumsum via the two-pass GlobalCumSum, pure integer
+      // interval arithmetic, exact oracle
+      "q_systematic_resample" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.systematicResample(
+            Tables.df(s, dir, "documents").select("doc_id", "n_chars"),
+            "doc_id", "n_chars", totalN = 1000L))
+          .arrange("doc_id").df),
+
+
       // leakage-safe split: the 80/10/10 assignment keyed on the
       // near-dup CLUSTER label — no near-dup pair ever straddles
       // train/test (the invariant a doc-keyed split cannot give)
@@ -243,6 +256,24 @@ private[graft] object QueriesSampling {
         |WHERE r.rk <= qt.quota
         |ORDER BY r.doc_id""".stripMargin,
 
+
+    // systematic resample: window cumsum (RANGE default = Spark's),
+    // copies-below-point as pure integer division — the CAST to BIGINT
+    // pins the portable type (window SUM(BIGINT) is HUGEINT in DuckDB)
+    "q_systematic_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(n_chars, 0)::BIGINT AS w FROM documents),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d),
+        |c AS (SELECT doc_id, w,
+        |        CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d)
+        |SELECT doc_id, n_copies FROM (
+        |  SELECT c.doc_id,
+        |    CAST((2000 * c.cum + t.tw) // (2 * t.tw)
+        |       - (2000 * (c.cum - c.w) + t.tw) // (2 * t.tw) AS BIGINT)
+        |      AS n_copies
+        |  FROM c CROSS JOIN t)
+        |WHERE n_copies >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     // leakage-safe split: split buckets over the recursive-CTE cluster
     // closure (same md5 rule, keyed on cluster_id)

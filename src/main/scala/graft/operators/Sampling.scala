@@ -62,6 +62,66 @@ object Sampling {
                  seed: Long = 42L): DataFrame =
     df.filter(hashBucket(col(idCol), "eval", seed) < lit(cutFor(fraction)))
 
+  /** EXACT-TOTAL weighted draw WITH replacement — systematic (low-
+    * variance) resampling over deterministic grid points: with total
+    * weight W and target `totalN`, place points p_j = (j + ½)·W/N
+    * (j = 0..N−1) on the cumulative-weight axis and give each row one
+    * copy per point inside its weight interval. This is the DRAW that
+    * importance weighting (DSIR) actually consumes: rate samplers only
+    * hit a total in expectation, [[proportionalSample]] draws without
+    * replacement (a row can never be taken twice), but importance
+    * RESAMPLING must emit heavy rows multiple times and exactly N in
+    * total. The deterministic mid-point grid replaces the classic
+    * single uniform offset — reproducible across runs and engines, and
+    * n_i ∈ {⌊N·w_i/W⌋, ⌈N·w_i/W⌉} per row (the systematic-resampling
+    * variance floor, Douc & Cappé 2005).
+    *
+    * All integer arithmetic: cum sums via [[GlobalCumSum]] (two-pass,
+    * no single-partition window), copies-below-x as the integral
+    * division (2·N·x + W) div (2·W) — monotone, 0 at x=0, N at x=W, so
+    * the emitted copies sum to exactly N. Bit-replayable by a DuckDB
+    * window sum + `//` (oracle `q_systematic_resample`). Weights must
+    * be ≥ 0 (null → 0 → never drawn); `idCol` must be a unique total
+    * order — under the window's RANGE frame a tie group shares one
+    * cumulative value, so tied rows would each claim the whole group
+    * interval and the copies would over-count. Uniqueness is therefore
+    * a correctness precondition (the corpus id contract), not a style
+    * rule; the suite pins both the exact-N total and the duplicate-id
+    * failure shape.
+    *
+    * Returns (idCol, n_copies) for rows with n_copies ≥ 1. Requires
+    * 2·totalN·W < 2^63 (rescale weights at larger scale — integral
+    * exactness is the point of the op). */
+  def systematicResample(df: DataFrame, idCol: String, weightCol: String,
+                         totalN: Long): DataFrame = {
+    require(totalN >= 1, s"systematicResample: totalN=$totalN must be >= 1")
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftshim.Shim
+    val wLong = coalesce(col(weightCol).cast("long"), lit(0L))
+    // W, min-weight, and emptiness all ride GlobalCumSum's pass-1
+    // stats rows — no separate whole-table aggregate scan
+    val (cum, stats) = GlobalCumSum.withGlobalCumSumStats(
+      df, wLong, Seq(col(idCol)), name = "__cum")
+    if (stats.rows == 0L)
+      return cum.select(col(idCol), lit(null).cast("long").as("n_copies"))
+    val totW = stats.sum
+    require(stats.min >= 0,
+      "systematicResample: negative weights are not a distribution")
+    require(totW > 0, "systematicResample: total weight is 0 — nothing to draw")
+    require(totW <= Long.MaxValue / 2 / totalN,
+      s"systematicResample: 2*totalN*W = 2*$totalN*$totW overflows long " +
+        "arithmetic — rescale the weights (exactness is the contract)")
+    def idiv(a: Column, d: Long): Column = Shim.toColumn(new IntegralDivide(
+      Shim.toExpression(a), Shim.toExpression(lit(d))))
+    // copies strictly below cumulative point x: (2Nx + W) div 2W
+    def below(x: Column): Column = idiv(lit(2L * totalN) * x + lit(totW), 2L * totW)
+    cum
+      .withColumn("n_copies",
+        (below(col("__cum")) - below(col("__cum") - wLong)).cast("long"))
+      .filter(col("n_copies") >= 1L)
+      .select(col(idCol), col("n_copies"))
+  }
+
   /** Append a `split` column assigning each row to one of the named
     * fractions (e.g. train/val/test). Weights must sum to ≤ 1; any
     * remainder falls into the LAST split. */
