@@ -405,6 +405,41 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replays `Dedup.sourceOverlapMatrix`: the minhashPairs candidate
+    * relation joined to sources both sides, unordered-normalized, cell
+    * counts next to per-source doc counts. */
+  def sourceOverlap(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
+                    bucketCap: Int = 64,
+                    minEstJaccard: Double = 0.5): String = {
+    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
+       |ok AS (
+       |  SELECT band, bhash FROM banded GROUP BY band, bhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x
+       |  JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.band = x.band AND ok.bhash = x.bhash
+       |  WHERE len(list_filter(range(1, ${k + 1}), i -> x.sig[i] = y.sig[i]))
+       |    / ${k}.0 >= $minEstJaccard),
+       |cnt AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+       |cells AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b,
+       |         COUNT(*)::BIGINT AS n_pairs
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b
+       |  GROUP BY 1, 2)
+       |SELECT c.source_a, c.source_b, c.n_pairs,
+       |  ca.n AS n_docs_a, cb.n AS n_docs_b
+       |FROM cells c
+       |JOIN cnt ca ON ca.source = c.source_a
+       |JOIN cnt cb ON cb.source = c.source_b
+       |ORDER BY c.source_a, c.source_b""".stripMargin
+  }
+
   /** The distinct string-shingle hash48 index CTE (the decontamination
     * family's convention, matching the `DistinctShingleHashes` kernel):
     * `sh(doc_id, s)` — assumes a `docs(doc_id, w)` token CTE in scope. */

@@ -515,6 +515,42 @@ private[graft] object QueriesCorpus {
       // synthesized from source/lang/doc_id, host + path split out with
       // parse_url (codegen'd), rolled up per host — the shape of a
       // crawl-mix report or domain blocklist join
+      // code-likeness routing signal: structural symbol densities +
+      // the combined code_micro rate (pure scan-local projection)
+      "q_code_signals" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Corpus.codeSignals(Tables.df(s, dir, "documents"),
+            "text", "doc_id"))
+          .arrange("doc_id").df),
+
+
+      // per-language tokenizer fertility: BPE-ish subwords per
+      // whitespace word and bytes per subword, by language — the
+      // numbers that decide per-language token budgets in a mixture
+      // (CJK-like scripts pay more subwords per word; the micro ratios
+      // are integral division, bit-portable)
+      "q_lang_fertility" -> ((s: SparkSession, dir: String) =>
+        Tables(s, dir, "documents")
+          .selectCols(col("lang"),
+            tokenCount(col("text")).cast("long").as("__t"),
+            bpeTokenCount(col("text")).cast("long").as("__b"),
+            length(col("text")).cast("long").as("__c"))
+          .groupBy("lang")
+          .summarize(
+            "n_docs" -> count(lit(1)),
+            "n_tokens" -> sum(col("__t")),
+            "n_bpe" -> sum(col("__b")),
+            "n_chars" -> sum(col("__c")))
+          .mutate(
+            "fertility_micro" ->
+              when(col("n_tokens") === 0L, lit(0L))
+                .otherwise(expr("n_bpe * 1000000 DIV n_tokens")),
+            "chars_per_bpe_micro" ->
+              when(col("n_bpe") === 0L, lit(0L))
+                .otherwise(expr("n_chars * 1000000 DIV n_bpe")))
+          .arrange("lang").df),
+
+
       "q_domains" -> ((s: SparkSession, dir: String) => {
         val url = concat(lit("https://"), col("source"),
           lit(".example.com/"), col("lang"), lit("/"), col("doc_id"))
@@ -1249,6 +1285,44 @@ private[graft] object QueriesCorpus {
         |FROM h JOIN f USING (hh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+
+    // code signals: length-difference char-class counts (DuckDB needs
+    // the 'g' flag — its regexp_replace is first-match by default,
+    // Spark's is global) + non-overlapping camel transitions
+    "q_code_signals" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  (length(text) - length(regexp_replace(text, '[{}()\[\];=<>#]', '', 'g')))::BIGINT AS n_sym,
+        |  (length(text) - length(regexp_replace(text, '_', '', 'g')))::BIGINT AS n_underscore,
+        |  len(regexp_extract_all(text, '[a-z][A-Z]'))::BIGINT AS n_camel,
+        |  (CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    ((length(text) - length(regexp_replace(text, '[{}()\[\];=<>#]', '', 'g'))) * 4
+        |     + (length(text) - length(regexp_replace(text, '_', '', 'g'))) * 2
+        |     + len(regexp_extract_all(text, '[a-z][A-Z]')) * 2) * 1000000
+        |    // length(text) END)::BIGINT AS code_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fertility: same token/BPE-proxy conventions as q_token_count;
+    // micro ratios in integer division, sums cast to the portable BIGINT
+    "q_lang_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS t,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS b,
+        |    length(text)::BIGINT AS c
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |    CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(b) AS BIGINT) AS n_bpe,
+        |    CAST(SUM(c) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_bpe, n_chars,
+        |  (CASE WHEN n_tokens = 0 THEN 0
+        |        ELSE n_bpe * 1000000 // n_tokens END)::BIGINT AS fertility_micro,
+        |  (CASE WHEN n_bpe = 0 THEN 0
+        |        ELSE n_chars * 1000000 // n_bpe END)::BIGINT AS chars_per_bpe_micro
+        |FROM g ORDER BY lang""".stripMargin,
 
     "q_domains" ->
       """WITH u AS (

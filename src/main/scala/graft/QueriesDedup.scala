@@ -179,6 +179,16 @@ private[graft] object QueriesDedup {
           .arrange("id_a", "id_b").df),
 
 
+      // cross-source near-dup overlap matrix: which sources duplicate
+      // each other (|sources|^2-bounded report over the capped pair
+      // graph) — the pre-flight for cross-dump dedup ordering
+      "q_source_overlap" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Dedup.sourceOverlapMatrix(Tables.df(s, dir, "documents"),
+            "text", "doc_id", "source"))
+          .arrange("source_a", "source_b").df),
+
+
       // exact set-similarity join: every Jaccard >= 0.5 pair with exact
       // counts, prefix-filtered (rarest-first index) so the plan never
       // pays the hot-shingle quadratic; oracle is the NAIVE spelling —
@@ -453,6 +463,8 @@ private[graft] object QueriesDedup {
 
     // generated from the same constants the Spark plans embed — OracleSql
     "q_minhash_pairs" -> OracleSql.minhashPairs(),
+
+    "q_source_overlap" -> OracleSql.sourceOverlap(),
 
     "q_jaccard_join" -> OracleSql.jaccardJoin(
       where = OracleSql.evalSampleWhere(EvalFrac)),

@@ -106,6 +106,36 @@ object Corpus {
     * projection → stream-safe. SUITE-PINNED, not oracle-replayed:
     * DuckDB has no deflate function (the documented ceiling — the
     * signal itself is deterministic for a fixed zlib level). */
+  /** Code-likeness signals: cheap structural evidence that a document
+    * is source code rather than prose — the modality router for mixed
+    * crawl + code corpora (route to a code-aware pipeline, set per-
+    * modality mixture weights, or catch markup leaking past HTML
+    * extraction). Per doc: counts of code-syntax characters
+    * `{}()[];=<>#`, underscores, camelCase transitions (`[a-z][A-Z]`
+    * non-overlapping), plus a combined `code_micro` rate — a weighted
+    * symbol count over total characters (weights 4/2/2: pure-prose
+    * English sits near 0; C-family/python-ish text lands orders of
+    * magnitude higher; the number is a routing signal, not a
+    * classifier probability). All counts via length-difference or
+    * non-overlapping regexp extraction — both engines scan
+    * left-to-right non-overlapping, so the oracle replays exactly.
+    * Pure scan-local projection: no shuffle, stream-safe, prunes to
+    * (id, text). */
+  def codeSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def classCount(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    df.select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        classCount("[{}()\\[\\];=<>#]").as("n_sym"),
+        classCount("_").as("n_underscore"),
+        size(regexp_extract_all(t, lit("[a-z][A-Z]"), lit(0)))
+          .cast("long").as("n_camel"))
+      .withColumn("code_micro",
+        when(col("n_chars") === 0L, lit(0L)).otherwise(expr(
+          "(n_sym * 4 + n_underscore * 2 + n_camel * 2) * 1000000 DIV n_chars")))
+  }
+
   def compressionRatio(df: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.{DeflateLen, Shim}

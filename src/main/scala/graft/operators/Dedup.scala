@@ -1517,6 +1517,49 @@ object Dedup {
     * stage + two tiny re-aggregations of the label frame (the corpus
     * itself contributes only singleton counts, computed from its row
     * count — never shuffled). */
+  /** Cross-SOURCE near-dup overlap matrix: for every unordered source
+    * pair (including the diagonal), how many MinHash near-dup candidate
+    * pairs connect a document of one to a document of the other, next
+    * to both sources' corpus sizes — the "which crawls duplicate each
+    * other" pre-flight that decides what to dedup against what (two
+    * snapshots of the same dump show up as an off-diagonal hot cell;
+    * in-source template reuse shows on the diagonal). Sources are
+    * normalized `source_a <= source_b` (string order) so each unordered
+    * cell appears once.
+    *
+    * Scale shape: the pair graph is the unchanged bounded
+    * [[minhashCandidates]] path (capped buckets — never a hot-bucket
+    * product); sources ride two id-keyed joins of the SMALL pair side
+    * against an (id, source) projection, then one |sources|²-bounded
+    * aggregate; doc counts are a |sources|-row broadcast. Output is at
+    * most |sources|² rows — a report, not a dataset. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+                          srcCol: String, k: Int = 32, bands: Int = 8,
+                          bucketCap: Int = 64,
+                          minEstJaccard: Double = 0.5): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("__id"),
+      col(srcCol).as("__src"))
+    val counts = df.groupBy(col(srcCol).as("__cs"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = minhashCandidates(df, textCol, idCol, k, bands, bucketCap,
+      minEstJaccard)
+      .join(src.select(col("__id").as("id_a"), col("__src").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("__id").as("id_b"), col("__src").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .join(broadcast(counts).withColumnRenamed("__cs", "source_a")
+        .withColumnRenamed("__n", "n_docs_a"), Seq("source_a"))
+      .join(broadcast(counts).withColumnRenamed("__cs", "source_b")
+        .withColumnRenamed("__n", "n_docs_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"))
+  }
+
   def dedupImpact(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 32, bands: Int = 8, bucketCap: Int = 64,
                   minEstJaccard: Double = 0.5): DataFrame = {

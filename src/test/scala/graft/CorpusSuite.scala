@@ -11,6 +11,34 @@ class CorpusSuite extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     toDf(spark)("doc_id" -> rows.map(_._1), "text" -> rows.map(_._2)).df
 
+  // ------------------------------------------------------ codeSignals
+
+  test("codeSignals separates code-like text from prose; counts are exact") {
+    val code = "def fooBar(x):\n    return {x[0]: x*2}  # camelCase_ident"
+    val prose = "plain english sentences carry almost no code syntax at all"
+    val out = graft.operators.Corpus.codeSignals(
+      docs(1L -> code, 2L -> prose, 3L -> ""), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val c = out(0)
+    // hand-count on `code`: ( ) { [ ] } # = 7 in-class symbols
+    // (':' and '*' are deliberately outside the class)
+    assert(c.getAs[Long]("n_sym") == 7L, c.toString)
+    assert(c.getAs[Long]("n_underscore") == 1L)
+    assert(c.getAs[Long]("n_camel") == 2L) // fooBar, camelCase
+    val p = out(1)
+    assert(p.getAs[Long]("n_sym") == 0L && p.getAs[Long]("code_micro") == 0L)
+    assert(c.getAs[Long]("code_micro") > 100000L,
+      s"code text must score high: ${c.getAs[Long]("code_micro")}")
+    // empty doc: zero everything, no division blowup
+    assert(out(2).getAs[Long]("code_micro") == 0L)
+  }
+
+  test("codeSignals plan is a pure scan-local projection (no exchange)") {
+    val plan = graft.operators.Corpus.codeSignals(
+      docs(1L -> "x"), "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ------------------------------------------------------- dedupLines
 
   test("dedupLines strips cross-doc boilerplate, keeps unique lines") {

@@ -311,6 +311,25 @@ class PipelineOpsSuite extends SparkSpec {
     assert(viaCorpus.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("sourceOverlapMatrix: unordered cells, diagonal, counts") {
+    // srcA doc1 ≡ srcB doc2 (cross-source pair), srcA doc3 ≡ srcA doc4
+    // (diagonal pair), doc5 unique in srcC (no cell at all)
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 130).map(i => s"tok$i").mkString(" ")
+    val df = toDf(spark)(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "src" -> Seq("srcB", "srcA", "srcA", "srcA", "srcC"),
+      "text" -> Seq(base, base, other, other, "totally unrelated words here")).df
+    val out = Dedup.sourceOverlapMatrix(df, "text", "doc_id", "src")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b")))
+    assert(out.toSeq == Seq(
+      ("srcA", "srcA", 1L, 3L, 3L), // diagonal: in-source template reuse
+      ("srcA", "srcB", 1L, 3L, 1L)  // cross-source, normalized a <= b
+    ), out.mkString("; "))
+  }
+
   test("minhashRecallEval: exact Jaccard truth, integer threshold, caught flags") {
     // doc 1 ≡ doc 2 (identical → Jaccard 1, LSH must catch), doc 3
     // shares a prefix with 1 (Jaccard < 0.5 → not truth), doc 4 disjoint
