@@ -1159,6 +1159,40 @@ object OracleSql {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Replays Similarity.kCenter step by step (the mmrRerank generated-
+    * selection pattern): seed = smallest vec_id, then k−1 rounds each
+    * picking the candidate with minimal max-cosine to the selected set
+    * (ties → smallest vec_id). */
+  def kCenter(k: Int = 8): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    // cum(i) → sel(i) → ms(i) → cum(i−1) chain re-evaluates its whole
+    // prefix at every reference — exponential in k (measured: 4 min at
+    // 2000 vectors, k=8; materialized: seconds)
+    val steps = (2 to k).map { i =>
+      s"""ms$i AS MATERIALIZED (
+         |  SELECT c.vec_id, MAX(${cosExpr("c.v", "s.v")}) AS mc
+         |  FROM e c
+         |  JOIN cum${i - 1} m ON true
+         |  JOIN e s ON s.vec_id = m.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} x
+         |                    WHERE x.vec_id = c.vec_id)
+         |  GROUP BY c.vec_id),
+         |sel$i AS MATERIALIZED (
+         |  SELECT vec_id, $i AS step FROM ms$i
+         |  ORDER BY mc ASC, vec_id LIMIT 1),
+         |cum$i AS MATERIALIZED (
+         |  SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM sel$i)"""
+        .stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sel1 AS (SELECT vec_id, 1 AS step FROM e ORDER BY vec_id LIMIT 1),
+       |cum1 AS MATERIALIZED (SELECT * FROM sel1),
+       |${steps.mkString(",\n")}
+       |SELECT vec_id, step::BIGINT AS step FROM cum$k
+       |ORDER BY step""".stripMargin
+  }
+
   /** Replays Similarity.jlProject: the same md5-derived planes
     * interpolated as literals, left-fold dots, one literal scale. */
   def jlProject(dim: Int = 64, outDim: Int = 16, seed: Long = 42L): String = {

@@ -175,6 +175,16 @@ private[graft] object QueriesVector {
       // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim selection
       // over each query's bounded top-20 candidate set — RAG/few-shot
       // retrieval without k near-copies; step-generated CTE oracle
+      // greedy k-center coreset (Gonzalez farthest-point): the 8 most
+      // mutually-spread vectors — corpus-level diversity selection; k
+      // bounded driver rounds, literal-selected-set projections
+      "q_kcenter" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Similarity.kCenter(Tables.df(s, dir, "embeddings"),
+            "embedding", "vec_id", k = 8))
+          .arrange("step").df),
+
+
       "q_mmr_rerank" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
         graft.api.DataTable(
@@ -409,6 +419,8 @@ private[graft] object QueriesVector {
         |ORDER BY l.vec_id""".stripMargin,
 
     "q_mmr_rerank" -> OracleSql.mmrRerank(),
+
+    "q_kcenter" -> OracleSql.kCenter(k = 8),
 
     "q_sq_encode" -> OracleSql.sqEncode(),
 

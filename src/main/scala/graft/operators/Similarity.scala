@@ -716,6 +716,55 @@ object Similarity {
     }
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal)
+    * over cosine distance: seed with the smallest id, then repeatedly
+    * take the point FARTHEST from the selected set (minimal max-cosine;
+    * ties → smallest id). The classic 2-approximation to the k-center
+    * objective — the "maximally spread" subset selector a curation
+    * pipeline uses for diverse eval/finetune picks, where
+    * [[clusterBalancedSample]] wants proportional coverage and
+    * [[mmrRerank]] diversifies around a QUERY, k-center diversifies the
+    * corpus itself.
+    *
+    * Scale shape: k driver-orchestrated rounds; each round is one scan
+    * computing max-cosine-to-selected as a PURE PROJECTION against the
+    * ≤ k selected vectors as literals (the [[cellCosArr]] pattern — no
+    * join, no shuffle) and one TakeOrdered(1) argmin — k bounded jobs,
+    * driver state bounded at k vectors. k is a coreset size (tens), not
+    * a partition count; for thousands of centers use [[lloydCentroids]]
+    * and sample per cell instead. Zero-norm vectors have NaN cosine
+    * everywhere and sort past every real candidate (NULLS/NaN LAST
+    * ascending), so they are picked only after every comparable point —
+    * never silently first. */
+  def kCenter(corpus: DataFrame, vecCol: String, idCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"kCenter: k=$k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      toDoubleArray(col(vecCol)).as("v"))
+    val first = e.orderBy("vec_id").limit(1).collect()
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("vec_id", "step")
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (first(0).getLong(0), first(0).getSeq[Double](1).toArray))
+    var exhausted = false
+    while (sel.length < k && !exhausted) {
+      val maxCos = sel.map { case (_, c) =>
+        cosine(col("v"), array(c.toIndexedSeq.map(lit): _*))
+      }.reduce(greatest(_, _))
+      val next = e.filter(!col("vec_id").isin(sel.toSeq.map(_._1): _*))
+        .select(col("vec_id"), col("v"), maxCos.as("__mc"))
+        .orderBy(col("__mc").asc, col("vec_id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else sel += ((next(0).getLong(0), next(0).getSeq[Double](1).toArray))
+    }
+    sel.toSeq.zipWithIndex
+      .map { case ((id, _), i) => (id, (i + 1).toLong) }
+      .toDF("vec_id", "step")
+  }
+
   /** Per-dimension scalar-quantization bounds (the FAISS SQ8 trainer):
     * one bounded aggregate over the corpus — dim rows out, min/max are
     * exact order-insensitive aggregates. */

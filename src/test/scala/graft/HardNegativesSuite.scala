@@ -100,6 +100,28 @@ class HardNegativesSuite extends SparkSpec {
     assert(out.head.getLong(1) == 5L)
   }
 
+  test("kCenter: farthest-point order, seed = smallest id, k past corpus exhausts") {
+    // seed 0 (+x); farthest from it is the antipode 3 (cos −1); then
+    // the orthogonal 2 (max-cos 0 to {+x, −x}) beats near-copy 1
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1.0F, 0.0F, 0.0F)),
+        |  (1L, array(0.99F, 0.1F, 0.0F)),
+        |  (2L, array(0.0F, 1.0F, 0.0F)),
+        |  (3L, array(-1.0F, 0.0F, 0.0F))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val got = graft.operators.Similarity.kCenter(df, "embedding", "vec_id", k = 4)
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (3L, 2L), (2L, 3L), (1L, 4L)), got.toString)
+    // k beyond the corpus: every point selected once, then stop
+    val all = graft.operators.Similarity.kCenter(df, "embedding", "vec_id", k = 10)
+    assert(all.count() == 4L)
+    // empty corpus: empty selection, correct schema
+    val none = graft.operators.Similarity.kCenter(
+      df.filter(col("vec_id") < 0), "embedding", "vec_id", k = 3)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("vec_id", "step"))
+  }
+
   test("ndcgEval: approx DCG never beats ideal; self-evaluating LSH hits 1.0") {
     val emb = graft.sources.Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.ndcgEval(emb, emb.filter(col("vec_id") < 4),
