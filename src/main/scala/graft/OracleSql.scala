@@ -1159,6 +1159,84 @@ object OracleSql {
        |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Replays `Sampling.mixturePlan` — the closed-form water-filling
+    * windows over the |domains|-row aggregate, same cross-multiplied
+    * integer stop condition and Hamilton remainder seats. */
+  def mixturePlan(weightsPpm: Seq[(String, Long)], budget: Long,
+                  maxEpochs: Int, tokensExpr: String = "n_chars",
+                  domainExpr: String = "source"): String = {
+    val values = weightsPpm.map { case (d, w) => s"('$d', ${w}::BIGINT)" }
+      .mkString(", ")
+    val rk = "CAST(cap_tokens AS DOUBLE) / weight_ppm"
+    val ord = s"ORDER BY $rk, domain"
+    s"""WITH w(domain, weight_ppm) AS (VALUES $values),
+       |a AS (
+       |  SELECT $domainExpr AS domain,
+       |    CAST(SUM($tokensExpr) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT a.domain, a.avail_tokens,
+       |    COALESCE(w.weight_ppm, 0)::BIGINT AS weight_ppm,
+       |    (a.avail_tokens * $maxEpochs)::BIGINT AS cap_tokens
+       |  FROM a LEFT JOIN w ON w.domain = a.domain),
+       |p AS (SELECT * FROM j WHERE weight_ppm > 0),
+       |s AS (
+       |  SELECT *,
+       |    COALESCE(CAST(SUM(cap_tokens) OVER ($ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS capex,
+       |    COALESCE(CAST(SUM(weight_ppm) OVER ($ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS wex,
+       |    CAST(SUM(weight_ppm) OVER () AS BIGINT) AS wpos
+       |  FROM p),
+       |t AS (
+       |  SELECT *, CASE WHEN ($budget - capex) * weight_ppm <
+       |                      cap_tokens * (wpos - wex)
+       |            THEN 1 ELSE 0 END AS stop
+       |  FROM s),
+       |u AS (
+       |  SELECT *, CASE WHEN MAX(stop) OVER ($ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+       |    THEN 1 ELSE 0 END AS capped
+       |  FROM t),
+       |v AS (
+       |  SELECT *,
+       |    CAST(SUM(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END)
+       |      OVER () AS BIGINT) AS capsumf,
+       |    CAST(SUM(CASE WHEN capped = 0 THEN weight_ppm ELSE 0 END)
+       |      OVER () AS BIGINT) AS wu
+       |  FROM u),
+       |x AS (
+       |  SELECT *, GREATEST($budget - capsumf, 0) AS remb,
+       |    CASE WHEN capped = 1 THEN 0
+       |         ELSE (GREATEST($budget - capsumf, 0) * weight_ppm) // wu
+       |    END AS base,
+       |    CASE WHEN capped = 1 THEN -1
+       |         ELSE (GREATEST($budget - capsumf, 0) * weight_ppm) % wu
+       |    END AS remr
+       |  FROM v),
+       |y AS (
+       |  SELECT *, CAST(remb - SUM(base) OVER () AS BIGINT) AS seats,
+       |    ROW_NUMBER() OVER (ORDER BY remr DESC, domain) AS rk
+       |  FROM x),
+       |z AS (
+       |  SELECT domain, avail_tokens, weight_ppm, cap_tokens,
+       |    capped::BIGINT AS capped,
+       |    (CASE WHEN capped = 1 THEN cap_tokens
+       |          ELSE base + CASE WHEN rk <= seats THEN 1 ELSE 0 END
+       |     END)::BIGINT AS planned_tokens
+       |  FROM y
+       |  UNION ALL
+       |  SELECT domain, avail_tokens, weight_ppm, cap_tokens,
+       |    0::BIGINT, 0::BIGINT
+       |  FROM j WHERE weight_ppm = 0)
+       |SELECT domain, avail_tokens, weight_ppm, cap_tokens, capped,
+       |  planned_tokens,
+       |  (CASE WHEN avail_tokens <= 0 THEN 0
+       |        ELSE planned_tokens * 1000000 // avail_tokens
+       |   END)::BIGINT AS epochs_micro
+       |FROM z ORDER BY domain""".stripMargin
+  }
+
   /** Replays Similarity.kCenter step by step (the mmrRerank generated-
     * selection pattern): seed = smallest vec_id, then k−1 rounds each
     * picking the candidate with minimal max-cosine to the selected set

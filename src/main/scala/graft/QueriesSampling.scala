@@ -15,6 +15,15 @@ import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Mul
   * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
 private[graft] object QueriesSampling {
 
+  /** The q_mixture_plan target weights (ppm, sums to exactly 1e6):
+    * src0 gets an outsized 43% target so the 2-epoch availability cap
+    * binds and water-filling redistributes; the other 19 sources split
+    * the rest evenly. ONE constant feeds both the Spark plan and the
+    * oracle SQL. */
+  private val PlanWeights: Map[String, Long] =
+    Map("src0" -> 430000L) ++
+      (1 to 19).map(i => s"src$i" -> 30000L).toMap
+
   val queries: Map[String, Q] = Map(
 
 
@@ -114,6 +123,19 @@ private[graft] object QueriesSampling {
             "doc_id", "source", totalN = 200L)
             .select(col("doc_id"), col("source")))
           .arrange("doc_id").df),
+
+
+      // token-budget mixture plan: exact water-filling of a 400k-char
+      // budget across sources under a 2-epoch availability cap — src0's
+      // outsized 43% target caps out and redistributes; windows run
+      // over the |sources|-row aggregate only
+      "q_mixture_plan" -> ((s: SparkSession, dir: String) =>
+        graft.api.DataTable(
+          Sampling.mixturePlan(
+            Tables.df(s, dir, "documents").select("source", "n_chars"),
+            "source", "n_chars", PlanWeights, budget = 400000L,
+            maxEpochs = 2))
+          .arrange("domain").df),
 
 
       // systematic weighted resample WITH replacement: exactly 1000
@@ -256,6 +278,11 @@ private[graft] object QueriesSampling {
         |WHERE r.rk <= qt.quota
         |ORDER BY r.doc_id""".stripMargin,
 
+
+    // mixture plan: the same closed-form water-filling windows over
+    // the |sources|-row aggregate (weights shared via PlanWeights)
+    "q_mixture_plan" -> OracleSql.mixturePlan(
+      PlanWeights.toSeq.sortBy(_._1), budget = 400000L, maxEpochs = 2),
 
     // systematic resample: window cumsum (RANGE default = Spark's),
     // copies-below-point as pure integer division — the CAST to BIGINT

@@ -122,6 +122,102 @@ object Sampling {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** EXACT mixture plan under availability caps — the water-filling
+    * step between "target mixture weights" and the samplers that
+    * execute them: apportion a token `budget` across domains
+    * proportionally to `weightsPpm`, but no domain may exceed
+    * `maxEpochs` passes over its available tokens. Domains whose
+    * proportional share exceeds their cap get exactly the cap; their
+    * unserved budget redistributes proportionally among the uncapped
+    * (recursively — the classic water-filling fixpoint). Output per
+    * domain present in the corpus: availability, weight, cap, a 0/1
+    * `capped` flag, `planned_tokens`, and `epochs_micro`
+    * (planned·1e6 DIV avail).
+    *
+    * Exactness: Σ planned = min(budget, Σ caps) to the token (Hamilton
+    * largest-remainder rounding among the uncapped; a boundary domain
+    * may exceed its cap by at most the 1-token rounding seat). The
+    * fixpoint is computed in CLOSED FORM, not by iteration: sort
+    * domains by cap/weight ascending — the order in which they hit
+    * their caps as the water level λ rises — and find the stop
+    * position with exclusive-prefix sums: with the first i−1 capped,
+    * domain i stays uncapped iff (B − capSum_{i-1})·w_i < cap_i·wRest_i
+    * (the λ comparison cross-multiplied, so the decision is pure
+    * integer arithmetic; the sort key is one IEEE long÷long, identical
+    * in both engines). Every window runs over the |domains|-row
+    * aggregate only — the corpus is touched by exactly one
+    * sum-per-domain scan.
+    *
+    * Bounds: budget·Σw and cap·Σw must stay under 2^63 — at ppm
+    * weights that is ~9·10^12 tokens; plan in kilotokens past it
+    * (`require`d for the budget side). Zero-weight domains plan 0;
+    * weights naming absent domains are ignored (the plan covers the
+    * corpus that exists). */
+  def mixturePlan(df: DataFrame, domainCol: String, tokensCol: String,
+                  weightsPpm: Map[String, Long], budget: Long,
+                  maxEpochs: Int = 1): DataFrame = {
+    require(budget >= 0, s"mixturePlan: budget=$budget must be >= 0")
+    require(maxEpochs >= 1, s"mixturePlan: maxEpochs=$maxEpochs must be >= 1")
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ >= 0L),
+      "mixturePlan: weights must be a nonempty map of >= 0 ppm values")
+    val wSumAll = weightsPpm.values.sum
+    require(wSumAll > 0L, "mixturePlan: all weights are 0")
+    require(budget <= Long.MaxValue / wSumAll,
+      s"mixturePlan: budget*Σw overflows long — plan in coarser units")
+    val avail = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+      .withColumn("weight_ppm",
+        coalesce(element_at(typedLit(weightsPpm), col("domain")), lit(0L)))
+      .withColumn("cap_tokens", col("avail_tokens") * lit(maxEpochs.toLong))
+    val pos = avail.filter(col("weight_ppm") > 0L)
+    // cap-fill order: cap/weight ascending (IEEE double of two longs —
+    // bit-identical cross-engine), domain tiebreak
+    val rKey = col("cap_tokens").cast("double") / col("weight_ppm")
+    val ord = Window.orderBy(rKey, col("domain"))
+    val exPrefix = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val runPrefix = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val all = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val planned = pos
+      .withColumn("__capEx", coalesce(sum(col("cap_tokens")).over(exPrefix), lit(0L)))
+      .withColumn("__wEx", coalesce(sum(col("weight_ppm")).over(exPrefix), lit(0L)))
+      .withColumn("__wRest", sum(col("weight_ppm")).over(all) - col("__wEx"))
+      // with the first i-1 capped, does the water level stop below this
+      // domain's cap? (λ < cap_i/w_i, cross-multiplied)
+      .withColumn("__stop",
+        ((lit(budget) - col("__capEx")) * col("weight_ppm") <
+          col("cap_tokens") * col("__wRest")).cast("int"))
+      .withColumn("capped",
+        (max(col("__stop")).over(runPrefix) === 0).cast("long"))
+      .withColumn("__capSumF",
+        sum(when(col("capped") === 1L, col("cap_tokens")).otherwise(0L)).over(all))
+      .withColumn("__wU",
+        sum(when(col("capped") === 0L, col("weight_ppm")).otherwise(0L)).over(all))
+      .withColumn("__remB", greatest(lit(budget) - col("__capSumF"), lit(0L)))
+      // Hamilton apportionment of the remaining budget over the uncapped
+      .withColumn("__base", when(col("capped") === 1L, lit(0L))
+        .otherwise(expr("__remB * weight_ppm DIV __wU")))
+      .withColumn("__rem", when(col("capped") === 1L, lit(-1L))
+        .otherwise(expr("__remB * weight_ppm % __wU")))
+      .withColumn("__seats", col("__remB") - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("domain"))))
+      .withColumn("planned_tokens",
+        when(col("capped") === 1L, col("cap_tokens"))
+          .otherwise(col("__base") +
+            when(col("__rk") <= col("__seats"), lit(1L)).otherwise(lit(0L))))
+    planned
+      .select(col("domain"), col("avail_tokens"), col("weight_ppm"),
+        col("cap_tokens"), col("capped"), col("planned_tokens"))
+      .unionByName(avail.filter(col("weight_ppm") === 0L)
+        .select(col("domain"), col("avail_tokens"), col("weight_ppm"),
+          col("cap_tokens"), lit(0L).as("capped"),
+          lit(0L).as("planned_tokens")))
+      .withColumn("epochs_micro",
+        when(col("avail_tokens") <= 0L, lit(0L))
+          .otherwise(expr("planned_tokens * 1000000 DIV avail_tokens")))
+  }
+
   /** Append a `split` column assigning each row to one of the named
     * fractions (e.g. train/val/test). Weights must sum to ≤ 1; any
     * remainder falls into the LAST split. */

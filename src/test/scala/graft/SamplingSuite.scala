@@ -9,6 +9,89 @@ class SamplingSuite extends SparkSpec {
 
   private def ids(n: Int) = toDf(spark)("id" -> (0 until n)).df
 
+  // ------------------------------------------------------ mixturePlan
+
+  /** Independent iterative water-filling reference (the textbook
+    * fixpoint, NOT the closed form under test): proportional shares,
+    * cap violators, redistribute, repeat to convergence. Returns
+    * (capped set, remaining budget, uncapped weight sum). */
+  private def waterFillRef(caps: Map[String, Long], w: Map[String, Long],
+                           budget: Long): (Set[String], Long, Long) = {
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      val remB = budget - capped.toSeq.map(caps).sum
+      val wU = w.filterNot(kv => capped(kv._1)).values.sum
+      if (wU > 0) w.keys.filterNot(capped).foreach { d =>
+        // d violates its cap at the current water level (λ ≥ cap/w)
+        if (remB * w(d) >= caps(d) * wU && !capped(d)) {
+          capped += d; changed = true
+        }
+      }
+    }
+    val remB = math.max(0L, budget - capped.toSeq.map(caps).sum)
+    val wU = w.filterNot(kv => capped(kv._1)).values.sum
+    (capped, remB, wU)
+  }
+
+  private def planDf(rows: Seq[(String, Long)]) =
+    toDf(spark)("d" -> rows.map(_._1), "t" -> rows.map(_._2)).df
+
+  test("mixturePlan matches hand-computed water-filling; total exact") {
+    // avail: a=100, b=1000, c=1000; weights 50/25/25%; budget 600, E=1
+    // round 1: targets 300/150/150 — a caps at 100
+    // round 2: remaining 500 over b,c equally: 250/250 — both fit
+    val out = graft.operators.Sampling.mixturePlan(
+      planDf(Seq("a" -> 100L, "b" -> 1000L, "c" -> 1000L)), "d", "t",
+      Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L), budget = 600L)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("capped"),
+        r.getAs[Long]("planned_tokens"))).toSeq
+    assert(out == Seq(("a", 1L, 100L), ("b", 0L, 250L), ("c", 0L, 250L)),
+      out.toString)
+  }
+
+  test("mixturePlan: cascading caps, exact total, closed form == iterative reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(6)
+      val avail = (0 until n).map(i => s"d$i" -> (1L + rnd.nextInt(500))).toMap
+      val w = (0 until n).map(i => s"d$i" -> (1L + rnd.nextInt(100000))).toMap
+      val budget = 1L + rnd.nextInt(2000)
+      val caps = avail.map { case (k, v) => k -> v * 2L }
+      val got = graft.operators.Sampling.mixturePlan(
+        planDf(avail.toSeq.sortBy(_._1)), "d", "t", w, budget, maxEpochs = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("capped"), r.getAs[Long]("planned_tokens"))).toMap
+      val (refCapped, _, _) = waterFillRef(caps, w, budget)
+      assert(got.filter(_._2._1 == 1L).keySet == refCapped,
+        s"trial $trial: capped set diverges from iterative reference " +
+          s"(got ${got.filter(_._2._1 == 1L).keySet}, want $refCapped; " +
+          s"avail=$avail w=$w budget=$budget)")
+      val total = got.values.map(_._2).sum
+      val want = math.min(budget, caps.values.sum)
+      assert(total == want, s"trial $trial: total $total != $want")
+      // capped domains sit exactly at cap; uncapped within cap+1
+      got.foreach { case (d, (c, p)) =>
+        if (c == 1L) assert(p == caps(d), s"$d at cap")
+        else assert(p <= caps(d) + 1, s"$d rounding bound")
+      }
+    }
+  }
+
+  test("mixturePlan: budget past all caps -> everything capped (shortfall); zero-weight plans 0") {
+    val out = graft.operators.Sampling.mixturePlan(
+      planDf(Seq("a" -> 10L, "b" -> 20L, "z" -> 30L)), "d", "t",
+      Map("a" -> 600000L, "b" -> 400000L, "zz_absent" -> 1L),
+      budget = 1000000L).orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("capped"),
+        r.getAs[Long]("planned_tokens"), r.getAs[Long]("epochs_micro"))).toSeq
+    // a,b cap at 1 epoch (maxEpochs default 1); z has no weight -> 0
+    assert(out == Seq(("a", 1L, 10L, 1000000L), ("b", 1L, 20L, 1000000L),
+      ("z", 0L, 0L, 0L)), out.toString)
+  }
+
   test("hashSample is deterministic and nested across fractions") {
     val df = ids(2000)
     val s10 = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
