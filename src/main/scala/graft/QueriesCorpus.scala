@@ -515,6 +515,32 @@ private[graft] object QueriesCorpus {
       // synthesized from source/lang/doc_id, host + path split out with
       // parse_url (codegen'd), rolled up per host — the shape of a
       // crawl-mix report or domain blocklist join
+      // URL canonicalization: the corpus has no URL column, so messy
+      // URLs are SYNTHESIZED deterministically per doc (4 shapes: messy
+      // case + default port + tracking params + fragment; trailing
+      // slash; all-tracking query; non-default port + duplicate keys)
+      // and canonicalized — the normalization URL-keyed dedup needs
+      // before equality means anything (q_line_dedup's synthesize-then-
+      // operate pattern)
+      "q_url_canonical" -> ((s: SparkSession, dir: String) => {
+        val messy = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW."), col("source"),
+            lit(".Example.COM:80/a/b/?b=2&a=1&utm_campaign=c#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://www."), col("source"),
+              lit(".example.com/path/"), col("doc_id").cast("string"), lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("HTTPS://"), col("source"),
+              lit(".EXAMPLE.com:443/x?utm_source=s&gclid=g")))
+          .otherwise(concat(lit("http://"), col("source"),
+            lit(".example.com:8080/p?z=1&y=2&y=1")))
+        Tables(s, dir, "documents")
+          .selectCols(col("doc_id"), messy.as("url"))
+          .mutate("canonical_url" -> canonicalUrl(col("url")))
+          .arrange("doc_id").df
+      }),
+
+
       // code-likeness routing signal: structural symbol densities +
       // the combined code_micro rate (pure scan-local projection)
       "q_code_signals" -> ((s: SparkSession, dir: String) =>
@@ -1285,6 +1311,54 @@ private[graft] object QueriesCorpus {
         |FROM h JOIN f USING (hh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+
+    // URL canonicalization: same synthesis, step-by-step regexp replay
+    // (DuckDB regexp_replace needs its explicit 'g'; extract-no-match
+    // returns '' in both engines)
+    "q_url_canonical" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTP://WWW.' || source ||
+        |        '.Example.COM:80/a/b/?b=2&a=1&utm_campaign=c#frag'
+        |      WHEN 1 THEN 'https://www.' || source || '.example.com/path/'
+        |        || doc_id::VARCHAR || '/'
+        |      WHEN 2 THEN 'HTTPS://' || source ||
+        |        '.EXAMPLE.com:443/x?utm_source=s&gclid=g'
+        |      ELSE 'http://' || source || '.example.com:8080/p?z=1&y=2&y=1'
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(trim(url), '#.*$', '') AS nofrag FROM m),
+        |s2 AS (
+        |  SELECT *,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |    regexp_replace(rest, '^[^/?]*', '') AS afterhost FROM s2),
+        |s4 AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    COALESCE(regexp_replace(regexp_extract(afterhost, '^([^?]*)', 1),
+        |      '/+$', ''), '') AS path0,
+        |    COALESCE(regexp_extract(afterhost, '\?(.*)$', 1), '') AS query0
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    COALESCE(array_to_string(list_sort(list_filter(
+        |      string_split(query0, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|fbclid|gclid|msclkid)='))), '&'), '') AS q
+        |  FROM s4)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     // code signals: length-difference char-class counts (DuckDB needs
     // the 'g' flag — its regexp_replace is first-match by default,

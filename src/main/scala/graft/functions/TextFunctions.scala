@@ -31,6 +31,40 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Canonical URL — the normalization URL-keyed dedup and per-domain
+    * accounting need before equality means anything: a crawl stores the
+    * same page as `HTTP://Site.com:80/a/?b=2&a=1&utm_source=x#frag` and
+    * `http://site.com/a?a=1&b=2`. Steps, in order: trim; drop the
+    * fragment; lowercase scheme and host:port (path/query keep case —
+    * paths are case-sensitive by spec); strip the scheme's default port
+    * (:80 http, :443 https — others kept); collapse repeated trailing
+    * slashes off the path (empty path → "/"); drop tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`) and empty fragments of the
+    * query, sort the survivors bytewise, rejoin. Pure codegen-friendly
+    * string expressions; every step replays in DuckDB (the oracle's
+    * regexp_replace needs its explicit 'g' flag). Contract: absolute
+    * http(s) URLs; anything else is normalized best-effort, never
+    * nulled. */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(trim(c), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_replace(regexp_extract(afterHost, "^([^?]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query0 = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query0, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid|msclkid)=")))
+    val q = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   /** Deterministic document fingerprint (md5 of the normalized text) —
     * cross-engine stable, the key for exact dedup. */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))

@@ -23,6 +23,31 @@ class TextSuite extends SparkSpec {
     assert(out(2) == "no markup at all")
   }
 
+  test("canonicalUrl: case, ports, fragments, tracking params, slash collapse") {
+    val cases = Seq(
+      // messy everything: case, default port, unsorted+tracking query, fragment
+      "HTTP://WWW.Site.COM:80/a/b/?b=2&a=1&utm_campaign=c#frag"
+        -> "http://www.site.com/a/b?a=1&b=2",
+      // trailing slashes collapse, path case preserved
+      "https://site.com/Path/To//" -> "https://site.com/Path/To",
+      // bare host -> "/", default https port stripped
+      "https://Site.com:443" -> "https://site.com/",
+      // all-tracking query disappears entirely (no dangling '?')
+      "https://s.com/x?utm_source=a&fbclid=b&gclid=c&msclkid=d"
+        -> "https://s.com/x",
+      // NON-default port survives; duplicate keys sort stably
+      "http://s.com:8080/p?z=1&y=2&y=1" -> "http://s.com:8080/p?y=1&y=2&z=1",
+      // :443 on http is NOT default -> kept; empty params dropped
+      "http://s.com:443/p?&&a=1" -> "http://s.com:443/p?a=1",
+      // fragment-only suffix; root path stays one slash
+      "https://s.com/#top" -> "https://s.com/")
+    val df = toDf(spark)("id" -> cases.indices.map(_.toLong),
+      "u" -> cases.map(_._1)).df
+    val got = df.select(col("id"), canonicalUrl(col("u")).as("c"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
   test("redactPii replaces emails and URLs with typed placeholders") {
     val df = toDf(spark)("id" -> Seq(1, 2, 3), "t" -> Seq(
       "contact me at jane.doe+spam@example.co.uk today",
