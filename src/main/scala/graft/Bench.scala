@@ -35,9 +35,7 @@ object Bench {
       // safe to drop — without this, the 4 shots of q_global_rank pin 4
       // cached copies of the keyed table in one JVM. Outside the timed
       // span.
-      graft.operators.GlobalRank.releaseSnapshots()
-      graft.operators.GlobalShift.releaseSnapshots()
-      graft.operators.GlobalCumSum.releaseSnapshots()
+      graft.operators.GlobalOps.releaseSnapshots()
       dt
     }
 

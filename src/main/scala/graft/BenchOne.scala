@@ -28,9 +28,7 @@ object BenchOne {
         // result, so per-shot rank/shift snapshots are safe to drop —
         // without this, repeated shots of a global-window query pin one
         // cached copy of the keyed table each
-        graft.operators.GlobalRank.releaseSnapshots()
-        graft.operators.GlobalShift.releaseSnapshots()
-        graft.operators.GlobalCumSum.releaseSnapshots()
+        graft.operators.GlobalOps.releaseSnapshots()
       }
     }
     spark.stop()

@@ -26,9 +26,7 @@ object ExplainQuery {
         sys.error(s"unknown query '$name' — see SparkEntry.queries"))
       println(s"=== $name ===")
       fn(spark, sfDir).explain("formatted")
-      graft.operators.GlobalRank.releaseSnapshots()
-      graft.operators.GlobalShift.releaseSnapshots()
-      graft.operators.GlobalCumSum.releaseSnapshots()
+      graft.operators.GlobalOps.releaseSnapshots()
     }
     spark.stop()
   }

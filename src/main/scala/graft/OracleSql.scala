@@ -411,24 +411,19 @@ object OracleSql {
   def sourceOverlap(k: Int = 32, shingleSize: Int = 3, bands: Int = 8,
                     bucketCap: Int = 64,
                     minEstJaccard: Double = 0.5): String = {
-    s"""WITH ${sigBandedCtes(k, shingleSize, bands)},
-       |ok AS (
-       |  SELECT band, bhash FROM banded GROUP BY band, bhash
-       |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap),
-       |pairs AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM banded x
-       |  JOIN banded y ON x.band = y.band AND x.bhash = y.bhash
-       |    AND x.doc_id < y.doc_id
-       |  JOIN ok ON ok.band = x.band AND ok.bhash = x.bhash
-       |  WHERE len(list_filter(range(1, ${k + 1}), i -> x.sig[i] = y.sig[i]))
-       |    / ${k}.0 >= $minEstJaccard),
-       |cnt AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+    // the candidate relation is minhashPairs VERBATIM (the
+    // minhashSurvivors reuse rule): one spelling of the banding
+    // convention, so a bucket/tie/estimator change can never leave this
+    // oracle pinning stale semantics
+    val pairs = minhashPairs(k, shingleSize, bands, bucketCap, minEstJaccard)
+      .replaceAll("ORDER BY id_a, id_b\\s*$", "")
+    s"""WITH cnt AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
        |cells AS (
        |  SELECT least(da.source, db.source) AS source_a,
        |         greatest(da.source, db.source) AS source_b,
        |         COUNT(*)::BIGINT AS n_pairs
-       |  FROM pairs p
+       |  FROM ($pairs) p
        |  JOIN documents da ON da.doc_id = p.id_a
        |  JOIN documents db ON db.doc_id = p.id_b
        |  GROUP BY 1, 2)
@@ -1263,7 +1258,8 @@ object OracleSql {
         .stripMargin
     }
     s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
        |sel1 AS (SELECT vec_id, 1 AS step FROM e ORDER BY vec_id LIMIT 1),
        |cum1 AS MATERIALIZED (SELECT * FROM sel1),
        |${steps.mkString(",\n")}

@@ -45,7 +45,9 @@ object ScaleUp {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
     /** Union of `Copies` key-shifted images of `df`. `keys` columns get
-      * `+ copy*Stride`; `textCol` (if set) gets the per-copy suffix. */
+      * `+ copy*Stride`; `textCol` (if set) gets the per-copy suffix,
+      * with the stored `n_chars` bumped to keep the fixture invariant
+      * `n_chars == length(text)` true in the scale image too. */
     def scaled(df: DataFrame, keys: Seq[String],
                textCol: Option[String] = None): DataFrame =
       (0 until Copies).map { k =>
@@ -53,7 +55,9 @@ object ScaleUp {
           d.withColumn(c, col(c) + lit(k * Stride)) }
         textCol match {
           case Some(tc) if k > 0 =>
-            shifted.withColumn(tc, concat(col(tc), lit(s" rep$k")))
+            val suffix = s" rep$k"
+            shifted.withColumn(tc, concat(col(tc), lit(suffix)))
+              .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
           case _ => shifted
         }
       }.reduce(_ unionAll _)

@@ -32,9 +32,7 @@ object Verify {
       finally
         // the write consumed the result; drop any snapshot pinned by a
         // plain withGlobalRanks so one dump doesn't cache the keyed table
-        { graft.operators.GlobalRank.releaseSnapshots()
-          graft.operators.GlobalShift.releaseSnapshots()
-          graft.operators.GlobalCumSum.releaseSnapshots() }
+        graft.operators.GlobalOps.releaseSnapshots()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

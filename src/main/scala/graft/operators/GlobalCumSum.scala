@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * Overflow: SUM(long) wraps silently past 2^63 with ANSI off — at a
   * total weight that large, rescale the weights first (the systematic
   * resampler `require`s headroom explicitly). */
-object GlobalCumSum {
+object GlobalCumSum extends SnapshotRegistry {
 
   /** Append the global cumulative sum of `value` over `order` as
     * `name`. Same lifecycle caveat as [[GlobalRank.withGlobalRanks]]:
@@ -49,8 +49,7 @@ object GlobalCumSum {
   def withGlobalCumSum(df: DataFrame, value: Column, order: Seq[Column],
                        name: String = "cum"): DataFrame = {
     val (out, snap, _) = build(df, value, order, name)
-    snap.foreach(s =>
-      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
+    register(snap)
     out
   }
 
@@ -78,8 +77,7 @@ object GlobalCumSum {
       df: DataFrame, value: Column, order: Seq[Column],
       name: String = "cum"): (DataFrame, Stats) = {
     val (out, snap, stats) = build(df, value, order, name)
-    snap.foreach(s =>
-      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
+    register(snap)
     (out, stats)
   }
 
@@ -134,26 +132,4 @@ object GlobalCumSum {
       .drop(okNames :+ "__pid" :+ "__cv": _*), snapshot, facts)
   }
 
-  private def mkRelease(snap: Option[DataFrame]): () => Boolean = {
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    () => {
-      val first = released.compareAndSet(false, true)
-      if (first) snap.foreach(_.unpersist(blocking = false))
-      first && snap.nonEmpty
-    }
-  }
-
-  private val liveSnapshots =
-    scala.collection.mutable.ArrayBuffer.empty[() => Boolean]
-
-  /** Snapshots currently pinned by plain calls (monitoring / tests). */
-  def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
-
-  /** HARNESS-ONLY process-wide release — same rules as
-    * [[GlobalRank.releaseSnapshots]]. */
-  def releaseSnapshots(): Int = liveSnapshots.synchronized {
-    val n = liveSnapshots.count(_())
-    liveSnapshots.clear()
-    n
-  }
 }

@@ -62,7 +62,7 @@ import org.apache.spark.sql.functions._
   * nullable keys should `coalesce` them to a sentinel (or filter) first;
   * the rank arithmetic itself stays correct either way, only the
   * cross-engine tie order of the null group differs. */
-object GlobalRank {
+object GlobalRank extends SnapshotRegistry {
 
   /** Append global `rnk`/`drnk`/`prnk`/`cdist` over `order`. Tie-stable:
     * a non-unique order still yields deterministic values (ntile is
@@ -82,7 +82,7 @@ object GlobalRank {
     // register only when something is actually pinned: the empty-input
     // short-circuit returns no snapshot, and a dead handle would make
     // liveSnapshotCount over-report against getPersistentRDDs
-    snap.foreach(s => liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
+    register(snap)
     ranked
   }
 
@@ -126,8 +126,7 @@ object GlobalRank {
     val helpers = Seq("__nt_d", "__nt_p", "__nt_c")
     val (ranked, snap, total) = build(df, uniqueOrder, rn, helpers(0),
       helpers(1), helpers(2), requireUnique = true)
-    snap.foreach(s =>
-      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) })
+    register(snap)
     val q = total / buckets
     val r = total % buckets
     def idiv(a: Column, d: Long): Column = Shim.toColumn(new IntegralDivide(
@@ -144,41 +143,11 @@ object GlobalRank {
       .drop(rn +: helpers: _*)
   }
 
-  /** Idempotent single-snapshot release closure (true iff this
-    * invocation released a real snapshot). */
-  private def mkRelease(snap: Option[DataFrame]): () => Boolean = {
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    () => {
-      val first = released.compareAndSet(false, true)
-      if (first) snap.foreach(_.unpersist(blocking = false))
-      first && snap.nonEmpty
-    }
-  }
-
-  /** Release handles pinned by plain [[withGlobalRanks]] calls, oldest
-    * first. */
-  private val liveSnapshots =
-    scala.collection.mutable.ArrayBuffer.empty[() => Boolean]
-
-  /** Count of snapshots currently pinned by plain [[withGlobalRanks]]
-    * calls (monitoring / tests). */
-  def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
-
-  /** Unpersist every snapshot pinned by plain [[withGlobalRanks]] calls.
-    * HARNESS-ONLY: safe only when the caller owns every in-flight plain
-    * call and no DataFrame previously returned by the plain variant will
-    * be executed again — a re-execution after release re-derives the
-    * range partitioning with fresh job-specific boundaries, and a
-    * same-pid-set misalignment corrupts ranks SILENTLY (the loud guard
-    * only catches pids missing from the stats map). Bench/Verify call
-    * this between queries — each consumes its result fully before moving
-    * on. Library paths must use [[withGlobalRanksManaged]] or
-    * [[withGlobalRanksReleasable]] instead. Returns the number released. */
-  def releaseSnapshots(): Int = liveSnapshots.synchronized {
-    val n = liveSnapshots.count(_())
-    liveSnapshots.clear()
-    n
-  }
+  // snapshot registry (mkRelease/register/liveSnapshotCount/
+  // releaseSnapshots) inherited from SnapshotRegistry; a re-execution of
+  // a plain-variant plan after release re-derives job-specific range
+  // boundaries and corrupts ranks SILENTLY — library paths must use
+  // [[withGlobalRanksManaged]] or [[withGlobalRanksReleasable]]
 
   /** Core: returns (ranked plan, the persisted snapshot it reads through
     * — None on the deterministic split-point tier and on the empty-input

@@ -56,7 +56,7 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, Struct
   * registry released by the harness ([[releaseSnapshots]]); library
   * callers use the releasable variant. On the split-point tier both
   * release hooks are no-ops (there is nothing to unpersist). */
-object GlobalShift {
+object GlobalShift extends SnapshotRegistry {
 
   /** Append global `lag(c, n)` over `order` as column `name` (`default`
     * when fewer than `n` rows precede globally). Registers its snapshot
@@ -88,34 +88,11 @@ object GlobalShift {
     (out, mkRelease(snap))
   }
 
+  // snapshot registry inherited from SnapshotRegistry (harness release
+  // rules in the trait scaladoc)
   private def registered(r: (DataFrame, Option[DataFrame])): DataFrame = {
-    r._2.foreach { s =>
-      liveSnapshots.synchronized { liveSnapshots += mkRelease(Some(s)) }
-    }
+    register(r._2)
     r._1
-  }
-
-  private def mkRelease(snap: Option[DataFrame]): () => Boolean = {
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    () => {
-      val first = released.compareAndSet(false, true)
-      if (first) snap.foreach(_.unpersist(blocking = false))
-      first && snap.nonEmpty
-    }
-  }
-
-  private val liveSnapshots =
-    scala.collection.mutable.ArrayBuffer.empty[() => Boolean]
-
-  def liveSnapshotCount: Int = liveSnapshots.synchronized(liveSnapshots.size)
-
-  /** Unpersist every snapshot pinned by plain calls — HARNESS-ONLY, the
-    * [[GlobalRank.releaseSnapshots]] rule: safe only when no returned
-    * plan will be executed again. Returns the number released. */
-  def releaseSnapshots(): Int = liveSnapshots.synchronized {
-    val n = liveSnapshots.count(_())
-    liveSnapshots.clear()
-    n
   }
 
   /** Hard bound on strip/fill rows (n × partitions). Beyond it the

@@ -94,7 +94,8 @@ object Sampling {
     * exactness is the point of the op). */
   def systematicResample(df: DataFrame, idCol: String, weightCol: String,
                          totalN: Long): DataFrame = {
-    require(totalN >= 1, s"systematicResample: totalN=$totalN must be >= 1")
+    require(totalN >= 1 && totalN < Long.MaxValue / 2,
+      s"systematicResample: totalN=$totalN out of range")
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.graftshim.Shim
     val wLong = coalesce(col(weightCol).cast("long"), lit(0L))
@@ -108,9 +109,11 @@ object Sampling {
     require(stats.min >= 0,
       "systematicResample: negative weights are not a distribution")
     require(totW > 0, "systematicResample: total weight is 0 — nothing to draw")
-    require(totW <= Long.MaxValue / 2 / totalN,
-      s"systematicResample: 2*totalN*W = 2*$totalN*$totW overflows long " +
-        "arithmetic — rescale the weights (exactness is the contract)")
+    // the evaluated expression is 2N·x + W with x ≤ W, peaking at
+    // (2N+1)·W — bounding only 2N·W would admit inputs that wrap
+    require(totW <= Long.MaxValue / (2 * totalN + 1),
+      s"systematicResample: (2*totalN+1)*W = (2*$totalN+1)*$totW overflows " +
+        "long arithmetic — rescale the weights (exactness is the contract)")
     def idiv(a: Column, d: Long): Column = Shim.toColumn(new IntegralDivide(
       Shim.toExpression(a), Shim.toExpression(lit(d))))
     // copies strictly below cumulative point x: (2Nx + W) div 2W
@@ -169,6 +172,17 @@ object Sampling {
       .withColumn("weight_ppm",
         coalesce(element_at(typedLit(weightsPpm), col("domain")), lit(0L)))
       .withColumn("cap_tokens", col("avail_tokens") * lit(maxEpochs.toLong))
+      // cap-side overflow is data-dependent (cap·wRest in the stop
+      // condition), so the budget-side `require` can't cover it — guard
+      // per domain and FAIL LOUDLY instead of comparing wrapped
+      // negatives into a silently wrong capped set (the GlobalCumSum
+      // misalignment-guard discipline; |domains| rows, so the guard is
+      // free)
+      .withColumn("cap_tokens",
+        when(col("cap_tokens") > lit(Long.MaxValue / wSumAll), raise_error(
+          concat(lit("mixturePlan: cap_tokens*Σw overflows long for domain "),
+            col("domain"), lit(" — plan in coarser units"))))
+          .otherwise(col("cap_tokens")))
     val pos = avail.filter(col("weight_ppm") > 0L)
     // cap-fill order: cap/weight ascending (IEEE double of two longs —
     // bit-identical cross-engine), domain tiebreak

@@ -732,10 +732,13 @@ object Similarity {
     * join, no shuffle) and one TakeOrdered(1) argmin — k bounded jobs,
     * driver state bounded at k vectors. k is a coreset size (tens), not
     * a partition count; for thousands of centers use [[lloydCentroids]]
-    * and sample per cell instead. Zero-norm vectors have NaN cosine
-    * everywhere and sort past every real candidate (NULLS/NaN LAST
-    * ascending), so they are picked only after every comparable point —
-    * never silently first. */
+    * and sample per cell instead. NULL embeddings are excluded up
+    * front (a missing vector cannot be a center — and Spark's default
+    * NULLS FIRST ascending would otherwise select it immediately as
+    * "farthest"; the oracle filters identically). Zero-norm vectors
+    * have NaN cosine everywhere and sort past every real candidate
+    * (NaN is greatest in both engines), so they are picked only after
+    * every comparable point — never silently first. */
   def kCenter(corpus: DataFrame, vecCol: String, idCol: String,
               k: Int): DataFrame = {
     require(k >= 1, s"kCenter: k=$k must be >= 1")
@@ -743,6 +746,7 @@ object Similarity {
     import spark.implicits._
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
     val first = e.orderBy("vec_id").limit(1).collect()
     if (first.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "step")
