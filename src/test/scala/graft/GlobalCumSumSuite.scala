@@ -63,6 +63,24 @@ class GlobalCumSumSuite extends SparkSpec {
     assert(e.count() == 0L && e.columns.contains("cum"))
   }
 
+  test("GlobalOps.releaseSnapshots frees every operator's legacy-tier snapshot") {
+    // one decimal-keyed (legacy tier) plain call per two-pass operator;
+    // the single harness entry point must release all three — the
+    // forgettable-call-site hazard the round-16 review flagged
+    import graft.operators.{GlobalOps, GlobalRank, GlobalShift}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dec = frame.withColumn("k", col("k").cast("decimal(12,0)"))
+    assert(GlobalCumSum.withGlobalCumSum(dec, col("w"), Seq(col("k"))).count() == 1000L)
+    assert(GlobalRank.withGlobalRanks(dec.withColumnRenamed("w", "rid"),
+      Seq(col("k"))).count() == 1000L)
+    assert(GlobalShift.withGlobalLag(dec, "prev", col("w"), 1, Seq(col("k"))).count() == 1000L)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size == 3, s"expected 3 legacy snapshots, got $pinned")
+    assert(GlobalOps.releaseSnapshots() == 3)
+    assert(GlobalCumSum.liveSnapshotCount == 0 &&
+      GlobalRank.liveSnapshotCount == 0 && GlobalShift.liveSnapshotCount == 0)
+  }
+
   test("reserved/output name collisions refuse up front") {
     intercept[IllegalArgumentException] {
       GlobalCumSum.withGlobalCumSum(
