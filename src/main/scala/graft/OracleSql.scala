@@ -1236,11 +1236,13 @@ object OracleSql {
     * selection pattern): seed = smallest vec_id, then k−1 rounds each
     * picking the candidate with minimal max-cosine to the selected set
     * (ties → smallest vec_id). */
-  def kCenter(k: Int = 8): String = {
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
-    // cum(i) → sel(i) → ms(i) → cum(i−1) chain re-evaluates its whole
-    // prefix at every reference — exponential in k (measured: 4 min at
-    // 2000 vectors, k=8; materialized: seconds)
+  /** The greedy selection chain of [[kCenter]] (seed + k−1 farthest-
+    * point rounds), assuming an `e(vec_id, v)` CTE in scope.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    * cum(i) → sel(i) → ms(i) → cum(i−1) chain re-evaluates its whole
+    * prefix at every reference — exponential in k (measured: 4 min at
+    * 2000 vectors, k=8; materialized: seconds). */
+  private def kCenterSteps(k: Int): String = {
     val steps = (2 to k).map { i =>
       s"""ms$i AS MATERIALIZED (
          |  SELECT c.vec_id, MAX(${cosExpr("c.v", "s.v")}) AS mc
@@ -1257,13 +1259,35 @@ object OracleSql {
          |  SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM sel$i)"""
         .stripMargin
     }
+    s"""sel1 AS (SELECT vec_id, 1 AS step FROM e ORDER BY vec_id LIMIT 1),
+       |cum1 AS MATERIALIZED (SELECT * FROM sel1),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  def kCenter(k: Int = 8): String =
     s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE embedding IS NOT NULL),
-       |sel1 AS (SELECT vec_id, 1 AS step FROM e ORDER BY vec_id LIMIT 1),
-       |cum1 AS MATERIALIZED (SELECT * FROM sel1),
-       |${steps.mkString(",\n")}
+       |${kCenterSteps(k)}
        |SELECT vec_id, step::BIGINT AS step FROM cum$k
+       |ORDER BY step""".stripMargin
+
+  /** Replays the vector-pipeline flagship (q_vector_e2e): SemDeDup
+    * survivors (the [[semanticDedup]] relation verbatim, one spelling
+    * of the convention) restricted into the kCenter `e`, then the same
+    * greedy selection chain — the whole vector curation path
+    * hash-checked as one composed query. */
+  def vectorPipelineE2e(kCells: Int = 64, iters: Int = 1,
+                        minCosine: Double = 0.2, kSel: Int = 8): String = {
+    val surv = semanticDedup(kCells, iters, minCosine = minCosine)
+      .replaceAll("ORDER BY a.vec_id\\s*$", "")
+    s"""WITH surv AS MATERIALIZED (SELECT vec_id FROM ($surv)),
+       |e AS MATERIALIZED (
+       |  SELECT e0.vec_id, e0.embedding::DOUBLE[] AS v
+       |  FROM embeddings e0 JOIN surv USING (vec_id)
+       |  WHERE e0.embedding IS NOT NULL),
+       |${kCenterSteps(kSel)}
+       |SELECT vec_id, step::BIGINT AS step FROM cum$kSel
        |ORDER BY step""".stripMargin
   }
 

@@ -185,6 +185,22 @@ private[graft] object QueriesVector {
           .arrange("step").df),
 
 
+      // vector-pipeline flagship (the q_pipeline_e2e twin for the
+      // embedding side): SemDeDup semantic pruning → greedy k-center
+      // coreset of the survivors, hash-checked as ONE composed plan —
+      // trained cells, capped buckets, literal-set selection rounds
+      "q_vector_e2e" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val survivors = Dedup.semanticDedup(emb, "embedding", "vec_id",
+          k = 64, iters = 1, minCosine = 0.2)
+        graft.api.DataTable(
+          Similarity.kCenter(
+            emb.join(survivors.select("vec_id"), Seq("vec_id")),
+            "embedding", "vec_id", k = 8))
+          .arrange("step").df
+      }),
+
+
       "q_mmr_rerank" -> ((s: SparkSession, dir: String) => {
         val emb = Tables.df(s, dir, "embeddings")
         graft.api.DataTable(
@@ -421,6 +437,8 @@ private[graft] object QueriesVector {
     "q_mmr_rerank" -> OracleSql.mmrRerank(),
 
     "q_kcenter" -> OracleSql.kCenter(k = 8),
+
+    "q_vector_e2e" -> OracleSql.vectorPipelineE2e(),
 
     "q_sq_encode" -> OracleSql.sqEncode(),
 
