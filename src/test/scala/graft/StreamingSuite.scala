@@ -19,6 +19,34 @@ class StreamingSuite extends SparkSpec {
   private def withTsUs(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("ts_us", graft.sources.Tables.tsMicros(df))
 
+  test("codeSignals and canonicalUrl are stream-safe projections: stream == batch") {
+    // both new round-16 ops claim pure-projection plans — the claim's
+    // streaming consequence is that they run UNCHANGED on an unbounded
+    // source with no watermark/state, matching batch row-for-row
+    val inDir = Paths.get("/tmp/graft_stream_docs_proj")
+    inDir.toFile.mkdirs()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      inDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.codeSignals(df, "text", "doc_id")
+        .withColumn("canonical_url",
+          graft.functions.TextFunctions.canonicalUrl(
+            concat(lit("HTTP://Site.COM:80/d/"), col("doc_id").cast("string"),
+              lit("/?b=2&utm_source=x&a=1#f"))))
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    val q = shaped(stream)
+      .writeStream.format("memory").queryName("graft_proj_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_proj_stream").orderBy("doc_id").collect().toSeq
+    val want = shaped(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want, s"stream/batch divergence: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty && got.head.getAs[String]("canonical_url")
+      .startsWith("http://site.com/d/"))
+  }
+
   test("streaming hourly rollup matches batch (watermark + window + memory sink)") {
     // stage the events file into a stream-source directory
     val inDir = Paths.get("/tmp/graft_stream_events")
