@@ -138,6 +138,22 @@ private[graft] object QueriesSampling {
           .arrange("domain").df),
 
 
+      // EXECUTED mixture plan: the water-filling plan drives per-domain
+      // greedy token fills (crossing-doc rule, broadcast plan join) —
+      // the weights → plan → corpus loop closed in one hash-checked
+      // composition
+      "q_mixture_plan_exec" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        val plan = Sampling.mixturePlan(docs, "source", "n_chars",
+          PlanWeights, budget = 400000L, maxEpochs = 2)
+        graft.api.DataTable(
+          Sampling.executeMixturePlan(docs, "doc_id", "source", "n_chars",
+            plan))
+          .arrange("doc_id").df
+      }),
+
+
       // systematic weighted resample WITH replacement: exactly 1000
       // draws over the length distribution — the deterministic
       // importance-resampling draw (heavy docs emit multiple copies);
@@ -283,6 +299,28 @@ private[graft] object QueriesSampling {
     // the |sources|-row aggregate (weights shared via PlanWeights)
     "q_mixture_plan" -> OracleSql.mixturePlan(
       PlanWeights.toSeq.sortBy(_._1), budget = 400000L, maxEpochs = 2),
+
+    // executed plan: the plan relation verbatim as a CTE + the
+    // q_token_budget crossing-doc window per domain
+    "q_mixture_plan_exec" -> {
+      val plan = OracleSql.mixturePlan(
+        PlanWeights.toSeq.sortBy(_._1), budget = 400000L, maxEpochs = 2)
+        .replaceAll("ORDER BY domain\\s*$", "")
+      s"""WITH plan AS MATERIALIZED (
+         |  SELECT domain, planned_tokens FROM ($plan)),
+         |r AS (
+         |  SELECT d.doc_id, d.source, d.n_chars,
+         |    COALESCE(CAST(SUM(d.n_chars) OVER (PARTITION BY d.source
+         |      ORDER BY ('0x' || substring(md5('graft_tbudget_42_' || d.doc_id), 1, 12))::BIGINT
+         |                 % 1000000, d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS prev
+         |  FROM documents d)
+         |SELECT r.doc_id, r.source, r.n_chars
+         |FROM r JOIN plan p ON p.domain = r.source
+         |WHERE r.prev < p.planned_tokens
+         |ORDER BY r.doc_id""".stripMargin
+    },
 
     // systematic resample: window cumsum (RANGE default = Spark's),
     // copies-below-point as pure integer division — the CAST to BIGINT

@@ -453,6 +453,31 @@ object Sampling {
       .drop("__prev")
   }
 
+  /** EXECUTE a [[mixturePlan]]: per-domain deterministic greedy fill up
+    * to each domain's `planned_tokens` — [[tokenBudgetSample]]'s
+    * crossing-doc rule (docs ordered by sampling hash then id; a doc is
+    * kept while the EXCLUSIVE running sum is below the budget, so the
+    * doc that crosses the line is included) with per-domain budgets
+    * joined broadcast from the |domains|-row plan instead of one
+    * constant. Same "tbudget" hash tag as the constant-budget sampler,
+    * so the two draws are order-consistent. Domains absent from the
+    * plan (or planned 0) contribute nothing. ONE-PASS semantics: a
+    * domain whose plan exceeds its availability (maxEpochs > 1 binding
+    * at the cap) yields its full availability once — epoch repetition
+    * is the training writer's loop, not the sampler's. */
+  def executeMixturePlan(df: DataFrame, idCol: String, domainCol: String,
+                         tokensCol: String, plan: DataFrame,
+                         seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashBucket(col(idCol), "tbudget", seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(plan.select(col("domain"), col("planned_tokens"))),
+        col(domainCol) === col("domain"))
+      .withColumn("__prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("__prev") < col("planned_tokens"))
+      .drop("domain", "planned_tokens", "__prev")
+  }
+
   /** Deterministic global shuffle: a total order by sampling hash (ties
     * broken by id). At scale this is ONE range-partitioned sort — exactly
     * what a training-data writer needs to decorrelate adjacent documents

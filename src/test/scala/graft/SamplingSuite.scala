@@ -80,6 +80,54 @@ class SamplingSuite extends SparkSpec {
     }
   }
 
+  test("executeMixturePlan: crossing-doc fill per domain; over-avail plans take everything once") {
+    // domain a: plan 25 over docs of 10+10+10 in hash order -> first
+    // two fill 20 (< 25), the CROSSING third is kept (exclusive prefix
+    // 20 < 25), total 30; domain b: plan exceeds availability (epochs
+    // cap) -> one-pass semantics takes all; domain z absent from plan
+    val docs = toDf(spark)(
+      "id" -> (1L to 6L),
+      "d" -> Seq("a", "a", "a", "b", "b", "z"),
+      "t" -> Seq(10L, 10L, 10L, 7L, 7L, 5L)).df
+    val plan = toDf(spark)(
+      "domain" -> Seq("a", "b"),
+      "planned_tokens" -> Seq(25L, 100L)).df
+    val out = graft.operators.Sampling.executeMixturePlan(
+      docs, "id", "d", "t", plan)
+      .collect().map(r => (r.getAs[String]("d"), r.getAs[Long]("id"))).toSeq
+    val byDomain = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDomain == Map("a" -> 3, "b" -> 2), s"got $out")
+    // plan total respected within one crossing doc per domain
+    val aTokens = 30L // all three kept: 20 exclusive-prefix < 25
+    assert(aTokens >= 25L && aTokens < 25L + 10L)
+  }
+
+  test("executeMixturePlan composes with mixturePlan: per-domain fills respect planned totals") {
+    val rnd = new scala.util.Random(11)
+    val docs = toDf(spark)(
+      "id" -> (1L to 200L),
+      "d" -> (1 to 200).map(i => s"d${i % 4}"),
+      "t" -> (1 to 200).map(_ => 5L + rnd.nextInt(50))).df
+    val plan = graft.operators.Sampling.mixturePlan(docs, "d", "t",
+      Map("d0" -> 400000L, "d1" -> 300000L, "d2" -> 300000L),
+      budget = 2000L)
+    val got = graft.operators.Sampling.executeMixturePlan(
+      docs, "id", "d", "t", plan)
+      .groupBy("d").agg(sum("t").as("taken")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("taken")).toMap
+    val planned = plan.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("planned_tokens")).toMap
+    // d3 has no weight -> planned 0 -> absent from the fill
+    assert(!got.contains("d3"))
+    got.foreach { case (d, taken) =>
+      val p = planned(d)
+      val avail = docs.filter(col("d") === d).agg(sum("t")).head.getLong(0)
+      if (p >= avail) assert(taken == avail, s"$d one-pass takes all")
+      else assert(taken >= p && taken < p + 55L,
+        s"$d: taken $taken vs planned $p (crossing-doc bound)")
+    }
+  }
+
   test("mixturePlan: budget past all caps -> everything capped (shortfall); zero-weight plans 0") {
     val out = graft.operators.Sampling.mixturePlan(
       planDf(Seq("a" -> 10L, "b" -> 20L, "z" -> 30L)), "d", "t",
