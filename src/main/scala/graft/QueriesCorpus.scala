@@ -348,6 +348,25 @@ private[graft] object QueriesCorpus {
       }),
 
 
+      // the trained-artifact store chain, tokenizer consumer: BPE
+      // trains once, the merge table AND the word→pieces vocab publish
+      // to the ModelStore, and tokenization runs from the LOADED vocab
+      // with zero training scans (the ship-a-tokenizer shape) — same
+      // oracle as the retrain-per-query twin
+      "q_model_store_bpe" -> ((s: SparkSession, dir: String) => {
+        val root = roundtripDir("modelstore_bpe", dir)
+        graft.operators.ModelStore.destroy(root)
+        val docs = Tables.df(s, dir, "documents")
+        val (vocab, merges) = Corpus.bpeTrain(docs, "text", merges = BpeMerges)
+        graft.operators.ModelStore.saveBpeMerges(s, root, merges)
+        graft.operators.ModelStore.saveBpeVocab(s, root, vocab)
+        val stored = graft.operators.ModelStore.load(s, root, "bpe_vocab")
+        graft.api.DataTable(
+          Corpus.bpeTokenCounts(docs, "text", "doc_id", stored))
+          .arrange("doc_id").df
+      }),
+
+
       // trained linear quality classifier (fastText/CCNet-style gate):
       // logistic model over hashed bag-of-words counts, trained by
       // Corpus.trainQualityClassifier (deterministic distributed GD)
@@ -911,6 +930,10 @@ private[graft] object QueriesCorpus {
 
     "q_bpe_tokenize" -> OracleSql.bpeTokenize(BpeMerges),
 
+    // store-backed twin: training math identical, artifact round-trip
+    // lossless (strings + longs) — oracle shared verbatim
+    "q_model_store_bpe" -> OracleSql.bpeTokenize(BpeMerges),
+
 
     // quality classifier: the pinned micro-weights spliced as a VALUES
     // relation; per-token-instance weight sum ≡ the count-vector dot
@@ -1364,7 +1387,8 @@ private[graft] object QueriesCorpus {
     // the 'g' flag — its regexp_replace is first-match by default,
     // Spark's is global) + non-overlapping camel transitions
     "q_code_signals" ->
-      """SELECT doc_id,
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+        |SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,
         |  (length(text) - length(regexp_replace(text, '[{}()\[\];=<>#]', '', 'g')))::BIGINT AS n_sym,
         |  (length(text) - length(regexp_replace(text, '_', '', 'g')))::BIGINT AS n_underscore,
@@ -1374,7 +1398,7 @@ private[graft] object QueriesCorpus {
         |     + (length(text) - length(regexp_replace(text, '_', '', 'g'))) * 2
         |     + len(regexp_extract_all(text, '[a-z][A-Z]')) * 2) * 1000000
         |    // length(text) END)::BIGINT AS code_micro
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // fertility: same token/BPE-proxy conventions as q_token_count;
     // micro ratios in integer division, sums cast to the portable BIGINT

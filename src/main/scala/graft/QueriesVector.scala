@@ -230,6 +230,53 @@ private[graft] object QueriesVector {
       }),
 
 
+      // the trained-artifact store chain, IVF consumer: refresh 0
+      // trains one Lloyd round and publishes; refresh 1 retrains at the
+      // production two rounds and publishes v1; prune drops v0; the
+      // SCORING job loads latest from disk (parquet doubles are the
+      // same IEEE bits the trainer collected) and serves ivfTopK with
+      // ZERO training scans — hash-checked against the retrain-per-
+      // query oracle, so the round-trip is pinned lossless end-to-end
+      "q_model_store_ivf" -> ((s: SparkSession, dir: String) => {
+        val root = roundtripDir("modelstore_ivf", dir)
+        graft.operators.ModelStore.destroy(root)
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.operators.ModelStore.saveCentroids(s, root,
+          Similarity.kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 1))
+        graft.operators.ModelStore.saveCentroids(s, root,
+          Similarity.kmeansCells(emb, "embedding", "vec_id", k = 8, iters = 2))
+        graft.operators.ModelStore.prune(root, "kmeans_cells", keep = 1)
+        val cents = graft.operators.ModelStore.loadCentroids(s, root).map(_._2)
+        graft.api.DataTable(
+          Similarity.ivfTopK(
+            corpus = emb, queries = emb.filter(col("vec_id") < 4),
+            centroids = cents,
+            vecCol = "embedding", idCol = "vec_id", queryIdCol = "vec_id",
+            k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
+      // the trained-artifact store chain, SemDeDup consumer: the
+      // q_semantic_dedup cells trained ONCE, published, loaded back,
+      // and the batch deduped against the stored model (the production
+      // cadence — train per refresh, dedup every batch); same oracle as
+      // the retrain-per-query twin
+      "q_model_store_semdedup" -> ((s: SparkSession, dir: String) => {
+        val root = roundtripDir("modelstore_sem", dir)
+        graft.operators.ModelStore.destroy(root)
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.operators.ModelStore.saveCentroids(s, root,
+          Similarity.kmeansCells(emb, "embedding", "vec_id", k = 64, iters = 1))
+        val cells = graft.operators.ModelStore.loadCentroids(s, root)
+        graft.api.DataTable(
+          Dedup.semanticDedupWithCells(emb, "embedding", "vec_id", cells,
+            minCosine = 0.2))
+          .arrange("vec_id").df
+      }),
+
+
       // SQ8 scalar quantization: per-dimension trained bounds (one
       // bounded min/max aggregate), 8-bit levels as a pure projection —
       // 1 byte/component, the compression tier between raw floats and PQ
@@ -404,6 +451,12 @@ private[graft] object QueriesVector {
     "q_ann_pq" -> OracleSql.annPq(),
 
     "q_ann_ivf" -> OracleSql.annIvf(),
+
+    // the store-backed chains replay the SAME training math as their
+    // retrain-per-query twins — the parquet round-trip is IEEE-lossless,
+    // so the oracles are shared verbatim (that identity IS the check)
+    "q_model_store_ivf" -> OracleSql.annIvf(),
+    "q_model_store_semdedup" -> OracleSql.semanticDedup(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),
 

@@ -166,6 +166,24 @@ private[graft] object QueriesWindows {
           Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_extendedprice"), col("bucket")))
+        .arrange("l_orderkey", "l_linenumber").df),
+
+
+    // whole-table cumulative sum without a single-partition window:
+    // the two-pass GlobalCumSum decomposition itself, hash-checked
+    // directly (previously only exercised compositely through
+    // q_systematic_resample). LONG cents (the house float rule) over
+    // the unique (orderkey, linenumber) order — long first key → the
+    // split-point bucket tier, nothing persists.
+    "q_global_cumsum" -> ((s: SparkSession, dir: String) =>
+      graft.api.DataTable(
+        graft.operators.GlobalCumSum.withGlobalCumSum(
+          lineitem(s, dir).df.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")),
+          round(col("l_quantity") * 100.0, 0).cast("long"),
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          name = "cum_cents")
+          .select(col("l_orderkey"), col("l_linenumber"), col("cum_cents")))
         .arrange("l_orderkey", "l_linenumber").df)
   )
 
@@ -253,6 +271,18 @@ private[graft] object QueriesWindows {
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  NTILE(7) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)::BIGINT
         |    AS bucket
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+
+    // DuckDB cumsums in one partition (window SUM(BIGINT) is HUGEINT —
+    // cast back, or the type-sensitive hash diverges on equal values);
+    // the Spark side produces the SAME longs from range-bucketed local
+    // windows + broadcast prefix offsets
+    "q_global_cumsum" ->
+      s"""SELECT l_orderkey, l_linenumber,
+        |  ${OracleSql.centsSum("l_quantity",
+             "OVER (ORDER BY l_orderkey, l_linenumber)")} AS cum_cents
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )

@@ -122,7 +122,11 @@ object Corpus {
     * Pure scan-local projection: no shuffle, stream-safe, prunes to
     * (id, text). */
   def codeSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text counts as empty: without the coalesce, Spark's legacy
+    // size(regexp_extract_all(NULL)) = -1 (ANSI off) while DuckDB's
+    // len(...) = NULL — a latent cross-engine divergence AND a nonsense
+    // n_camel=-1; all-zero signals is the honest reading of "no text"
+    val t = coalesce(col(textCol), lit(""))
     def classCount(re: String): Column =
       (length(t) - length(regexp_replace(t, re, ""))).cast("long")
     df.select(col(idCol),

@@ -1235,8 +1235,29 @@ object Dedup {
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     k: Int = 64, iters: Int = 1,
                     minCosine: Double = 0.95,
-                    bucketCap: Int = 1024): DataFrame = {
-    val cells = Similarity.kmeansAssign(df, vecCol, idCol, k, iters)
+                    bucketCap: Int = 1024): DataFrame =
+    semanticDedupFromAssignment(df, vecCol, idCol,
+      Similarity.kmeansAssign(df, vecCol, idCol, k, iters),
+      minCosine, bucketCap)
+
+  /** [[semanticDedup]] against PRE-TRAINED cells (a
+    * `Similarity.kmeansCells` result, typically loaded from a
+    * [[ModelStore]]): assignment is the same pure projection, the
+    * in-cell pair screen is identical — the per-query Lloyd scans are
+    * the only thing removed. The production cadence shape: train cells
+    * once per refresh, dedup every batch against them. */
+  def semanticDedupWithCells(df: DataFrame, vecCol: String, idCol: String,
+                             cents: Seq[(Long, Array[Double])],
+                             minCosine: Double = 0.95,
+                             bucketCap: Int = 1024): DataFrame =
+    semanticDedupFromAssignment(df, vecCol, idCol,
+      Similarity.kmeansAssignWithCells(df, vecCol, idCol, cents),
+      minCosine, bucketCap)
+
+  private def semanticDedupFromAssignment(df: DataFrame, vecCol: String,
+                                          idCol: String, cells: DataFrame,
+                                          minCosine: Double,
+                                          bucketCap: Int): DataFrame = {
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val drops = semanticPairsFromCells(cells, vecs, minCosine, bucketCap)
       .select(col("id_b").as("vec_id")).distinct()

@@ -65,6 +65,18 @@ private[operators] object RangeBuckets {
         Some((col(firstOkName).cast("long"), true)) // ties → one bucket
       case FloatType | DoubleType =>
         Some((col(firstOkName).cast("double"), false))
+      case dt: DecimalType if dt.precision <= 18 && dt.scale >= 0 =>
+        // exact unscaled-long image: v·10^s is integer-valued and fits
+        // a long for decimal(p ≤ 18, s) — injective, so the tier loses
+        // nothing (decimal money keys were the last common type still
+        // paying the persisted-snapshot path, VERDICT r16 #4)
+        Some(((col(firstOkName) *
+          lit(scala.math.BigDecimal(10).pow(dt.scale))).cast("long"), true))
+      case _: DecimalType =>
+        // p > 18 or legacy negative scale: the double image — rounding
+        // to nearest double is weakly monotone, so distinct keys can
+        // only COLLAPSE into one bucket (balance, never correctness)
+        Some((col(firstOkName).cast("double"), false))
       case StringType =>
         stringPrefixKey(keyed, firstOkName)
       case _ => None

@@ -98,6 +98,21 @@ object Sampling {
       s"systematicResample: totalN=$totalN out of range")
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.graftshim.Shim
+    // integral weights only — the exactness contract is integer
+    // arithmetic; casting a double importance weight in (0,1) to long
+    // would floor it to 0 and either fail opaquely ("total weight is
+    // 0") or draw silently wrong. A DSIR caller with float weights
+    // must fix-point-scale first (the GlobalCumSum cents discipline).
+    Resolve.uniqueField(df, weightCol, "systematicResample").dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"systematicResample: weight column '$weightCol' must be integral " +
+          s"(exact integer draw is the contract); got ${dt.simpleString} — " +
+          "fix-point-scale fractional weights to a long first")
+    }
     val wLong = coalesce(col(weightCol).cast("long"), lit(0L))
     // W, min-weight, and emptiness all ride GlobalCumSum's pass-1
     // stats rows — no separate whole-table aggregate scan
@@ -229,6 +244,15 @@ object Sampling {
           lit(0L).as("planned_tokens")))
       .withColumn("epochs_micro",
         when(col("avail_tokens") <= 0L, lit(0L))
+          // planned ≤ cap ≤ Long.MaxValue/Σw, which only bounds the
+          // 1e6 multiply when Σw ≥ 1e6 — weights are an arbitrary
+          // ppm-ish map, not forced to sum to 1e6, so guard the
+          // multiply itself and fail loudly (same raise_error
+          // discipline as the cap-side guard above)
+          .when(col("planned_tokens") > lit(Long.MaxValue / 1000000L),
+            raise_error(concat(
+              lit("mixturePlan: planned_tokens*1e6 overflows long for domain "),
+              col("domain"), lit(" — plan in coarser units"))).cast("long"))
           .otherwise(expr("planned_tokens * 1000000 DIV avail_tokens")))
   }
 
@@ -471,11 +495,17 @@ object Sampling {
     val w = Window.partitionBy(col(domainCol))
       .orderBy(hashBucket(col(idCol), "tbudget", seed), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(plan.select(col("domain"), col("planned_tokens"))),
-        col(domainCol) === col("domain"))
+    // reserved __-aliases for the plan side: joining on a bare
+    // "domain"/"planned_tokens" would collide (ambiguous or silently
+    // self-referential) when the caller's own domain column is named
+    // "domain" — and the drop would take the caller's column with it
+    val planned = broadcast(plan.select(
+      col("domain").as("__plan_domain"),
+      col("planned_tokens").as("__planned_tokens")))
+    df.join(planned, col(domainCol) === col("__plan_domain"))
       .withColumn("__prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .filter(col("__prev") < col("planned_tokens"))
-      .drop("domain", "planned_tokens", "__prev")
+      .filter(col("__prev") < col("__planned_tokens"))
+      .drop("__plan_domain", "__planned_tokens", "__prev")
   }
 
   /** Deterministic global shuffle: a total order by sampling hash (ties

@@ -2,6 +2,7 @@ package graft
 // (MMR re-rank pins live at the bottom of this suite — same
 // broadcast-anchor ANN family)
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -120,6 +121,39 @@ class HardNegativesSuite extends SparkSpec {
     val none = graft.operators.Similarity.kCenter(
       df.filter(col("vec_id") < 0), "embedding", "vec_id", k = 3)
     assert(none.count() == 0L && none.columns.toSeq == Seq("vec_id", "step"))
+  }
+
+  test("kCenter at k=64: carried running max-cos ≡ per-round recompute (bit-exact)") {
+    // the r17 rewrite carries __mc across rounds (one new cosine per
+    // round) instead of re-deriving every selected center's cosine each
+    // round; max over doubles reassociates exactly, so the greedy
+    // sequence must be IDENTICAL to the quadratic recompute at any k —
+    // pinned here against a test-local recompute reference running the
+    // same Spark cosine kernel
+    import spark.implicits._
+    val df = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 11))))
+      .toDF("vec_id", "embedding")
+    val k = 64
+    val got = graft.operators.Similarity.kCenter(df, "embedding", "vec_id", k)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    // reference: the pre-r17 shape — every round recomputes max-cos
+    // over ALL selected centers as literal expressions
+    val e = df.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    def cosRef(c: Array[Double]): Column =
+      graft.functions.VectorFunctions.cosine(col("v"),
+        array(c.toIndexedSeq.map(lit): _*))
+    val refSel = scala.collection.mutable.ArrayBuffer(
+      0L -> e.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1).toArray)
+    while (refSel.length < k) {
+      val mc = refSel.map { case (_, c) => cosRef(c) }.reduce(greatest(_, _))
+      val nxt = e.filter(!col("vec_id").isin(refSel.toSeq.map(_._1): _*))
+        .select(col("vec_id"), col("v"), mc.as("__mc"))
+        .orderBy(col("__mc").asc, col("vec_id").asc).limit(1).collect()(0)
+      refSel += ((nxt.getLong(0), nxt.getSeq[Double](1).toArray))
+    }
+    assert(got == refSel.map(_._1).toSeq)
   }
 
   test("ndcgEval: approx DCG never beats ideal; self-evaluating LSH hits 1.0") {
