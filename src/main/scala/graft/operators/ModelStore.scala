@@ -78,11 +78,26 @@ object ModelStore {
     * version number. The write IS an action — on return the version is
     * durable and visible to new loads. */
   def publish(root: String, kind: String, artifact: DataFrame): Int = {
+    // The artifact is written by Spark (resolved against Hadoop's
+    // default FS) but staged/renamed with driver-local java.nio — the
+    // store's contract is a LOCAL (or POSIX-mounted shared) filesystem,
+    // like FpStore. Assert it instead of publishing an empty version
+    // when the default FS is remote: on such deployments route the
+    // store through a file:// root or port it to the Hadoop FS API
+    // (object stores lack atomic directory rename either way).
+    val hconf = artifact.sparkSession.sessionState.newHadoopConf()
+    val scheme = org.apache.hadoop.fs.FileSystem.getDefaultUri(hconf).getScheme
+    require(scheme == null || scheme == "file",
+      s"ModelStore.publish: default filesystem is '$scheme' but the store " +
+        "stages via the driver-local filesystem — use a local/POSIX root")
     val d = kindDir(root, kind)
     Files.createDirectories(d)
     val seq = versionDirs(root, kind).lastOption.map(_._1 + 1).getOrElse(0)
     val staging = d.resolve(s".staging-${java.util.UUID.randomUUID()}")
     artifact.write.parquet(staging.toString)
+    require(Files.exists(staging.resolve("_SUCCESS")),
+      s"ModelStore.publish: Spark committed no _SUCCESS under $staging — " +
+        "refusing to publish a broken version")
     Files.move(staging, d.resolve(f"v-$seq%08d"), StandardCopyOption.ATOMIC_MOVE)
     seq
   }
@@ -93,6 +108,11 @@ object ModelStore {
     * this store exists to prevent. */
   def load(spark: SparkSession, root: String, kind: String,
            version: Int = -1): DataFrame = {
+    // -1 is the ONLY latest sentinel: a caller bug like version = -5
+    // must throw, not silently alias to the newest model
+    require(version >= -1,
+      s"ModelStore.load: version $version — use -1 for latest or a " +
+        "published version number")
     val ds = versionDirs(root, kind)
     require(ds.nonEmpty, s"ModelStore.load: no '$kind' model at $root — " +
       "train and publish first")

@@ -63,6 +63,8 @@ private[operators] object RangeBuckets {
         Some((col(firstOkName).cast("long"), true))
       case TimestampType => // epoch seconds: truncation is monotone, and
         Some((col(firstOkName).cast("long"), true)) // ties → one bucket
+      case DateType => // days since epoch — already an exact long image
+        Some((unix_date(col(firstOkName)).cast("long"), true))
       case FloatType | DoubleType =>
         Some((col(firstOkName).cast("double"), false))
       case dt: DecimalType if dt.precision <= 18 && dt.scale >= 0 =>
@@ -79,6 +81,13 @@ private[operators] object RangeBuckets {
         Some((col(firstOkName).cast("double"), false))
       case StringType =>
         stringPrefixKey(keyed, firstOkName)
+      // Everything else — boolean (≤2 distinct values can never fill
+      // ~numParts buckets), struct/array/map keys, and degenerate inputs
+      // (all-null or single-distinct keys, rejected below/in the string
+      // probe) — deliberately falls to the legacy sampled+persisted tier:
+      // it is the universal fallback that can use the FULL order tuple to
+      // split ties, so it stays (decision recorded in SURVEY §2.6), and
+      // its snapshot lifecycle is pinned by the struct-keyed suite tests.
       case _ => None
     }
     bk.flatMap { case (bkCol, integral) =>

@@ -779,9 +779,36 @@ object Similarity {
     // reassociation-exact (no accumulation), and NaN stays greatest in
     // both engines, so the carried column is bit-identical to the
     // recomputed form — the oracle replays unchanged.
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    // Bounded-footprint truncation (VERDICT r17 #6 / round-17 review):
+    // EAGER checkpoints, and the superseded round's persisted blocks are
+    // freed the moment the next round's truncation materializes — at
+    // most TWO rounds of (vec_id, v, __mc) are ever resident, instead of
+    // up to k copies awaiting driver-GC ContextCleaner. On the reliable
+    // path the frame is persisted across the checkpoint so the
+    // checkpoint-file write reads cached blocks instead of re-running
+    // the round's job (the non-eager form paid 2× per round); old
+    // checkpoint FILES are on disk, not memory — reclaiming them needs
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (documented
+    // deployment contract, same as connectedComponents).
+    var pinned: Set[Int] = Set.empty
+    def freePinned(): Unit = {
+      pinned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      pinned = Set.empty
+    }
+    def truncate(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val t =
+        if (reliable) {
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try df.checkpoint(true) finally df.unpersist(false)
+        } else df.localCheckpoint(true)
+      val mine = (sc.getPersistentRDDs.keySet -- before).toSet
+      freePinned()
+      pinned = mine
+      t
+    }
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
@@ -792,21 +819,25 @@ object Similarity {
       (first(0).getLong(0), first(0).getSeq[Double](1).toArray))
     def centerCos(c: Array[Double]): Column =
       cosine(col("v"), array(c.toIndexedSeq.map(lit): _*))
-    var cur = truncate(e.withColumn("__mc", centerCos(sel.head._2)))
-    var exhausted = false
-    while (sel.length < k && !exhausted) {
-      val next = cur.filter(!col("vec_id").isin(sel.toSeq.map(_._1): _*))
-        .orderBy(col("__mc").asc, col("vec_id").asc)
-        .limit(1).collect()
-      if (next.isEmpty) exhausted = true
-      else {
-        val nv = next(0).getSeq[Double](1).toArray
-        sel += ((next(0).getLong(0), nv))
-        if (sel.length < k)
-          cur = truncate(cur.withColumn("__mc",
-            greatest(col("__mc"), centerCos(nv))))
+    try {
+      var cur = truncate(e.withColumn("__mc", centerCos(sel.head._2)))
+      var exhausted = false
+      while (sel.length < k && !exhausted) {
+        val next = cur.filter(!col("vec_id").isin(sel.toSeq.map(_._1): _*))
+          .orderBy(col("__mc").asc, col("vec_id").asc)
+          .limit(1).collect()
+        if (next.isEmpty) exhausted = true
+        else {
+          val nv = next(0).getSeq[Double](1).toArray
+          sel += ((next(0).getLong(0), nv))
+          if (sel.length < k)
+            cur = truncate(cur.withColumn("__mc",
+              greatest(col("__mc"), centerCos(nv))))
+        }
       }
-    }
+    } finally freePinned() // the result below is driver-side only — no
+    // plan depends on cur, so the last round's blocks (and, on failure,
+    // whatever round was live) are released before returning
     sel.toSeq.zipWithIndex
       .map { case ((id, _), i) => (id, (i + 1).toLong) }
       .toDF("vec_id", "step")

@@ -64,12 +64,14 @@ class GlobalCumSumSuite extends SparkSpec {
   }
 
   test("GlobalOps.releaseSnapshots frees every operator's legacy-tier snapshot") {
-    // one decimal-keyed (legacy tier) plain call per two-pass operator;
-    // the single harness entry point must release all three — the
-    // forgettable-call-site hazard the round-16 review flagged
+    // one struct-keyed (legacy tier) plain call per two-pass operator —
+    // decimal keys take the r17 split tier now, struct keys still force
+    // the sampled+persist path; the single harness entry point must
+    // release all three — the forgettable-call-site hazard the round-16
+    // review flagged
     import graft.operators.{GlobalOps, GlobalRank, GlobalShift}
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val dec = frame.withColumn("k", col("k").cast("decimal(12,0)"))
+    val dec = frame.withColumn("k", struct(col("k")))
     assert(GlobalCumSum.withGlobalCumSum(dec, col("w"), Seq(col("k"))).count() == 1000L)
     assert(GlobalRank.withGlobalRanks(dec.withColumnRenamed("w", "rid"),
       Seq(col("k"))).count() == 1000L)

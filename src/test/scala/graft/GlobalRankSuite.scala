@@ -95,6 +95,23 @@ class GlobalRankSuite extends SparkSpec {
     checkParity(uniq)
   }
 
+  test("date key: split-point tier (days-since-epoch image), no persist, exact") {
+    // ingestion date is the most common global-order key in corpus work
+    // (VERDICT r17 #3): DateType must ride the split tier — days since
+    // epoch is already an exact monotone long image — persisting nothing
+    val dated = spark.range(1000)
+      .select(date_add(lit("2020-01-01").cast("date"),
+        ((col("id") * 379) % 1500).cast("int")).as("v"), col("id").as("rid"))
+      .repartition(5)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (ranked, release) = GlobalRank.withGlobalRanksReleasable(dated, Seq(col("v")))
+    assert(ranked.count() == 1000L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "date split-point tier must not persist anything")
+    assert(!release(), "nothing to release on the date split tier")
+    checkParity(dated)
+  }
+
   test("string key with a corpus-wide common prefix: split tier, no persist, plan-pinned") {
     // the motivating 100 TB workload (VERDICT r15 #3): ranking by URL —
     // every value shares a long common prefix, so a naive first-K-bytes
@@ -155,10 +172,12 @@ class GlobalRankSuite extends SparkSpec {
       conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
       checkParity(tied)
       checkParity(uniq)
-      // decimal keys FORCE the legacy sampled-range + persist tier — the
-      // path whose alignment this test was written to pin (numeric AND
-      // string keys now take split-point tiers, where misalignment is
-      // impossible)
+      // struct keys FORCE the legacy sampled-range + persist tier — the
+      // path whose alignment this test was written to pin (numeric,
+      // decimal, date, AND string keys now take split-point tiers, where
+      // misalignment is impossible)
+      checkParity(tied.select(struct(col("v")).as("v"), col("rid")))
+      // the decimal unscaled-long split tier under the same AQE pressure
       checkParity(tied.select(
         col("v").cast("decimal(12,0)").as("v"), col("rid")))
       // and the string binary-prefix tier under the same AQE pressure
@@ -184,9 +203,13 @@ class GlobalRankSuite extends SparkSpec {
         .repartition(9)
         .write.mode("overwrite").parquet(dir)
       checkParity(spark.read.parquet(dir))
-      // legacy-tier twin: decimal keys (same values, same heavy ties) go
+      // legacy-tier twin: struct keys (same values, same heavy ties) go
       // through the sampled range partitioner + persisted snapshot — the
-      // exact r10 regression this test exists for
+      // exact r10 regression this test exists for (decimal(12,2) rides
+      // the r17 unscaled-long split tier now; keep it as that tier's
+      // tie-heavy parquet parity pin)
+      checkParity(spark.read.parquet(dir).select(
+        struct(col("v")).as("v"), col("rid")))
       checkParity(spark.read.parquet(dir).select(
         col("v").cast("decimal(12,2)").as("v"), col("rid")))
       // string twin now rides the binary-prefix split tier — parity must
@@ -231,10 +254,11 @@ class GlobalRankSuite extends SparkSpec {
     // callers must not be able to unpersist each other's snapshot
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val live0 = GlobalRank.liveSnapshotCount
-    // decimal keys -> always the legacy persist tier (the split-point
-    // tiers pin nothing and are tested separately)
-    val tiedS = tied.select(col("v").cast("decimal(12,0)").as("v"), col("rid"))
-    val uniqS = uniq.select(col("v").cast("decimal(12,0)").as("v"), col("rid"))
+    // struct keys -> always the legacy persist tier (numeric, decimal,
+    // date, and string keys all take split-point tiers now, which pin
+    // nothing and are tested separately); struct(v) orders exactly as v
+    val tiedS = tied.select(struct(col("v")).as("v"), col("rid"))
+    val uniqS = uniq.select(struct(col("v")).as("v"), col("rid"))
     val (r1, rel1) = GlobalRank.withGlobalRanksReleasable(tiedS, Seq(col("v")))
     val (r2, rel2) = GlobalRank.withGlobalRanksReleasable(uniqS, Seq(col("v")))
     assert(r1.count() == 400L && r2.count() == 1000L)

@@ -154,10 +154,10 @@ class GlobalShiftSuite extends SparkSpec {
   }
 
   test("releasable handle is idempotent and reports one real release (legacy tier)") {
-    // decimal first key -> not in the split-point tier's type set ->
-    // sampled range partitioner + persisted snapshot (strings now take
-    // the binary-prefix split tier, pinned separately below)
-    val sframe = frame.withColumn("ks", col("k").cast("decimal(12,0)"))
+    // struct first key -> not in the split-point tier's type set (decimal
+    // and date now are) -> sampled range partitioner + persisted snapshot;
+    // struct(k) is order-isomorphic to k, so exactness still holds
+    val sframe = frame.withColumn("ks", struct(col("k")))
     val (out, release) = GlobalShift.withGlobalLagReleasable(
       sframe, "prev", col("v"), 1, Seq(col("ks")))
     assert(got(out, "prev") == expectedLag(1), "legacy tier stays exact")

@@ -135,8 +135,14 @@ class HardNegativesSuite extends SparkSpec {
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 11))))
       .toDF("vec_id", "embedding")
     val k = 64
+    // bounded-footprint pin (VERDICT r17 #6): at most two rounds of
+    // localCheckpoint blocks may coexist DURING the call, and NONE may
+    // remain after it — the per-round free must not wait for driver GC
+    val beforeRdds = spark.sparkContext.getPersistentRDDs.keySet
     val got = graft.operators.Similarity.kCenter(df, "embedding", "vec_id", k)
       .orderBy("step").collect().map(_.getLong(0)).toSeq
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- beforeRdds
+    assert(leaked.isEmpty, s"kCenter leaked persisted RDDs: $leaked")
     // reference: the pre-r17 shape — every round recomputes max-cos
     // over ALL selected centers as literal expressions
     val e = df.select(col("vec_id"),

@@ -44,6 +44,11 @@ class ModelStoreSuite extends SparkSpec {
     assert(e.getMessage.contains("version 7"))
     intercept[IllegalArgumentException](
       ModelStore.load(spark, root, "no_such_kind"))
+    // -1 is the only latest sentinel: other negatives must throw, not
+    // silently alias to the newest model
+    val n = intercept[IllegalArgumentException](
+      ModelStore.load(spark, root, "kmeans_cells", version = -5))
+    assert(n.getMessage.contains("-5"))
     intercept[IllegalArgumentException](
       ModelStore.publish(root, "Bad Kind!", spark.range(1).toDF()))
     ModelStore.destroy(root)
