@@ -48,10 +48,27 @@ object ModelStore {
   private val VersionRe = "v-([0-9]{8})".r
   private val KindRe = "[a-z0-9_\\-]+".r
 
+  /** Root as a driver-local java.nio path. Accepts a plain path or an
+    * explicit `file:` URI (`file:///x`, `file:/x`); any other scheme
+    * (hdfs:, s3a:, ...) is outside the store's POSIX contract and
+    * fails loudly — on such deployments point the root at a local or
+    * POSIX-mounted shared path (object stores lack the atomic
+    * directory rename the publish protocol needs either way). */
+  private def localRoot(root: String): Path = {
+    val uri = try new java.net.URI(root) catch { case _: Exception => null }
+    if (uri != null && uri.getScheme != null) {
+      require(uri.getScheme == "file",
+        s"ModelStore: root '$root' has scheme '${uri.getScheme}' — the " +
+          "store's contract is a driver-local (or POSIX-mounted shared) " +
+          "filesystem; use a plain path or a file: URI")
+      Paths.get(uri.getPath)
+    } else Paths.get(root)
+  }
+
   private def kindDir(root: String, kind: String): Path = {
     require(KindRe.pattern.matcher(kind).matches(),
       s"ModelStore: kind '$kind' must match ${KindRe.regex}")
-    Paths.get(root).resolve(kind)
+    localRoot(root).resolve(kind)
   }
 
   private def versionDirs(root: String, kind: String): Seq[(Int, Path)] = {
@@ -78,26 +95,30 @@ object ModelStore {
     * version number. The write IS an action — on return the version is
     * durable and visible to new loads. */
   def publish(root: String, kind: String, artifact: DataFrame): Int = {
-    // The artifact is written by Spark (resolved against Hadoop's
-    // default FS) but staged/renamed with driver-local java.nio — the
-    // store's contract is a LOCAL (or POSIX-mounted shared) filesystem,
-    // like FpStore. Assert it instead of publishing an empty version
-    // when the default FS is remote: on such deployments route the
-    // store through a file:// root or port it to the Hadoop FS API
-    // (object stores lack atomic directory rename either way).
-    val hconf = artifact.sparkSession.sessionState.newHadoopConf()
-    val scheme = org.apache.hadoop.fs.FileSystem.getDefaultUri(hconf).getScheme
-    require(scheme == null || scheme == "file",
-      s"ModelStore.publish: default filesystem is '$scheme' but the store " +
-        "stages via the driver-local filesystem — use a local/POSIX root")
     val d = kindDir(root, kind)
     Files.createDirectories(d)
     val seq = versionDirs(root, kind).lastOption.map(_._1 + 1).getOrElse(0)
     val staging = d.resolve(s".staging-${java.util.UUID.randomUUID()}")
-    artifact.write.parquet(staging.toString)
-    require(Files.exists(staging.resolve("_SUCCESS")),
-      s"ModelStore.publish: Spark committed no _SUCCESS under $staging — " +
-        "refusing to publish a broken version")
+    // Stage through an explicit file: URI so the write lands on the
+    // driver-local filesystem the java.nio rename below operates on,
+    // REGARDLESS of fs.defaultFS — on a remote-default deployment a
+    // bare path would commit to HDFS/S3 while the rename saw an empty
+    // local dir (the r18 failure mode, previously only asserted away).
+    artifact.write.parquet(staging.toUri.toString)
+    // Validate the staged artifact directly instead of trusting the
+    // _SUCCESS marker: deployments commonly disable
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs, and a committed
+    // parquet directory always has at least one part- file (even for
+    // zero rows).
+    val committed = {
+      val s = Files.list(staging)
+      try s.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    }
+    require(committed,
+      s"ModelStore.publish: no part- files under $staging — refusing to " +
+        "publish a broken version")
     Files.move(staging, d.resolve(f"v-$seq%08d"), StandardCopyOption.ATOMIC_MOVE)
     seq
   }
@@ -122,7 +143,9 @@ object ModelStore {
         throw new IllegalArgumentException(
           s"ModelStore.load: '$kind' version $version not present at $root " +
             s"(have ${ds.map(_._1).mkString(",")})"))
-    spark.read.parquet(p.toString)
+    // explicit file: URI — versions live on the driver-local FS by
+    // contract; a bare path would resolve against a remote fs.defaultFS
+    spark.read.parquet(p.toUri.toString)
   }
 
   /** Keep the newest `keep` versions of `kind`, unlink the rest and any
@@ -146,7 +169,7 @@ object ModelStore {
 
   /** Remove the whole store (rerun hygiene for roundtrip queries). */
   def destroy(root: String): Unit =
-    FpStore.deleteRecursively(Paths.get(root))
+    FpStore.deleteRecursively(localRoot(root))
 
   // ---- typed codecs ---------------------------------------------------
   // Each codec fixes one artifact schema and round-trips the exact

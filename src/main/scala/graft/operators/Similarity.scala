@@ -764,54 +764,39 @@ object Similarity {
     require(k >= 1, s"kCenter: k=$k must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Running max-cos carried as a MATERIALIZED column: round r takes
-    // greatest(carried, cosine-vs-the-ONE-new-center), so each row pays
-    // one O(dim) cosine per round — O(k·dim·n) total, flat per round —
-    // instead of re-deriving all r literal cosines every round (the
-    // O(k²·dim·n) blowup VERDICT r16 flagged at user-sized k). The
-    // per-round lineage truncation is the connectedComponents idiom
-    // (reliable checkpoint when a dir is configured, else
-    // localCheckpoint): without it the withColumn chain re-executes
-    // every prior round's cosines AND the plan tree grows per round.
-    // The first truncation also absorbs the expensive upstream
-    // (q_vector_e2e feeds SemDeDup survivors in), replacing the old
-    // explicit two-column persist. Max over doubles is associative and
-    // reassociation-exact (no accumulation), and NaN stays greatest in
-    // both engines, so the carried column is bit-identical to the
-    // recomputed form — the oracle replays unchanged.
+    // Two execution tiers sharing one greedy semantics (the k=64 suite
+    // pin proves them selection-identical — max over doubles
+    // reassociates exactly and NaN stays greatest in both engines, so
+    // the oracle replays either form unchanged):
+    //
+    //  - k ≤ CarriedTierMinK: recompute max-cos over ALL selected
+    //    centers as literal expressions each round, over ONE persisted
+    //    (vec_id, v) image — O(k²·dim·n) arithmetic but ZERO per-round
+    //    materialization. At coreset-sized k the k²/2 literal cosines
+    //    are far cheaper than writing+reading a truncated block image
+    //    every round: the r17/r18 always-carried form cost q_vector_e2e
+    //    +37% isolated at k=8 (PLANS.md r19 BenchOne triage).
+    //  - k > CarriedTierMinK: carry the running max-cos as a
+    //    MATERIALIZED __mc column — round r takes greatest(carried,
+    //    cosine-vs-the-ONE-new-center), O(k·dim·n) total — with
+    //    per-round lineage truncation (the connectedComponents idiom:
+    //    reliable checkpoint when a dir is configured, else
+    //    localCheckpoint); without it the withColumn chain re-executes
+    //    every prior round's cosines AND the plan tree grows per round.
     val sc = spark.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    // Bounded-footprint truncation (VERDICT r17 #6 / round-17 review):
-    // EAGER checkpoints, and the superseded round's persisted blocks are
-    // freed the moment the next round's truncation materializes — at
-    // most TWO rounds of (vec_id, v, __mc) are ever resident, instead of
-    // up to k copies awaiting driver-GC ContextCleaner. On the reliable
-    // path the frame is persisted across the checkpoint so the
-    // checkpoint-file write reads cached blocks instead of re-running
-    // the round's job (the non-eager form paid 2× per round); old
-    // checkpoint FILES are on disk, not memory — reclaiming them needs
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true (documented
-    // deployment contract, same as connectedComponents).
-    var pinned: Set[Int] = Set.empty
-    def freePinned(): Unit = {
-      pinned.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      pinned = Set.empty
-    }
-    def truncate(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val t =
-        if (reliable) {
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try df.checkpoint(true) finally df.unpersist(false)
-        } else df.localCheckpoint(true)
-      val mine = (sc.getPersistentRDDs.keySet -- before).toSet
-      freePinned()
-      pinned = mine
-      t
-    }
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
+    // Cache the two-column image BEFORE the seed scan: the seed
+    // TakeOrdered evaluates the whole upstream (q_vector_e2e feeds a
+    // full SemDeDup pipeline in), and without the persist the first
+    // round would evaluate it a SECOND time — the r17→r18 regression
+    // PLANS.md r19 pins (upstream ran twice; +37% isolated). The seed
+    // scan doubles as the cache materializer. k == 1 skips the persist:
+    // the seed is the answer and nothing re-reads e (ADVICE r18).
+    if (k > 1)
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val first = e.orderBy("vec_id").limit(1).collect()
     if (first.isEmpty)
       return Seq.empty[(Long, Long)].toDF("vec_id", "step")
@@ -819,29 +804,101 @@ object Similarity {
       (first(0).getLong(0), first(0).getSeq[Double](1).toArray))
     def centerCos(c: Array[Double]): Column =
       cosine(col("v"), array(c.toIndexedSeq.map(lit): _*))
-    try {
-      var cur = truncate(e.withColumn("__mc", centerCos(sel.head._2)))
+    def notSelected: Column =
+      !col("vec_id").isin(sel.toSeq.map(_._1): _*)
+    def takeNext(scored: DataFrame): Option[(Long, Array[Double])] = {
+      val next = scored.orderBy(col("__mc").asc, col("vec_id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) None
+      else Some((next(0).getLong(0), next(0).getSeq[Double](1).toArray))
+    }
+    // k == 1: the seed IS the answer — no persist, no extra job
+    // (ADVICE r18: the old form paid a full materialization it never read)
+    if (k > CarriedTierMinK) {
+      // Carried tier. Bounded-footprint truncation (VERDICT r17 #6):
+      // EAGER cuts; the superseded round's blocks are freed the moment
+      // the next round's truncation materializes — at most TWO rounds
+      // of (vec_id, v, __mc) resident. Pinning is by the EXACT
+      // checkpointed RDD lifted from the returned Dataset's LogicalRDD
+      // leaf (ADVICE r18) — never a global getPersistentRDDs diff,
+      // which on a shared SparkContext could capture and later destroy
+      // a concurrent thread's persist or localCheckpoint. On the
+      // reliable path the round is persisted across the checkpoint so
+      // the file write reads cached blocks, and the superseded round's
+      // checkpoint DIR is deleted explicitly — no reliance on
+      // spark.cleaner.referenceTracking.cleanCheckpoints. The first
+      // truncation also absorbs the expensive upstream (q_vector_e2e
+      // feeds SemDeDup survivors in).
+      val reliable = sc.getCheckpointDir.isDefined
+      var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
+      def freePinned(): Unit = {
+        pinned.foreach { r =>
+          r.unpersist(false)
+          r.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          }
+        }
+        pinned = None
+      }
+      def truncate(df: DataFrame): DataFrame = {
+        val t =
+          if (reliable) {
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try df.checkpoint(true) finally df.unpersist(false)
+          } else df.localCheckpoint(true)
+        // t is materialized (eager both arms) and self-contained — the
+        // superseded round is safe to free now
+        freePinned()
+        pinned = t.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+        t
+      }
+      try {
+        var cur = truncate(e.withColumn("__mc", centerCos(sel.head._2)))
+        // the first truncation copied everything it needs out of the
+        // cached image — drop it so at most two ROUNDS stay resident
+        e.unpersist(false)
+        var exhausted = false
+        while (sel.length < k && !exhausted) {
+          takeNext(cur.filter(notSelected)) match {
+            case None => exhausted = true
+            case Some((id, nv)) =>
+              sel += ((id, nv))
+              if (sel.length < k)
+                cur = truncate(cur.withColumn("__mc",
+                  greatest(col("__mc"), centerCos(nv))))
+          }
+        }
+      } finally freePinned() // the result below is driver-side only — no
+      // plan depends on cur, so the last round's blocks + checkpoint dir
+      // (and, on failure, whatever round was live) are released before
+      // returning
+    } else if (k > 1) {
+      // Recompute tier: k-1 scan+TakeOrdered jobs over the cached
+      // two-column image, nothing else materialized.
       var exhausted = false
       while (sel.length < k && !exhausted) {
-        val next = cur.filter(!col("vec_id").isin(sel.toSeq.map(_._1): _*))
-          .orderBy(col("__mc").asc, col("vec_id").asc)
-          .limit(1).collect()
-        if (next.isEmpty) exhausted = true
-        else {
-          val nv = next(0).getSeq[Double](1).toArray
-          sel += ((next(0).getLong(0), nv))
-          if (sel.length < k)
-            cur = truncate(cur.withColumn("__mc",
-              greatest(col("__mc"), centerCos(nv))))
+        val mc = sel.toSeq.map(c => centerCos(c._2)).reduce(greatest(_, _))
+        takeNext(e.filter(notSelected).withColumn("__mc", mc)) match {
+          case None => exhausted = true
+          case Some((id, nv)) => sel += ((id, nv))
         }
       }
-    } finally freePinned() // the result below is driver-side only — no
-    // plan depends on cur, so the last round's blocks (and, on failure,
-    // whatever round was live) are released before returning
+    }
     sel.toSeq.zipWithIndex
       .map { case ((id, _), i) => (id, (i + 1).toLong) }
       .toDF("vec_id", "step")
+    } finally { if (k > 1) e.unpersist(false) }
   }
+
+  /** Largest k served by kCenter's recompute tier (literal-cosine
+    * rescoring over one cached image); above it the carried-__mc tier
+    * with per-round lineage truncation takes over. At the boundary the
+    * recompute round averages ~CarriedTierMinK/2 extra O(dim) cosines
+    * per row — cheaper than one full block-image write+read per round
+    * at every scale measured (PLANS.md r19). */
+  private val CarriedTierMinK = 16
 
   /** Per-dimension scalar-quantization bounds (the FAISS SQ8 trainer):
     * one bounded aggregate over the corpus — dim rows out, min/max are

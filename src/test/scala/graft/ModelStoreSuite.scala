@@ -54,6 +54,29 @@ class ModelStoreSuite extends SparkSpec {
     ModelStore.destroy(root)
   }
 
+  test("file: URI roots are accepted; remote schemes refused loudly") {
+    // ADVICE r18: the store's POSIX contract is now enforced on the
+    // ROOT's scheme (file: accepted and stripped for java.nio, remote
+    // schemes refused), and the staged write/read go through explicit
+    // file: URIs so a remote fs.defaultFS can never silently redirect
+    // the artifact away from the directory the atomic rename operates on
+    val plain = freshRoot("uri")
+    val asUri = "file://" + plain
+    val v0 = ModelStore.saveCentroids(spark, asUri, cents(0L -> Seq(1.0, 2.0)))
+    assert(v0 == 0)
+    // both spellings address the same store
+    assert(ModelStore.versions(plain, "kmeans_cells") == Seq(0))
+    assert(ModelStore.loadCentroids(spark, asUri).map(_._2.toSeq) ==
+      Seq(Seq(1.0, 2.0)))
+    assert(ModelStore.loadCentroids(spark, plain).map(_._2.toSeq) ==
+      Seq(Seq(1.0, 2.0)))
+    val e = intercept[IllegalArgumentException](
+      ModelStore.load(spark, "hdfs://nn/models", "kmeans_cells"))
+    assert(e.getMessage.contains("hdfs"))
+    ModelStore.destroy(asUri)
+    assert(!Files.isDirectory(Paths.get(plain)))
+  }
+
   test("prune keeps the newest versions and sweeps staging orphans") {
     val root = freshRoot("prune")
     for (i <- 0 until 4)
