@@ -41,6 +41,33 @@ private[graft] object QueriesCorpus {
     * the generated oracle CTE chain. */
   private[graft] val BpeMerges = 8
 
+  /** Quality-classifier scoring oracle (shared by the retrain twin and
+    * the store-backed chain): the pinned micro-weights spliced as a
+    * VALUES relation; per-token-instance weight sum ≡ the count-vector
+    * dot product (the q_dsir replay shape); bucket = the q_feature_hash
+    * token hash; null/token-free docs score the bare bias via the
+    * LEFT JOIN + COALESCE. */
+  private val QcScoreOracle: String = {
+    val values = QcWeights.zipWithIndex
+      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+    s"""WITH w(j, wt) AS (VALUES $values),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    string_split_regex(trim(text), '\\s+'),
+       |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT
+       |            % ${QcWeights.length})) AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT d.doc_id,
+       |    (COALESCE(SUM(w.wt), 0) + ($QcBias))::BIGINT AS qc_micro
+       |  FROM documents d
+       |  LEFT JOIN tok ON tok.doc_id = d.doc_id
+       |  LEFT JOIN w ON w.j = tok.h
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, qc_micro, qc_micro > 0 AS qc_keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** One word-n-gram stats CTE pair for the q_repetition_rules oracle:
     * `g{n}` = the house shingle convention (< n tokens → one whole-doc
     * shingle, the q_repetition spelling), `s{n}` = duplicated-gram chars
@@ -378,6 +405,25 @@ private[graft] object QueriesCorpus {
             Tables.df(s, dir, "documents"), "text", "doc_id",
             QcWeights, QcBias))
           .arrange("doc_id").df),
+
+
+      // the trained-artifact store chain, classifier consumer: the
+      // pinned micro-weight model (training determinism + provenance
+      // are pinned in CorpusSuite against trainQualityClassifier)
+      // publishes to the ModelStore and scoring runs from the LOADED
+      // weights — long micro-weights round-trip parquet exactly, so the
+      // chain shares the scoring twin's oracle verbatim
+      "q_model_store_qc" -> ((s: SparkSession, dir: String) => {
+        val root = graft.Queries.roundtripDir("modelstore_qc", dir)
+        graft.operators.ModelStore.destroy(root)
+        graft.operators.ModelStore.saveLinearWeights(s, root,
+          QcWeights, QcBias)
+        val (w, b) = graft.operators.ModelStore.loadLinearWeights(s, root)
+        graft.api.DataTable(
+          Corpus.qualityClassifierScore(
+            Tables.df(s, dir, "documents"), "text", "doc_id", w, b))
+          .arrange("doc_id").df
+      }),
 
 
       // C4 page cleaning (Raffel et al. 2020): terminal-punctuation /
@@ -940,26 +986,12 @@ private[graft] object QueriesCorpus {
     // product (the q_dsir replay shape); bucket = the q_feature_hash
     // token hash; null/token-free docs score the bare bias via the
     // LEFT JOIN + COALESCE
-    "q_quality_classifier" -> {
-      val values = QcWeights.zipWithIndex
-        .map { case (w, j) => s"($j, $w)" }.mkString(", ")
-      s"""WITH w(j, wt) AS (VALUES $values),
-         |tok AS (
-         |  SELECT doc_id, unnest(list_transform(
-         |    string_split_regex(trim(text), '\\s+'),
-         |    tk -> ('0x' || substring(md5(tk), 1, 12))::BIGINT
-         |            % ${QcWeights.length})) AS h
-         |  FROM documents),
-         |s AS (
-         |  SELECT d.doc_id,
-         |    (COALESCE(SUM(w.wt), 0) + ($QcBias))::BIGINT AS qc_micro
-         |  FROM documents d
-         |  LEFT JOIN tok ON tok.doc_id = d.doc_id
-         |  LEFT JOIN w ON w.j = tok.h
-         |  GROUP BY d.doc_id)
-         |SELECT doc_id, qc_micro, qc_micro > 0 AS qc_keep
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "q_quality_classifier" -> QcScoreOracle,
+
+    // store-backed twin: the pinned micro-weights round-trip the
+    // ModelStore losslessly (longs), so scoring from the LOADED model
+    // replays the same oracle verbatim
+    "q_model_store_qc" -> QcScoreOracle,
 
 
     // C4 cleaning: same line lambda as Spark's HOF; sentence count is a

@@ -258,6 +258,27 @@ private[graft] object QueriesVector {
       }),
 
 
+      // the trained-artifact store chain, PQ consumer: the q_ann_pq
+      // codebooks train once, publish to the ModelStore, and ADC search
+      // runs entirely from the LOADED codebooks — parquet doubles are
+      // IEEE-lossless, so the chain shares the retrain-per-query twin's
+      // oracle verbatim (the round-trip-lossless check)
+      "q_model_store_pq" -> ((s: SparkSession, dir: String) => {
+        val root = roundtripDir("modelstore_pq", dir)
+        graft.operators.ModelStore.destroy(root)
+        val emb = Tables.df(s, dir, "embeddings")
+        graft.operators.ModelStore.saveCodebooks(s, root,
+          Similarity.pqCodebooks(emb, "embedding", "vec_id",
+            dim = 64, m = 4, ncode = 8, iters = 1))
+        val books = graft.operators.ModelStore.loadCodebooks(s, root)
+        graft.api.DataTable(
+          Similarity.pqTopK(emb, emb.filter(col("vec_id") < 4), books,
+            "embedding", "vec_id", "vec_id", k = 10)
+            .withColumn("rank", col("rank").cast("long")))
+          .arrange("query_id", "rank").df
+      }),
+
+
       // the trained-artifact store chain, SemDeDup consumer: the
       // q_semantic_dedup cells trained ONCE, published, loaded back,
       // and the batch deduped against the stored model (the production
@@ -456,6 +477,10 @@ private[graft] object QueriesVector {
     // retrain-per-query twins — the parquet round-trip is IEEE-lossless,
     // so the oracles are shared verbatim (that identity IS the check)
     "q_model_store_ivf" -> OracleSql.annIvf(),
+
+    // store-backed twin: codebook training identical, artifact
+    // round-trip lossless (IEEE doubles) — oracle shared verbatim
+    "q_model_store_pq" -> OracleSql.annPq(),
     "q_model_store_semdedup" -> OracleSql.semanticDedup(),
 
     "q_ann_ivfpq" -> OracleSql.annIvfPq(),

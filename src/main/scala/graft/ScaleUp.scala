@@ -28,7 +28,18 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   private val Copies = 10
-  private val Stride = 10000000L // > any sf0.1 key; keeps copies disjoint
+
+  /** Key columns shifted per copy, per scaled table. Dimension tables
+    * (region, nation) are fixed points of scale, as in TPC-H. */
+  private val ScaledKeys: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ScaleUp <srcSfDir> <outDir>")
@@ -44,15 +55,31 @@ object ScaleUp {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
+    // The copy stride must exceed EVERY key value in the SOURCE image,
+    // so it is computed from the input, never hard-coded: the original
+    // `1e7 > any sf0.1 key` constant silently broke CHAINED scaling
+    // (sf0.1 -> sf1 -> sf10) — sf1 keys already reach base + 9e7, so a
+    // second 1e7-stride pass collapsed distinct copies onto the same
+    // key (caught by withGlobalNtile's order-uniqueness guard at sf10:
+    // 60M rows, 11.4M distinct (l_orderkey, l_linenumber)). Rounded up
+    // to a power of ten so shifted ids stay human-readable.
+    val maxKey = ScaledKeys.map { case (t, ks) =>
+      read(t).select(ks.map(c => max(col(c).cast("long")))
+        .reduce((a, b) => greatest(a, b))).head().getLong(0)
+    }.max
+    val stride =
+      math.pow(10, math.ceil(math.log10((maxKey + 1).toDouble))).toLong
+    println(s"[scaleup] max source key $maxKey -> stride $stride")
+
     /** Union of `Copies` key-shifted images of `df`. `keys` columns get
-      * `+ copy*Stride`; `textCol` (if set) gets the per-copy suffix,
+      * `+ copy*stride`; `textCol` (if set) gets the per-copy suffix,
       * with the stored `n_chars` bumped to keep the fixture invariant
       * `n_chars == length(text)` true in the scale image too. */
     def scaled(df: DataFrame, keys: Seq[String],
                textCol: Option[String] = None): DataFrame =
       (0 until Copies).map { k =>
         val shifted = keys.foldLeft(df) { (d, c) =>
-          d.withColumn(c, col(c) + lit(k * Stride)) }
+          d.withColumn(c, col(c) + lit(k * stride)) }
         textCol match {
           case Some(tc) if k > 0 =>
             val suffix = s" rep$k"
@@ -62,19 +89,13 @@ object ScaleUp {
         }
       }.reduce(_ unionAll _)
 
+    val keysOf = ScaledKeys.toMap
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
-      "nation" -> read("nation"),
-      "customer" -> scaled(read("customer"), Seq("c_custkey")),
-      "supplier" -> scaled(read("supplier"), Seq("s_suppkey")),
-      "part" -> scaled(read("part"), Seq("p_partkey")),
-      "orders" -> scaled(read("orders"), Seq("o_orderkey", "o_custkey")),
-      "lineitem" -> scaled(read("lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      "events" -> scaled(read("events"), Seq("event_id", "user_id")),
-      "documents" -> scaled(read("documents"), Seq("doc_id"),
-        textCol = Some("text")),
-      "embeddings" -> scaled(read("embeddings"), Seq("vec_id")))
+      "nation" -> read("nation")) ++ ScaledKeys.map { case (t, _) =>
+      t -> scaled(read(t), keysOf(t),
+        textCol = if (t == "documents") Some("text") else None)
+    }
 
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -580,4 +580,183 @@ class StreamingSuite extends SparkSpec {
     assert(!got.contains(2L)) // exact dup shares every chunk -> dropped
     assert(got.contains(1L) && got.contains(3L) && got.contains(4L))
   }
+
+  // ---- checkpoint-recovery parity (VERDICT r16 #3) --------------------
+  // Stateful streaming ops keep state in the checkpoint precisely so a
+  // stopped query can resume without losing it — stop-and-restore is
+  // the production failure mode. Each test drives the same two-phase
+  // file feed twice: uninterrupted (one query sees phase 1, then phase
+  // 2) vs recovered (STOP after phase 1, restart a FRESH query from the
+  // same checkpoint for phase 2). Batch boundaries are identical
+  // (maxFilesPerTrigger=1, pinned mtimes), so append outputs must be
+  // IDENTICAL — and a cross-phase merge/claim proves the state itself
+  // (not just offsets) was restored.
+
+  /** Write each row of `dfs(i)` as its own single-file parquet into
+    * `dir`, with strictly increasing mtimes continuing from `fromIdx`
+    * (FileStreamSource orders by modification time). */
+  private def stagePhase(dfs: Seq[org.apache.spark.sql.DataFrame],
+                         dir: java.nio.file.Path, fromIdx: Int): Int = {
+    dfs.zipWithIndex.foreach { case (df, j) =>
+      val i = fromIdx + j
+      val tmp = Files.createTempDirectory("graft_rec_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(f"f_$i%03d.parquet")
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    fromIdx + dfs.length
+  }
+
+  /** Run `mk` over the two-phase feed; `restart` selects recovered vs
+    * uninterrupted execution. The sink is the fault-tolerant parquet
+    * FILE sink (the memory sink refuses checkpoint recovery), so both
+    * phases land in one transactional output dir read back at the end.
+    * Returns every append-mode output row. */
+  private def twoPhaseRun(tag: String, restart: Boolean,
+                          phase1: Seq[org.apache.spark.sql.DataFrame],
+                          phase2: Seq[org.apache.spark.sql.DataFrame],
+                          schema: org.apache.spark.sql.types.StructType,
+                          mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    : Seq[org.apache.spark.sql.Row] = {
+    val src = Files.createTempDirectory(s"graft_rec_src_$tag")
+    val ckpt = Files.createTempDirectory(s"graft_rec_ckpt_$tag")
+    val out = Files.createTempDirectory(s"graft_rec_out_$tag")
+    def start() =
+      mk(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+    val n1 = stagePhase(phase1, src, 0)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      if (restart) {
+        q1.stop() // the failure point: offsets, watermark, and state
+        // live only in the checkpoint now
+        stagePhase(phase2, src, n1)
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } else {
+        stagePhase(phase2, src, n1)
+        q1.processAllAvailable()
+        q1.stop()
+      }
+    } finally if (q1.isActive) q1.stop()
+    spark.read.parquet(out.toString).collect().toSeq
+  }
+
+  test("flatMapGroupsWithState sessions survive stop-and-restore from checkpoint") {
+    import org.apache.spark.sql.DataFrame
+    val gapUs = 10L * 60 * 1000000L // 10-minute gap
+    // ts_us MUST be the absolute epoch micros of ts_utc (the
+    // Tables.tsMicros contract): the event-time TIMEOUT is set from
+    // ts_us but compared against the WATERMARK, which tracks ts_utc —
+    // an offset-valued ts_us makes every timeout resolve to
+    // watermark+1 and close each open session at the next tick
+    def ev(rows: (Long, Int)*): DataFrame =
+      spark.createDataFrame(rows).toDF("user_id", "offset_s")
+        .withColumn("ts_utc", expr(
+          "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,offset_s)"))
+        .withColumn("ts_us", expr("unix_micros(ts_utc)"))
+        .drop("offset_s")
+    val baseUs = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC
+    // phase 1: u1 session A (0s, 300s), then 2400s opens session B;
+    //          u2 session C (600s)
+    val phase1 = Seq(ev(1L -> 0, 1L -> 300), ev(1L -> 2400, 2L -> 600))
+    // phase 2: u1 2700s EXTENDS session B across the restart boundary —
+    // only recovered state can merge it (2700-2400 < gap); u2 3600s
+    // closes C and opens D; two far sentinels push the watermark past
+    // every timeout so all real sessions emit
+    val phase2 = Seq(ev(1L -> 2700, 2L -> 3600),
+      ev(999L -> 12 * 3600), ev(998L -> 13 * 3600))
+    val schema = ev(1L -> 0).schema
+    def mk(s: DataFrame): DataFrame =
+      Streaming.statefulSessions(
+        s.withWatermark("ts_utc", "10 minutes"), gapUs).toDF()
+    def sessions(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 < 900L).toSet // sentinels' own sessions are timing-bound
+    val recovered = sessions(twoPhaseRun("fmgs", restart = true,
+      phase1, phase2, schema, mk))
+    val uninterrupted = sessions(twoPhaseRun("fmgs_u", restart = false,
+      phase1, phase2, schema, mk))
+    assert(recovered == uninterrupted,
+      s"recovery diverged: $recovered vs $uninterrupted")
+    // state continuity: session B spans the restart and must surface as
+    // ONE merged session (start 2400s, 2 events, 300s span); a lost
+    // state store would fragment it into (2400,1,0)+(2700,1,0)
+    assert(recovered.contains((1L, baseUs + 2400000000L, 2L, 300000000L)),
+      s"boundary-spanning session not merged: $recovered")
+    // and the full closed set matches the batch reference exactly
+    val ref = Streaming.statefulSessions(
+        ev(1L -> 0, 1L -> 300, 1L -> 2400, 1L -> 2700, 2L -> 600, 2L -> 3600),
+        gapUs)
+      .collect().map(e => (e.user_id, e.session_start_us, e.n_events, e.dur_us))
+      .toSet
+    assert(recovered == ref, s"recovered $recovered != batch ref $ref")
+  }
+
+  test("streaming MinHash dedup claim state survives stop-and-restore") {
+    import org.apache.spark.sql.DataFrame
+    val mkDf = (rows: Seq[(Long, Int, String)]) =>
+      spark.createDataFrame(rows).toDF("doc_id", "offset_s", "text")
+        .withColumn("ts_utc", expr(
+          "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,offset_s)"))
+        .drop("offset_s")
+    val t1 = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val t4 = "distributed query engines push filters into columnar scans and prune partitions aggressively"
+    val t5 = "watermarks bound streaming state so unbounded feeds keep constant memory per key"
+    // doc 1 claims its buckets in phase 1; its exact dup doc 2 arrives
+    // ONLY after the restart — it is dropped iff the claim state was
+    // restored (a fresh state store would let it claim and survive)
+    val phase1 = Seq(mkDf(Seq((1L, 0, t1))), mkDf(Seq((4L, 60, t4))))
+    val phase2 = Seq(mkDf(Seq((2L, 120, t1))), mkDf(Seq((5L, 180, t5))),
+      mkDf(Seq((99L, 6 * 3600, "sentinel advances the watermark and nothing else"))))
+    val schema = mkDf(Seq((1L, 0, t1))).schema
+    def mk(s: DataFrame): DataFrame =
+      Streaming.streamingNearDedup(s, "text", "doc_id",
+        watermark = "10 minutes", k = 32, bands = 8)
+    val recovered = twoPhaseRun("minhash", restart = true,
+      phase1, phase2, schema, mk).map(_.getLong(0)).toSet
+    val uninterrupted = twoPhaseRun("minhash_u", restart = false,
+      phase1, phase2, schema, mk).map(_.getLong(0)).toSet
+    assert(recovered == uninterrupted,
+      s"recovery diverged: $recovered vs $uninterrupted")
+    assert(!recovered.contains(2L),
+      s"post-restart exact dup survived — claim state lost: $recovered")
+    assert(recovered == Set(1L, 4L, 5L), recovered.toString)
+  }
+
+  test("streaming SimHash dedup claim state survives stop-and-restore") {
+    import org.apache.spark.sql.DataFrame
+    val mkDf = (rows: Seq[(Long, Int, String)]) =>
+      spark.createDataFrame(rows).toDF("doc_id", "offset_s", "text")
+        .withColumn("ts_utc", expr(
+          "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,offset_s)"))
+        .drop("offset_s")
+    val t1 = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val t3 = "distributed query engines push filters into columnar scans and prune partitions aggressively"
+    val phase1 = Seq(mkDf(Seq((1L, 0, t1))))
+    val phase2 = Seq(mkDf(Seq((2L, 60, t1))), mkDf(Seq((3L, 120, t3))),
+      mkDf(Seq((99L, 6 * 3600, "sentinel advances the watermark and nothing else"))))
+    val schema = mkDf(Seq((1L, 0, t1))).schema
+    def mk(s: DataFrame): DataFrame =
+      Streaming.streamingSimhashDedup(s, "text", "doc_id",
+        watermark = "10 minutes")
+    val recovered = twoPhaseRun("simhash", restart = true,
+      phase1, phase2, schema, mk).map(_.getLong(0)).toSet
+    val uninterrupted = twoPhaseRun("simhash_u", restart = false,
+      phase1, phase2, schema, mk).map(_.getLong(0)).toSet
+    assert(recovered == uninterrupted,
+      s"recovery diverged: $recovered vs $uninterrupted")
+    assert(!recovered.contains(2L),
+      s"post-restart exact dup survived — claim state lost: $recovered")
+    assert(recovered == Set(1L, 3L), recovered.toString)
+  }
 }
