@@ -14,11 +14,26 @@ import org.apache.spark.sql.functions._
   *    key spaces never collide across copies;
   *  - dimension tables (region, nation) are fixed points of scale, as
   *    in TPC-H;
-  *  - document text gets a per-copy suffix token for copies >= 1: exact
-  *    dups do NOT inflate 10x (which would 100x the dedup pair space),
-  *    while each original near-dup pair replicates once per copy and
-  *    copy-groups add a bounded C(10,2) per doc — linear growth, the
-  *    realistic "crawl got bigger" shape;
+  *  - document text for copies >= 1 gets a per-copy LETTER SUBSTITUTION
+  *    (one letter in each 4-letter block of every letter-run becomes
+  *    the copy's tag character), which makes copies of one doc mutually
+  *    DISSIMILAR
+  *    under word-shingle Jaccard while every pair of docs WITHIN a copy
+  *    keeps its original exact/near-dup relationship (both sides
+  *    transform identically). So each original dup/near-dup pair
+  *    replicates once per copy — dup-pair space grows LINEARLY with
+  *    corpus size, the realistic "crawl got bigger" shape. The original
+  *    " rep$k" SUFFIX scheme violated exactly this when CHAINED
+  *    (sf0.1 -> sf1 -> sf10): suffixed variants of one base doc stayed
+  *    pairwise near-identical, so group size MULTIPLIED per decade
+  *    (10 -> 100) and the pairwise truth space of the recall-eval
+  *    family went quadratic — at sf10 the exact-Jaccard truth join
+  *    spilled >70 GB and died, measuring the image's redundancy shape,
+  *    not the engine. Substitution keeps `length(text)` (and therefore
+  *    the stored `n_chars` fixture invariant) unchanged, and the tag
+  *    alphabet is offset by the stride's magnitude so chained levels
+  *    never reuse a tag (copy (0,k) of level 2 is never identical to
+  *    copy (k,0) of level 1);
   *  - timestamps and value distributions are untouched (10x rows per
   *    window/group, the density growth a bigger corpus actually has).
   *
@@ -71,10 +86,24 @@ object ScaleUp {
       math.pow(10, math.ceil(math.log10((maxKey + 1).toDouble))).toLong
     println(s"[scaleup] max source key $maxKey -> stride $stride")
 
+    // Per-copy tag letters, offset by the stride magnitude so chained
+    // applications (different stride decades) never pick the same tag
+    // for the same copy index. Levels 9 apart in `pow` could wrap onto
+    // each other, but real chains differ by exactly one decade.
+    // The substituted OFFSET inside each 4-letter block also rotates
+    // with the stride magnitude: letter runs are length-preserved, so
+    // a later level's blocks align with an earlier level's — writing
+    // the same offset again would ERASE the earlier tags and collapse
+    // all earlier-level variants sharing a final copy index back into
+    // exact dups. Distinct offsets keep every level's tag visible
+    // (holds for up to 4 chained decades — sf1000 from sf0.1).
+    val stridePow = math.round(math.log10(stride.toDouble)).toInt
+    val tagOffset = stridePow % 4
+
     /** Union of `Copies` key-shifted images of `df`. `keys` columns get
-      * `+ copy*stride`; `textCol` (if set) gets the per-copy suffix,
-      * with the stored `n_chars` bumped to keep the fixture invariant
-      * `n_chars == length(text)` true in the scale image too. */
+      * `+ copy*stride`; `textCol` (if set) gets the per-copy letter
+      * substitution described above — length-preserving, so the stored
+      * `n_chars == length(text)` fixture invariant holds untouched. */
     def scaled(df: DataFrame, keys: Seq[String],
                textCol: Option[String] = None): DataFrame =
       (0 until Copies).map { k =>
@@ -82,9 +111,10 @@ object ScaleUp {
           d.withColumn(c, col(c) + lit(k * stride)) }
         textCol match {
           case Some(tc) if k > 0 =>
-            val suffix = s" rep$k"
-            shifted.withColumn(tc, concat(col(tc), lit(suffix)))
-              .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
+            val tag = ('a' + (stridePow * 9 + k) % 26).toChar
+            val pat = s"([A-Za-z]{$tagOffset})[A-Za-z]([A-Za-z]{${3 - tagOffset}})"
+            shifted.withColumn(tc,
+              regexp_replace(col(tc), pat, "$1" + tag + "$2"))
           case _ => shifted
         }
       }.reduce(_ unionAll _)
