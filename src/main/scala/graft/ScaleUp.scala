@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   *    family went quadratic — at sf10 the exact-Jaccard truth join
   *    spilled >70 GB and died, measuring the image's redundancy shape,
   *    not the engine. Substitution keeps `length(text)` (and therefore
-  *    the stored `n_chars` fixture invariant) unchanged, and the tag
-  *    alphabet is offset by the stride's magnitude so chained levels
-  *    never reuse a tag (copy (0,k) of level 2 is never identical to
-  *    copy (k,0) of level 1);
+  *    the stored `n_chars` fixture invariant) unchanged. Chained
+  *    levels stay distinct because each level substitutes a DIFFERENT
+  *    in-block offset (stridePow % 4) — tag letters themselves can
+  *    repeat across levels (the (stridePow*9 + k) % 26 walk collides
+  *    three decades apart), so the offset, not the letter, is the
+  *    load-bearing distinction (copy (0,k) of level 2 is never
+  *    identical to copy (k,0) of level 1);
   *  - timestamps and value distributions are untouched (10x rows per
   *    window/group, the density growth a bigger corpus actually has).
   *
@@ -43,6 +46,55 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   private val Copies = 10
+
+  /** Smallest power of ten strictly greater than every source key —
+    * the copy shift. Computed from the input, never hard-coded: the
+    * original `1e7 > any sf0.1 key` constant silently broke CHAINED
+    * scaling (sf1 keys already reach base + 9e7, so a second 1e7-stride
+    * pass collapsed distinct copies onto the same key — caught by
+    * withGlobalNtile's order-uniqueness guard at sf10). */
+  private[graft] def strideFor(maxKey: Long): Long = {
+    require(maxKey >= 0, s"ScaleUp: negative max key $maxKey")
+    math.pow(10, math.ceil(math.log10((maxKey + 1).toDouble))).toLong
+  }
+
+  /** The per-copy text perturbation: in each aligned 4-letter block of
+    * every letter-run, the letter at offset `stridePow % 4` becomes the
+    * copy's tag character. Length-preserving (the `n_chars ==
+    * length(text)` fixture invariant holds untouched); identical inputs
+    * map to identical outputs (within-copy dup relationships survive);
+    * different copies get different tags (cross-copy near-identity —
+    * the quadratic dup-space failure — cannot form); and chained scale
+    * levels write DIFFERENT block offsets, so a later level never
+    * erases an earlier level's tags (distinct for up to 4 chained
+    * decades). Copy 0 is the identity — the base image embeds
+    * unchanged. */
+  private[graft] def perturbText(c: org.apache.spark.sql.Column,
+                                 stridePow: Int, k: Int)
+      : org.apache.spark.sql.Column =
+    if (k == 0) c
+    else {
+      val tagOffset = stridePow % 4
+      val tag = ('a' + (stridePow * 9 + k) % 26).toChar
+      val pat =
+        s"([A-Za-z]{$tagOffset})[A-Za-z]([A-Za-z]{${3 - tagOffset}})"
+      regexp_replace(c, pat, "$1" + tag + "$2")
+    }
+
+  /** Union of `Copies` key-shifted images of `df`: `keys` columns get
+    * `+ copy*stride`; `textCol` (if set) gets [[perturbText]]. */
+  private[graft] def scaledCopies(df: DataFrame, keys: Seq[String],
+                                  stride: Long, stridePow: Int,
+                                  textCol: Option[String]): DataFrame =
+    (0 until Copies).map { k =>
+      val shifted = keys.foldLeft(df) { (d, c) =>
+        d.withColumn(c, col(c) + lit(k * stride)) }
+      textCol match {
+        case Some(tc) =>
+          shifted.withColumn(tc, perturbText(col(tc), stridePow, k))
+        case None => shifted
+      }
+    }.reduce(_ unionAll _)
 
   /** Key columns shifted per copy, per scaled table. Dimension tables
     * (region, nation) are fixed points of scale, as in TPC-H. */
@@ -70,60 +122,46 @@ object ScaleUp {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
-    // The copy stride must exceed EVERY key value in the SOURCE image,
-    // so it is computed from the input, never hard-coded: the original
-    // `1e7 > any sf0.1 key` constant silently broke CHAINED scaling
-    // (sf0.1 -> sf1 -> sf10) — sf1 keys already reach base + 9e7, so a
-    // second 1e7-stride pass collapsed distinct copies onto the same
-    // key (caught by withGlobalNtile's order-uniqueness guard at sf10:
-    // 60M rows, 11.4M distinct (l_orderkey, l_linenumber)). Rounded up
-    // to a power of ten so shifted ids stay human-readable.
+    // Stride from the data ([[strideFor]]); per-copy tag letters and
+    // the in-block substitution offset rotate with the stride magnitude
+    // so chained applications (different stride decades) never pick the
+    // same tag for the same copy index and never overwrite an earlier
+    // level's tag position (see [[perturbText]]).
     val maxKey = ScaledKeys.map { case (t, ks) =>
-      read(t).select(ks.map(c => max(col(c).cast("long")))
-        .reduce((a, b) => greatest(a, b))).head().getLong(0)
+      val row = read(t).select(ks.map(c => max(col(c).cast("long")))
+        .reduce((a, b) => greatest(a, b))).head()
+      // max over an empty table is NULL — name the table instead of
+      // NPE-ing on getLong
+      require(!row.isNullAt(0),
+        s"ScaleUp: source table '$t' is empty (or its keys are all " +
+          s"null) — cannot derive a stride from ${ks.mkString(", ")}")
+      row.getLong(0)
     }.max
-    val stride =
-      math.pow(10, math.ceil(math.log10((maxKey + 1).toDouble))).toLong
+    val stride = strideFor(maxKey)
     println(s"[scaleup] max source key $maxKey -> stride $stride")
-
-    // Per-copy tag letters, offset by the stride magnitude so chained
-    // applications (different stride decades) never pick the same tag
-    // for the same copy index. Levels 9 apart in `pow` could wrap onto
-    // each other, but real chains differ by exactly one decade.
-    // The substituted OFFSET inside each 4-letter block also rotates
-    // with the stride magnitude: letter runs are length-preserved, so
-    // a later level's blocks align with an earlier level's — writing
-    // the same offset again would ERASE the earlier tags and collapse
-    // all earlier-level variants sharing a final copy index back into
-    // exact dups. Distinct offsets keep every level's tag visible
-    // (holds for up to 4 chained decades — sf1000 from sf0.1).
     val stridePow = math.round(math.log10(stride.toDouble)).toInt
-    val tagOffset = stridePow % 4
 
-    /** Union of `Copies` key-shifted images of `df`. `keys` columns get
-      * `+ copy*stride`; `textCol` (if set) gets the per-copy letter
-      * substitution described above — length-preserving, so the stored
-      * `n_chars == length(text)` fixture invariant holds untouched. */
-    def scaled(df: DataFrame, keys: Seq[String],
-               textCol: Option[String] = None): DataFrame =
-      (0 until Copies).map { k =>
-        val shifted = keys.foldLeft(df) { (d, c) =>
-          d.withColumn(c, col(c) + lit(k * stride)) }
-        textCol match {
-          case Some(tc) if k > 0 =>
-            val tag = ('a' + (stridePow * 9 + k) % 26).toChar
-            val pat = s"([A-Za-z]{$tagOffset})[A-Za-z]([A-Za-z]{${3 - tagOffset}})"
-            shifted.withColumn(tc,
-              regexp_replace(col(tc), pat, "$1" + tag + "$2"))
-          case _ => shifted
-        }
-      }.reduce(_ unionAll _)
+    // Dup-space contract guard: a non-empty doc with no 4-letter run is
+    // IMMUNE to perturbText (the regexp never matches), so its 10 copies
+    // embed byte-identical — and chained decades would multiply that
+    // exact-dup group 10x per level, the precise quadratic-truth-space
+    // failure the substitution scheme exists to prevent. Today's
+    // fixtures have zero such docs; if a fixture refresh introduces one,
+    // fail loudly instead of silently corrupting the scale image.
+    val immune = read("documents")
+      .filter(length(col("text")) > 0 && !col("text").rlike("[A-Za-z]{4}"))
+      .count()
+    require(immune == 0,
+      s"ScaleUp: $immune document(s) have no 4-letter run — perturbText " +
+        "cannot distinguish their copies, so the scale image would " +
+        "multiply exact-dup groups per decade; extend the perturbation " +
+        "scheme (or fix the fixture) first")
 
     val keysOf = ScaledKeys.toMap
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
       "nation" -> read("nation")) ++ ScaledKeys.map { case (t, _) =>
-      t -> scaled(read(t), keysOf(t),
+      t -> scaledCopies(read(t), keysOf(t), stride, stridePow,
         textCol = if (t == "documents") Some("text") else None)
     }
 

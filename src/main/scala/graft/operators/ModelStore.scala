@@ -61,6 +61,12 @@ object ModelStore {
         s"ModelStore: root '$root' has scheme '${uri.getScheme}' — the " +
           "store's contract is a driver-local (or POSIX-mounted shared) " +
           "filesystem; use a plain path or a file: URI")
+      // an opaque URI ("file:models" — scheme but no "/") has a null
+      // path; Paths.get(null) would NPE with no context, so reject it
+      // with the same guidance as a foreign scheme
+      require(uri.getPath != null,
+        s"ModelStore: root '$root' is an opaque file: URI (no absolute " +
+          "path after the scheme) — use a plain path or file:///abs/path")
       Paths.get(uri.getPath)
     } else Paths.get(root)
   }

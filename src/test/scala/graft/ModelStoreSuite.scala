@@ -73,6 +73,11 @@ class ModelStoreSuite extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       ModelStore.load(spark, "hdfs://nn/models", "kmeans_cells"))
     assert(e.getMessage.contains("hdfs"))
+    // an OPAQUE file: URI ("file:models" — no path after the scheme)
+    // must hit the same loud guidance, not NPE inside Paths.get(null)
+    val o = intercept[IllegalArgumentException](
+      ModelStore.load(spark, "file:models", "kmeans_cells"))
+    assert(o.getMessage.contains("opaque"))
     ModelStore.destroy(asUri)
     assert(!Files.isDirectory(Paths.get(plain)))
   }

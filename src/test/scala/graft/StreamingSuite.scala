@@ -437,17 +437,11 @@ class StreamingSuite extends SparkSpec {
     // append mode finalizes it; its own window never closes -> never emitted
     val all = docs.zipWithIndex :+ ((99L, 6 * 3600, "sentinel advances the watermark and nothing else"), docs.length)
     all.foreach { case (row, i) =>
-      val tmp = Files.createTempDirectory("graft_doc_part")
-      mkDf(Seq(row)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-      val dst = inDir.resolve(f"doc_$i%03d.parquet")
-      Files.copy(Paths.get(part), dst)
       // FileStreamSource orders by modification time: fast copies can tie
       // (coarse mtime granularity), making arrival order — and which
-      // exact-dup survives — nondeterministic. Pin strictly increasing
-      // mtimes so arrival order is exactly doc order.
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      // exact-dup survives — nondeterministic. stageSingleParquet pins
+      // strictly increasing mtimes so arrival order is exactly doc order.
+      stageSingleParquet(mkDf(Seq(row)), inDir.resolve(f"doc_$i%03d.parquet"), i)
     }
     val schema = mkDf(docs.take(1)).schema
     val stream = spark.readStream.schema(schema)
@@ -555,13 +549,7 @@ class StreamingSuite extends SparkSpec {
     val inDir = Files.createTempDirectory("graft_stream_simhash")
     val all = docs.zipWithIndex :+ ((99L, 6 * 3600, "sentinel advances the watermark and nothing else"), docs.length)
     all.foreach { case (row, i) =>
-      val tmp = Files.createTempDirectory("graft_shdoc_part")
-      mkDf(Seq(row)).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-      val dst = inDir.resolve(f"doc_$i%03d.parquet")
-      Files.copy(Paths.get(part), dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      stageSingleParquet(mkDf(Seq(row)), inDir.resolve(f"doc_$i%03d.parquet"), i)
     }
     val schema = mkDf(docs.take(1)).schema
     val stream = spark.readStream.schema(schema)
@@ -599,16 +587,31 @@ class StreamingSuite extends SparkSpec {
                          dir: java.nio.file.Path, fromIdx: Int): Int = {
     dfs.zipWithIndex.foreach { case (df, j) =>
       val i = fromIdx + j
-      val tmp = Files.createTempDirectory("graft_rec_part")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dst = dir.resolve(f"f_$i%03d.parquet")
-      Files.copy(Paths.get(part), dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      stageSingleParquet(df, dir.resolve(f"f_$i%03d.parquet"), i)
     }
     fromIdx + dfs.length
+  }
+
+  /** Stage `df` as ONE parquet file at `dst` with a pinned mtime (the
+    * FileStreamSource arrival-order discipline): write to a scratch
+    * dir, copy out the single part-file, and — unlike the inline form
+    * this replaces — close the directory stream and delete the scratch
+    * dir, so repeated suite runs don't accumulate temp trees or leak
+    * descriptors. */
+  private def stageSingleParquet(df: org.apache.spark.sql.DataFrame,
+                                 dst: java.nio.file.Path, idx: Int): Unit = {
+    val tmp = Files.createTempDirectory("graft_stage_part")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val s = Files.list(tmp)
+      val part =
+        try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally s.close()
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + idx * 60000L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 
   /** Run `mk` over the two-phase feed; `restart` selects recovered vs
@@ -625,30 +628,33 @@ class StreamingSuite extends SparkSpec {
     val src = Files.createTempDirectory(s"graft_rec_src_$tag")
     val ckpt = Files.createTempDirectory(s"graft_rec_ckpt_$tag")
     val out = Files.createTempDirectory(s"graft_rec_out_$tag")
-    def start() =
-      mk(spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(src.toString))
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append").start()
-    val n1 = stagePhase(phase1, src, 0)
-    val q1 = start()
     try {
-      q1.processAllAvailable()
-      if (restart) {
-        q1.stop() // the failure point: offsets, watermark, and state
-        // live only in the checkpoint now
-        stagePhase(phase2, src, n1)
-        val q2 = start()
-        try q2.processAllAvailable() finally q2.stop()
-      } else {
-        stagePhase(phase2, src, n1)
+      def start() =
+        mk(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src.toString))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+      val n1 = stagePhase(phase1, src, 0)
+      val q1 = start()
+      try {
         q1.processAllAvailable()
-        q1.stop()
-      }
-    } finally if (q1.isActive) q1.stop()
-    spark.read.parquet(out.toString).collect().toSeq
+        if (restart) {
+          q1.stop() // the failure point: offsets, watermark, and state
+          // live only in the checkpoint now
+          stagePhase(phase2, src, n1)
+          val q2 = start()
+          try q2.processAllAvailable() finally q2.stop()
+        } else {
+          stagePhase(phase2, src, n1)
+          q1.processAllAvailable()
+          q1.stop()
+        }
+      } finally if (q1.isActive) q1.stop()
+      spark.read.parquet(out.toString).collect().toSeq
+    } finally Seq(src, ckpt, out).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
   }
 
   test("flatMapGroupsWithState sessions survive stop-and-restore from checkpoint") {
