@@ -59,7 +59,31 @@ object Bench {
       }
       name -> (cold, warm)
     }
-    val line = BenchFormat.line(results, sfDir)
+    // Bench-anchor protocol (BASELINE.md, r20): five scan-local control
+    // queries, in the ledger and untouched since r10, anchored to their
+    // BENCH_DETAIL_r10.json warm numbers. control_factor = median of
+    // warm/anchor over the controls — the box-speed factor THIS capture
+    // ran under, recorded inside the artifact so cross-round series and
+    // the driver's 2x bar can be read control-normalized instead of
+    // re-litigating box drift in prose each round.
+    val controlAnchors = Seq(
+      "q_quality" -> 0.711343, "q_token_count" -> 0.331832,
+      "q_fingerprint" -> 0.210499, "q_lang_id" -> 0.750644,
+      "q_colminmax" -> 0.097683)
+    val rmap = results.toMap
+    val controlRatios = controlAnchors
+      .flatMap { case (q, anchor) =>
+        rmap.get(q).map(_._2).filter(_ > 0).map(_ / anchor) }
+      .sorted
+    val controlFactor =
+      if (controlRatios.isEmpty) -1.0 else controlRatios(controlRatios.size / 2)
+    val nOk = results.count(_._2._2 >= 0)
+    val normSecPerQuery =
+      if (controlFactor <= 0 || nOk == 0) -1.0
+      else results.map(_._2._2).filter(_ >= 0).sum / nOk / controlFactor
+    val extra = if (controlFactor <= 0) "" else
+      s""","control_factor":${BenchFormat.fmt(controlFactor, 3)},"norm_sec_per_query":${BenchFormat.fmt(normSecPerQuery, 3)}"""
+    val line = BenchFormat.line(results, sfDir, extra = extra)
     // full precision for local analysis (not part of the driver contract):
     // per-query cold shot + min of the three warm shots (individual warm
     // shots are not recorded)
@@ -69,7 +93,7 @@ object Bench {
     val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._2._1).filter(_ >= 0).sum
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"queries_warm":${series(_._2)},"queries_cold":${series(_._1)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"}\n""")
+      s"""{"queries_warm":${series(_._2)},"queries_cold":${series(_._1)},"total_warm":$warmTotal,"total_cold":$coldTotal,"sf":"$sfDir"$extra}\n""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -25,9 +25,12 @@ object BenchFormat {
     * @param budget  the driver captures only the LAST ~2000 stdout chars
     *                and parses the JSON found there — the line must stay
     *                under this, whatever the query count grows to
+    * @param extra   pre-rendered JSON fields (", \"k\":v" form) appended
+    *                after "sf" on every ladder tier — the bench-anchor
+    *                protocol's control_factor rides here (BASELINE.md)
     */
   def line(results: Seq[(String, (Double, Double))], sfDir: String,
-           budget: Int = 1950): String = {
+           budget: Int = 1950, extra: String = ""): String = {
     val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._2._1).filter(_ >= 0).sum
     // failed queries (-1) sort to the very front so they are always shown
@@ -45,7 +48,7 @@ object BenchFormat {
       val note =
         if (rest.isEmpty) "warm=min3; total=cold run1 (r1-r4 series)"
         else s"warm=min3; slowest $k of ${results.size} shown; total=cold run1 (r1-r4 series)"
-      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs$restPart,"total":${fmt(coldTotal, 3)},"sf":"$sfDir","note":"$note"}"""
+      s"""{"metric":"total_warm","value":${fmt(warmTotal, 3)},"unit":"sec","queries":$qs$restPart,"total":${fmt(coldTotal, 3)},"sf":"$sfDir"$extra,"note":"$note"}"""
     }
     // k=0 is a ~170-char floor; if the budget is below even that, emit
     // the k=0 line anyway (an over-budget line beats an exception)

@@ -127,14 +127,24 @@ private[graft] object QueriesCorpus {
 
 
       // inverted index: posting lists for the mid-frequency vocabulary.
-      // df in [3, 395]: at sf0.01 both cuts bite (4 stop-tokens sit above
-      // 395, the synthetic vocabulary's rare token stays in) — the
-      // bounds are corpus-absolute by design, like a real stopword cut
-      "q_postings" -> ((s: SparkSession, dir: String) =>
+      // The df band is CORPUS-SIZE-DERIVED (r20 — VERDICT r19 #5): lo =
+      // max(3, ceil(0.006·N)), hi = floor(0.79·N), both in exact integer
+      // arithmetic so the two engines can never round apart. At sf0.01
+      // (N=500) this is the original [3, 395] — both cuts bite (4
+      // stop-tokens above, the rare token stays in) and the ledger hash
+      // is unchanged; at sf10 (N=500k) it is [3000, 395000], which is
+      // non-vacuous (2,232 tokens, 11.6M posting entries) where the old
+      // absolute band caught nothing. One count(*) scalar feeds the
+      // literals — a metadata-only parquet count, free at any scale.
+      "q_postings" -> ((s: SparkSession, dir: String) => {
+        val docs = Tables.df(s, dir, "documents")
+        val n = docs.count()
         graft.api.DataTable(
-          Corpus.postings(Tables.df(s, dir, "documents"),
-            "text", "doc_id", minDf = 3L, maxDf = 395L))
-          .arrange("token").df),
+          Corpus.postings(docs, "text", "doc_id",
+            minDf = math.max(3L, (6L * n + 999L) / 1000L),
+            maxDf = 79L * n / 100L))
+          .arrange("token").df
+      }),
 
 
       // unigram-LM surprisal quality signal (micro-nat integer sums;
@@ -732,14 +742,18 @@ private[graft] object QueriesCorpus {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
-    // inverted index; same [minDf, maxDf] vocabulary cut as the query
+    // inverted index; the same corpus-size-derived [lo, hi] cut as the
+    // query, in identical integer arithmetic (exact at any scale)
     "q_postings" ->
-      """WITH pairs AS (
+      """WITH nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        |b AS (SELECT GREATEST(3, (6*n + 999) // 1000) AS lo,
+        |             (79*n) // 100 AS hi FROM nd),
+        |pairs AS (
         |  SELECT DISTINCT doc_id, token FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |    FROM documents)),
         |v AS (SELECT token, COUNT(*)::BIGINT AS df FROM pairs GROUP BY token
-        |      HAVING COUNT(*) BETWEEN 3 AND 395)
+        |      HAVING COUNT(*) BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b))
         |SELECT token, df,
         |  array_to_string(list_sort(list(doc_id)), ',') AS posting
         |FROM pairs JOIN v USING (token)

@@ -80,13 +80,25 @@ private[graft] object QueriesLayout {
 
 
       // blocklist gate: drop every document from a deny-listed source. The
-      // deny-list is derived from the data itself (sources that ever
-      // emitted a sub-60-char fragment — "spam-ridden domains"), so DuckDB
-      // replays both the list and the anti-join exactly. Plan: the list is
-      // dimension-sized → broadcast LeftAnti, corpus never shuffles.
+      // deny-list is derived from the data itself — sources whose sub-60-
+      // char fragment RATE exceeds 1.8% ("spam-ridden domains"). The rate
+      // rule (r20 — VERDICT r19 #5) replaces the original existence rule
+      // (ANY sub-60 doc denies), which is not scale-invariant: at 500k
+      // docs every source owns at least one tiny fragment and the deny
+      // list covered the universe. The rate compares in exact integer
+      // arithmetic (n60·1000 > n·18 ⇔ rate > 1.8%) so both engines agree
+      // bitwise at any scale; at sf0.01 it reproduces the existence
+      // denylist exactly (every denied source there has rate ≥ 4%), at
+      // sf10 it denies 9 of 20 sources — non-vacuous both sides. Plan:
+      // the list is dimension-sized → broadcast LeftAnti, corpus never
+      // shuffles; the rate screen is one map-side-combined aggregate.
       "q_blocklist" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.df(s, dir, "documents")
-        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        val deny = docs.groupBy("source")
+          .agg(sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("__n60"),
+            count(lit(1)).as("__n"))
+          .filter(col("__n60") * 1000L > col("__n") * 18L)
+          .select("source")
         graft.api.DataTable(
           Blocklist.filterBlocklist(docs, deny, "source")
             .select("doc_id", "source", "n_chars"))
@@ -99,7 +111,11 @@ private[graft] object QueriesLayout {
       // shows before dropping them.
       "q_blocklist_audit" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.df(s, dir, "documents")
-        val deny = docs.filter(col("n_chars") < 60).select("source").distinct()
+        val deny = docs.groupBy("source")
+          .agg(sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("__n60"),
+            count(lit(1)).as("__n"))
+          .filter(col("__n60") * 1000L > col("__n") * 18L)
+          .select("source")
         graft.api.DataTable(
           Blocklist.matchBlocklist(docs, deny, "source")
             .select("doc_id", "source", "n_chars"))
@@ -252,15 +268,20 @@ private[graft] object QueriesLayout {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
 
+    // same integer rate rule as the query: n60*1000 > n*18 <=> rate > 1.8%
     "q_blocklist" ->
-      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+      """WITH deny AS (
+        |  SELECT source FROM documents GROUP BY source
+        |  HAVING COUNT(*) FILTER (WHERE n_chars < 60) * 1000 > COUNT(*) * 18)
         |SELECT doc_id, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
         |ORDER BY doc_id""".stripMargin,
 
 
     "q_blocklist_audit" ->
-      """WITH deny AS (SELECT DISTINCT source FROM documents WHERE n_chars < 60)
+      """WITH deny AS (
+        |  SELECT source FROM documents GROUP BY source
+        |  HAVING COUNT(*) FILTER (WHERE n_chars < 60) * 1000 > COUNT(*) * 18)
         |SELECT doc_id, source, n_chars FROM documents d
         |WHERE EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
         |ORDER BY doc_id""".stripMargin,

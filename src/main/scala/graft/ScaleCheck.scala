@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ModelStore, Similarity}
+
+/** In-engine compensating scale evidence for the ONE ledger row whose
+  * DuckDB oracle is priced out at sf10: `q_ann_ivfpq`'s replay (PQ
+  * residual-codebook training as chained CTEs over 500k embeddings)
+  * exceeds a >176 GB oracle footprint, while the engine answers in
+  * seconds (PLANS r19). This check reuses the `q_ann_recall` discipline
+  * — integer hit counts, no float compare — on the production index
+  * shape, served through the ModelStore seam exactly as a deployment
+  * would (train once, publish, load, score):
+  *
+  *   1. train coarse cells (k=8, 2 Lloyd rounds) + residual PQ codebooks
+  *      (m=4, ncode=8) with the SAME parameters as `q_ann_ivfpq`;
+  *   2. publish both through [[graft.operators.ModelStore]] and load
+  *      them back (the IEEE-lossless round-trip the store chains pin);
+  *   3. serve `ivfPqTopK` (ADC) from the LOADED artifacts for a sampled
+  *      query set, and count hits against
+  *      (a) `ivfTopK` — exact scoring over the SAME probed cells (both
+  *          share `probeTop2`, so this isolates pure PQ/ADC quantization
+  *          error from probe misses), and
+  *      (b) `bruteForceTopK` — global exact ground truth (end-to-end
+  *          recall\@k of the full IVF-PQ index).
+  *
+  * `runMain graft.ScaleCheck <sfDir> [nQueries]` — prints one JSON line
+  * with the aggregate integer counts; per-decade numbers are recorded in
+  * PLANS so the sf10 row has 100x-decade evidence despite the oracle
+  * ceiling.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nq = if (args.length > 1) args(1).toInt else 40
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < nq)
+
+    // same training parameters as q_ann_ivfpq (QueriesVector.scala)
+    val cells = Similarity.kmeansCells(emb, "embedding", "vec_id",
+      k = 8, iters = 2)
+    val books = Similarity.ivfPqCodebooks(emb, "embedding", "vec_id",
+      cells.map(_._2), m = 4, ncode = 8, iters = 1)
+
+    val root = s"/tmp/graft_scalecheck_${ProcessHandle.current().pid()}"
+    ModelStore.destroy(root)
+    ModelStore.saveCentroids(spark, root, cells)
+    ModelStore.saveCodebooks(spark, root, books)
+    val cents = ModelStore.loadCentroids(spark, root).map(_._2)
+    val loadedBooks = ModelStore.loadCodebooks(spark, root)
+
+    val adc = Similarity.ivfPqTopK(emb, qs, cents, loadedBooks,
+      "embedding", "vec_id", "vec_id", k = k)
+      .select(col("query_id"), col("vec_id"))
+    val probedExact = Similarity.ivfTopK(emb, qs, cents,
+      "embedding", "vec_id", "vec_id", k = k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__e"))
+    val brute = Similarity.bruteForceTopK(emb, qs,
+      "embedding", "vec_id", "vec_id", k = k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__b"))
+
+    val row = adc
+      .join(probedExact, Seq("query_id", "vec_id"), "left")
+      .join(brute, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_adc"),
+        sum(coalesce(col("__e"), lit(0L))).as("hit_probed_exact"),
+        sum(coalesce(col("__b"), lit(0L))).as("hit_brute"))
+      .head()
+
+    ModelStore.destroy(root)
+    println(s"""{"check":"ivfpq_adc_recall","sf_dir":"$sfDir",""" +
+      s""""n_queries":$nq,"k":$k,"n_adc":${row.getLong(0)},""" +
+      s""""hit_probed_exact":${row.getLong(1)},""" +
+      s""""hit_brute":${row.getLong(2)}}""")
+    spark.stop()
+  }
+}

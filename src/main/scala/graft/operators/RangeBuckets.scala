@@ -97,6 +97,7 @@ private[operators] object RangeBuckets {
       val splits = (if (integral) q.map(Math.floor) else q).distinct.sorted
       if (splits.size < math.max(1, numParts / 2)) None
       else {
+        warnIfBucketsLikelySpill(keyed, splits.size + 1)
         val pid = splits.map { s =>
           val boundary = if (integral) lit(Math.floor(s).toLong) else lit(s)
           when(bkCol >= boundary, 1).otherwise(0)
@@ -105,6 +106,41 @@ private[operators] object RangeBuckets {
       }
     }
   }
+
+  /** The sizing rule the sf10 rehearsal measured (PLANS r19 triage): each
+    * range bucket is sorted by ONE task, so the sort stays in memory only
+    * while `bucketBytes ~ inputBytes / numBuckets` fits the per-task
+    * execution-memory share, `executorHeap x spark.memory.fraction x
+    * (1 - spark.memory.storageFraction) / coresPerExecutor`. Past that
+    * boundary the sort still completes correctly but spills, and wall
+    * time inflates by pure spill I/O (the q_global_lag 18.5x-vs-8.5x
+    * slope gap at sf10/8g). On a real cluster the share grows with the
+    * executor count, so crossing it is a deployment-sizing fact, not a
+    * plan defect — surface it as a log warning a deployer can act on. */
+  private def warnIfBucketsLikelySpill(keyed: DataFrame, buckets: Int): Unit =
+    try {
+      val spark = keyed.sparkSession
+      val inBytes = keyed.queryExecution.optimizedPlan.stats.sizeInBytes
+      // catalyst's "unknown" default is Long.MaxValue-scale — skip those
+      if (inBytes > 0 && inBytes < BigInt(Long.MaxValue) / 4) {
+        val heap = spark.conf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(Runtime.getRuntime.maxMemory)
+        val cores = math.max(1, spark.sparkContext.defaultParallelism)
+        val frac = spark.conf.getOption("spark.memory.fraction")
+          .map(_.toDouble).getOrElse(0.6)
+        val storage = spark.conf.getOption("spark.memory.storageFraction")
+          .map(_.toDouble).getOrElse(0.5)
+        val share = (heap * frac * (1 - storage) / cores).toLong
+        val perBucket = (inBytes / math.max(1, buckets)).toLong
+        if (perBucket > share)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"global-sort range buckets likely to spill: ~${perBucket >> 20} " +
+              s"MiB/bucket vs ~${share >> 20} MiB per-task execution share " +
+              s"(${cores}-way, ${heap >> 20} MiB executor heap). Correct but " +
+              "slower by spill I/O; grow executor memory or parallelism.")
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Bytes of string key used for split points, AFTER the corpus-wide
     * common prefix: 6 bytes = 48 bits keeps every derived long exactly

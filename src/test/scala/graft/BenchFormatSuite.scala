@@ -78,4 +78,19 @@ class BenchFormatSuite extends AnyFunSuite {
     // even at this budget the survivors keep centisecond precision
     assert(line.contains(":4.75"))
   }
+
+  test("extra fields (bench-anchor control factor) survive every ladder tier") {
+    val extra = ""","control_factor":1.171,"norm_sec_per_query":0.618"""
+    // full-map tier
+    val full = BenchFormat.line(mkResults(20), "/sf", budget = 1950, extra = extra)
+    val fn = mapper.readTree(full)
+    assert(fn.get("control_factor").asDouble() == 1.171)
+    assert(fn.get("norm_sec_per_query").asDouble() == 0.618)
+    // truncated tier — the protocol fields must not be what gets cut
+    val trunc = BenchFormat.line(mkResults(120), "/sf", budget = 1950, extra = extra)
+    assert(trunc.length <= 1950)
+    val tn = mapper.readTree(trunc)
+    assert(tn.get("control_factor").asDouble() == 1.171)
+    assert(tn.has("rest"))
+  }
 }
