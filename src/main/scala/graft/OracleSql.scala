@@ -772,13 +772,28 @@ object OracleSql {
 
   /** Replays Dedup.embeddingCandidates (hyperplane buckets from the same
     * md5-derived planes, in-bucket cosine). */
-  def embedDedup(dim: Int = 64, numPlanes: Int = 6, minCosine: Double = 0.2,
-                 bucketCap: Int = 1024): String = {
-    val planes = VectorFunctions.hashPlanes(numPlanes, dim)
-    s"""WITH b AS (
+  def embedDedup(dim: Int = 64, minCosine: Double = 0.2,
+                 bucketCap: Int = 1024,
+                 minPlanes: Int = 6, maxPlanes: Int = 16,
+                 targetBucket: Int = 8): String = {
+    // corpus-size-derived plane count (VectorFunctions.lshPlanesFor):
+    // all maxPlanes sign terms are carried (hashPlanes is prefix-stable
+    // in p) and gated on the integer-derived p — the same p the query
+    // computes from the same count, so the engines cannot diverge
+    val planes = VectorFunctions.hashPlanes(maxPlanes, dim)
+    val ladder = (minPlanes until maxPlanes)
+      .map(q => s"WHEN n <= ${(1L << q) * targetBucket} THEN $q")
+      .mkString(" ")
+    val gated = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN $i < np.p AND ${dot("embedding::DOUBLE[]", planeList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH np AS (
+       |  SELECT (CASE $ladder ELSE $maxPlanes END) AS p
+       |  FROM (SELECT COUNT(*)::BIGINT AS n FROM embeddings)),
+       |b AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket
-       |  FROM embeddings),
+       |    $gated AS bucket
+       |  FROM embeddings, np),
        |ok AS (
        |  SELECT bucket FROM b GROUP BY bucket
        |  HAVING COUNT(*) BETWEEN 2 AND $bucketCap)

@@ -280,14 +280,24 @@ private[graft] object QueriesDedup {
 
       // embedding near-dup pairs via hyperplane LSH (exact oracle:
       // md5-derived planes replayed as literal constants in the SQL)
-      "q_embed_dedup" -> ((s: SparkSession, dir: String) =>
+      "q_embed_dedup" -> ((s: SparkSession, dir: String) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        // random synthetic embeddings cluster near cosine 0 — a low
+        // threshold keeps the candidate path exercised in the gate. The
+        // plane count is CORPUS-SIZE-DERIVED (r20): smallest p in [6,16]
+        // with 2^p·8 ≥ N, i.e. ~8 vectors/bucket at any scale — at
+        // sf0.01 (N=500) this is the original 6 planes (ledger hash
+        // unchanged); at sf10 (N=500k) it is 16 planes, where the fixed
+        // 6-plane fixture had every one of its 64 buckets over the cap
+        // and the compare was vacuous at empty. hashPlanes is prefix-
+        // stable in p, so the oracle carries all 16 sign terms and
+        // gates them on the same integer-derived p.
+        val p = graft.functions.VectorFunctions.lshPlanesFor(emb.count())
         graft.api.DataTable(
-          Dedup.embeddingCandidates(Tables.df(s, dir, "embeddings"),
-            // random synthetic embeddings cluster near cosine 0 — a low
-            // threshold keeps the candidate path exercised in the gate;
-            // 6 planes = 64 buckets bounds the in-bucket quadratic cost
-            "embedding", "vec_id", dim = 64, numPlanes = 6, minCosine = 0.2))
-          .arrange("id_a", "id_b").df),
+          Dedup.embeddingCandidates(emb,
+            "embedding", "vec_id", dim = 64, numPlanes = p, minCosine = 0.2))
+          .arrange("id_a", "id_b").df
+      }),
 
 
       // SemDeDup: trained k-means cells as the blocking key, greedy

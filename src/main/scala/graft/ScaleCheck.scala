@@ -62,9 +62,24 @@ object ScaleCheck {
     val cents = ModelStore.loadCentroids(spark, root).map(_._2)
     val loadedBooks = ModelStore.loadCodebooks(spark, root)
 
-    val adc = Similarity.ivfPqTopK(emb, qs, cents, loadedBooks,
+    // the store-seam identity: ADC served from LOADED artifacts must be
+    // row-identical to ADC from the artifacts still in JVM memory — the
+    // IEEE-lossless round-trip the model-store chains pin, asserted here
+    // directly at whatever scale this runs (integer mismatch count)
+    val adcFull = Similarity.ivfPqTopK(emb, qs, cents, loadedBooks,
       "embedding", "vec_id", "vec_id", k = k)
-      .select(col("query_id"), col("vec_id"))
+    val adcRetrained = Similarity.ivfPqTopK(emb, qs, cells.map(_._2), books,
+      "embedding", "vec_id", "vec_id", k = k)
+    // both results are nQueries x k rows — driver-side multiset compare
+    // (exceptAll over two window-derived twins trips a Catalyst binding
+    // bug in 4.1.2; the bounded collect is the simpler tool anyway)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val (ra, rb) = (rows(adcFull), rows(adcRetrained))
+    val nMismatch = (ra.keySet ++ rb.keySet).iterator
+      .map(r => math.abs(ra.getOrElse(r, 0) - rb.getOrElse(r, 0))).sum
+    val adc = adcFull.select(col("query_id"), col("vec_id"))
     val probedExact = Similarity.ivfTopK(emb, qs, cents,
       "embedding", "vec_id", "vec_id", k = k)
       .select(col("query_id"), col("vec_id"), lit(1L).as("__e"))
@@ -84,7 +99,8 @@ object ScaleCheck {
     println(s"""{"check":"ivfpq_adc_recall","sf_dir":"$sfDir",""" +
       s""""n_queries":$nq,"k":$k,"n_adc":${row.getLong(0)},""" +
       s""""hit_probed_exact":${row.getLong(1)},""" +
-      s""""hit_brute":${row.getLong(2)}}""")
+      s""""hit_brute":${row.getLong(2)},""" +
+      s""""store_seam_mismatch":$nMismatch}""")
     spark.stop()
   }
 }

@@ -54,6 +54,23 @@ object VectorFunctions {
       zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Corpus-size-derived hyperplane count: the smallest p in
+    * [minPlanes, maxPlanes] with 2^p · targetBucket ≥ n, i.e. enough
+    * planes that a balanced corpus averages ~targetBucket vectors per
+    * bucket — what a real LSH deployment tunes as the corpus grows
+    * (constant occupancy keeps the in-bucket quadratic constant). Pure
+    * integer comparisons, so any engine derives the identical p from
+    * the same count; with [[hashPlanes]] prefix-stable in k (plane i
+    * depends only on i), the p-plane bucket is the low-p-bit prefix of
+    * the maxPlanes-plane bucket — which lets a static SQL oracle carry
+    * all maxPlanes sign terms and gate them on the same derived p. */
+  def lshPlanesFor(n: Long, minPlanes: Int = 6, maxPlanes: Int = 16,
+                   targetBucket: Int = 8): Int = {
+    var p = minPlanes
+    while (p < maxPlanes && (1L << p) * targetBucket < n) p += 1
+    p
+  }
+
   /** Sign-bit LSH bucket for cosine similarity: the bit pattern of
     * `sign(v · p_i)` over `planes` (fixed pseudo-random hyperplanes).
     * Vectors colliding in a bucket are near-duplicate candidates; two
