@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ModelStore, Similarity}
+import graft.operators.{Dedup, ModelStore, Similarity}
 
 /** In-engine compensating scale evidence for the ONE ledger row whose
   * DuckDB oracle is priced out at sf10: `q_ann_ivfpq`'s replay (PQ
@@ -33,9 +33,6 @@ import graft.operators.{ModelStore, Similarity}
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val nq = if (args.length > 1) args(1).toInt else 40
-    val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +42,72 @@ object ScaleCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "winnow_cc" => winnowCc(spark, args(1))
+      case sfDir => ivfPq(spark, sfDir,
+        if (args.length > 1) args(1).toInt else 40)
+    }
+    spark.stop()
+  }
+
+  /** Compensating in-engine evidence for `q_winnow_cluster`, whose
+    * DuckDB oracle (RECURSIVE closure over the winnow pair graph) is
+    * priced out at sf10 like q_ann_ivfpq's (117 GB RSS uncapped; a
+    * 40 GB-capped retry spilled 37 GB of a 72 GB disk before being
+    * stopped). The EDGES are already sf10-hash-verified (q_winnow_pairs,
+    * r19 rehearsal, same parameters); what the oracle would add is only
+    * the transitive closure — so verify that independently in-engine:
+    * an iterative min-label-propagation CC (algorithmically disjoint
+    * from the operator's pointer-jumping union-find) over the same
+    * edges, converged to fixpoint, compared label-for-label against
+    * `clusterByWinnow` after canonicalizing both sides to min-doc_id
+    * per cluster. Integer mismatch count; 0 = the two CC
+    * implementations agree on every one of the N docs. */
+  private def winnowCc(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val edges = Dedup.winnowCandidates(docs, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = 4L)
+      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
+    val nEdges = edges.count()
+    // lineage MUST be truncated per round (localCheckpoint, eager): a
+    // persist()-only loop re-plans a DAG that deepens every iteration
+    // and round time explodes (2 s -> 280 s by iter 7 at sf1, measured)
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 100) {
+      val t0 = System.nanoTime()
+      val msgs = edges.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("lbl"))
+        .unionAll(edges.join(labels, col("b") === col("id"))
+          .select(col("a").as("id"), col("lbl")))
+      val next = labels.unionAll(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next // superseded checkpoint blocks are context-cleaned
+      iters += 1
+      System.err.println(
+        f"[winnow_cc] iter $iters: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val ops = Dedup.clusterByWinnow(docs, "text", "doc_id",
+      k = 12, w = 8, bucketCap = 64, minShared = 4L)
+      .select(col("doc_id"), col("cluster_id"))
+    val canon = ops.groupBy("cluster_id").agg(min("doc_id").as("canon"))
+    val opsC = ops.join(canon, "cluster_id")
+      .select(col("doc_id").as("id"), col("canon"))
+    val mismatch = opsC.join(labels, "id")
+      .filter(col("canon") =!= col("lbl")).count()
+    val nDocs = labels.count()
+    val nClusters = labels.select("lbl").distinct().count()
+    println(s"""{"check":"winnow_cc","sf_dir":"$sfDir",""" +
+      s""""n_docs":$nDocs,"n_edges":$nEdges,"n_clusters":$nClusters,""" +
+      s""""propagation_iters":$iters,"label_mismatch":$mismatch}""")
+  }
+
+  private def ivfPq(spark: SparkSession, sfDir: String, nq: Int): Unit = {
+    val k = 10
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < nq)
@@ -101,6 +164,5 @@ object ScaleCheck {
       s""""hit_probed_exact":${row.getLong(1)},""" +
       s""""hit_brute":${row.getLong(2)},""" +
       s""""store_seam_mismatch":$nMismatch}""")
-    spark.stop()
   }
 }

@@ -55,6 +55,15 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # sf10-scale oracle replays can exceed the box (q_winnow_cluster hit
+    # 117 GB RSS before being killed, r20): GRAFT_DUCKDB_MEM caps the
+    # buffer pool so DuckDB spills to disk instead of OOMing the host,
+    # GRAFT_DUCKDB_THREADS bounds CPU when sharing the box.
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+        con.execute(f"SET temp_directory='{os.environ.get('GRAFT_DUCKDB_TMP', '/tmp/graft_duckdb_spill')}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):
