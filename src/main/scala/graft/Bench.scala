@@ -70,13 +70,21 @@ object Bench {
       "q_quality" -> 0.711343, "q_token_count" -> 0.331832,
       "q_fingerprint" -> 0.210499, "q_lang_id" -> 0.750644,
       "q_colminmax" -> 0.097683)
+    // the anchors are sf0.1 warm times — at any other scale a ratio
+    // against them measures data size, not box speed, so the protocol
+    // fields are only emitted for the scale they were anchored at
+    val anchorsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
     val rmap = results.toMap
-    val controlRatios = controlAnchors
-      .flatMap { case (q, anchor) =>
-        rmap.get(q).map(_._2).filter(_ > 0).map(_ / anchor) }
-      .sorted
+    val controlRatios =
+      (if (anchorsApply) controlAnchors else Seq.empty)
+        .flatMap { case (q, anchor) =>
+          rmap.get(q).map(_._2).filter(_ > 0).map(_ / anchor) }
+        .sorted
     val controlFactor =
-      if (controlRatios.isEmpty) -1.0 else controlRatios(controlRatios.size / 2)
+      if (controlRatios.isEmpty) -1.0
+      else if (controlRatios.size % 2 == 1) controlRatios(controlRatios.size / 2)
+      else (controlRatios(controlRatios.size / 2 - 1) +
+        controlRatios(controlRatios.size / 2)) / 2
     val nOk = results.count(_._2._2 >= 0)
     val normSecPerQuery =
       if (controlFactor <= 0 || nOk == 0) -1.0

@@ -16,6 +16,24 @@ import graft.operators.{Blocklist, Bm25, Corpus, Dedup, Diagnostics, Layout, Mul
   * there); assembled and key-set-ratcheted by SparkEntry/EntrySuite. */
 private[graft] object QueriesLayout {
 
+  /** The q_blocklist deny rule, shared with its audit twin so the 1.8%
+    * threshold lives in ONE place per engine: sources whose sub-60-char
+    * fragment rate exceeds 1.8%, compared in exact integer arithmetic
+    * (n60·1000 > n·18) so both engines agree bitwise at any scale. The
+    * oracle twin is [[denyCte]]. */
+  private def denySources(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("__n60"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n60") * 1000L > col("__n") * 18L)
+      .select("source")
+
+  /** [[denySources]]' oracle replay — the same integer rate rule. */
+  private val denyCte =
+    """WITH deny AS (
+      |  SELECT source FROM documents GROUP BY source
+      |  HAVING COUNT(*) FILTER (WHERE n_chars < 60) * 1000 > COUNT(*) * 18)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
 
@@ -94,13 +112,8 @@ private[graft] object QueriesLayout {
       // shuffles; the rate screen is one map-side-combined aggregate.
       "q_blocklist" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.df(s, dir, "documents")
-        val deny = docs.groupBy("source")
-          .agg(sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("__n60"),
-            count(lit(1)).as("__n"))
-          .filter(col("__n60") * 1000L > col("__n") * 18L)
-          .select("source")
         graft.api.DataTable(
-          Blocklist.filterBlocklist(docs, deny, "source")
+          Blocklist.filterBlocklist(docs, denySources(docs), "source")
             .select("doc_id", "source", "n_chars"))
           .arrange("doc_id").df
       }),
@@ -111,13 +124,8 @@ private[graft] object QueriesLayout {
       // shows before dropping them.
       "q_blocklist_audit" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.df(s, dir, "documents")
-        val deny = docs.groupBy("source")
-          .agg(sum(when(col("n_chars") < 60, 1L).otherwise(0L)).as("__n60"),
-            count(lit(1)).as("__n"))
-          .filter(col("__n60") * 1000L > col("__n") * 18L)
-          .select("source")
         graft.api.DataTable(
-          Blocklist.matchBlocklist(docs, deny, "source")
+          Blocklist.matchBlocklist(docs, denySources(docs), "source")
             .select("doc_id", "source", "n_chars"))
           .arrange("doc_id").df
       }),
@@ -268,20 +276,16 @@ private[graft] object QueriesLayout {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
 
-    // same integer rate rule as the query: n60*1000 > n*18 <=> rate > 1.8%
+    // same integer rate rule as the query (denyCte, one site per engine)
     "q_blocklist" ->
-      """WITH deny AS (
-        |  SELECT source FROM documents GROUP BY source
-        |  HAVING COUNT(*) FILTER (WHERE n_chars < 60) * 1000 > COUNT(*) * 18)
+      s"""$denyCte
         |SELECT doc_id, source, n_chars FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
         |ORDER BY doc_id""".stripMargin,
 
 
     "q_blocklist_audit" ->
-      """WITH deny AS (
-        |  SELECT source FROM documents GROUP BY source
-        |  HAVING COUNT(*) FILTER (WHERE n_chars < 60) * 1000 > COUNT(*) * 18)
+      s"""$denyCte
         |SELECT doc_id, source, n_chars FROM documents d
         |WHERE EXISTS (SELECT 1 FROM deny WHERE deny.source = d.source)
         |ORDER BY doc_id""".stripMargin,

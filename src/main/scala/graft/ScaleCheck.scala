@@ -65,10 +65,14 @@ object ScaleCheck {
     * implementations agree on every one of the N docs. */
   private def winnowCc(spark: SparkSession, sfDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val edges = Dedup.winnowCandidates(docs, "text", "doc_id",
+    // one candidate computation feeds BOTH sides: the propagation edges
+    // and clusterByPairs (whose public wrapper clusterByWinnow would
+    // recompute the dominant fingerprint/bucket/pair stage end-to-end)
+    val pairs = Dedup.winnowCandidates(docs, "text", "doc_id",
       k = 12, w = 8, bucketCap = 64, minShared = 4L)
-      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
-    val nEdges = edges.count()
+      .select(col("id_a"), col("id_b")).persist()
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val nEdges = pairs.count()
     // lineage MUST be truncated per round (localCheckpoint, eager): a
     // persist()-only loop re-plans a DAG that deepens every iteration
     // and round time explodes (2 s -> 280 s by iter 7 at sf1, measured)
@@ -91,8 +95,7 @@ object ScaleCheck {
       System.err.println(
         f"[winnow_cc] iter $iters: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val ops = Dedup.clusterByWinnow(docs, "text", "doc_id",
-      k = 12, w = 8, bucketCap = 64, minShared = 4L)
+    val ops = Dedup.clusterByPairs(docs, pairs, "doc_id")
       .select(col("doc_id"), col("cluster_id"))
     val canon = ops.groupBy("cluster_id").agg(min("doc_id").as("canon"))
     val opsC = ops.join(canon, "cluster_id")
@@ -135,7 +138,10 @@ object ScaleCheck {
       "embedding", "vec_id", "vec_id", k = k)
     // both results are nQueries x k rows — driver-side multiset compare
     // (exceptAll over two window-derived twins trips a Catalyst binding
-    // bug in 4.1.2; the bounded collect is the simpler tool anyway)
+    // bug in 4.1.2; the bounded collect is the simpler tool anyway).
+    // adcFull is persisted: the seam collect and the recall join below
+    // would otherwise each re-run the full PQ-encode + probe plan.
+    adcFull.persist()
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
         .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap

@@ -126,7 +126,12 @@ private[operators] object RangeBuckets {
         val heap = spark.conf.getOption("spark.executor.memory")
           .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
           .getOrElse(Runtime.getRuntime.maxMemory)
-        val cores = math.max(1, spark.sparkContext.defaultParallelism)
+        // the share divides ONE executor's heap by that executor's task
+        // slots: spark.executor.cores on a cluster; local mode has a
+        // single "executor" whose slot count IS defaultParallelism
+        val cores = spark.conf.getOption("spark.executor.cores")
+          .map(_.toInt)
+          .getOrElse(math.max(1, spark.sparkContext.defaultParallelism))
         val frac = spark.conf.getOption("spark.memory.fraction")
           .map(_.toDouble).getOrElse(0.6)
         val storage = spark.conf.getOption("spark.memory.storageFraction")

@@ -61,6 +61,7 @@ def main():
     # GRAFT_DUCKDB_THREADS bounds CPU when sharing the box.
     if os.environ.get("GRAFT_DUCKDB_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_MEM") or os.environ.get("GRAFT_DUCKDB_TMP"):
         con.execute(f"SET temp_directory='{os.environ.get('GRAFT_DUCKDB_TMP', '/tmp/graft_duckdb_spill')}'")
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
