@@ -32,6 +32,14 @@ import graft.operators.{Dedup, ModelStore, Similarity}
   * ceiling.
   */
 object ScaleCheck {
+
+  final case class WinnowCcResult(nDocs: Long, nEdges: Long,
+                                  nClusters: Long, iters: Int,
+                                  labelMismatch: Long)
+
+  final case class IvfPqResult(k: Int, nAdc: Long, hitProbedExact: Long,
+                               hitBrute: Long, storeSeamMismatch: Long)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,9 +51,21 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
-      case "winnow_cc" => winnowCc(spark, args(1))
-      case sfDir => ivfPq(spark, sfDir,
-        if (args.length > 1) args(1).toInt else 40)
+      case "winnow_cc" =>
+        val r = winnowCc(spark, args(1))
+        println(s"""{"check":"winnow_cc","sf_dir":"${args(1)}",""" +
+          s""""n_docs":${r.nDocs},"n_edges":${r.nEdges},""" +
+          s""""n_clusters":${r.nClusters},""" +
+          s""""propagation_iters":${r.iters},""" +
+          s""""label_mismatch":${r.labelMismatch}}""")
+      case sfDir =>
+        val nq = if (args.length > 1) args(1).toInt else 40
+        val r = ivfPq(spark, sfDir, nq)
+        println(s"""{"check":"ivfpq_adc_recall","sf_dir":"$sfDir",""" +
+          s""""n_queries":$nq,"k":${r.k},"n_adc":${r.nAdc},""" +
+          s""""hit_probed_exact":${r.hitProbedExact},""" +
+          s""""hit_brute":${r.hitBrute},""" +
+          s""""store_seam_mismatch":${r.storeSeamMismatch}}""")
     }
     spark.stop()
   }
@@ -63,7 +83,7 @@ object ScaleCheck {
     * `clusterByWinnow` after canonicalizing both sides to min-doc_id
     * per cluster. Integer mismatch count; 0 = the two CC
     * implementations agree on every one of the N docs. */
-  private def winnowCc(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def winnowCc(spark: SparkSession, sfDir: String): WinnowCcResult = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // one candidate computation feeds BOTH sides: the propagation edges
     // and clusterByPairs (whose public wrapper clusterByWinnow would
@@ -104,12 +124,11 @@ object ScaleCheck {
       .filter(col("canon") =!= col("lbl")).count()
     val nDocs = labels.count()
     val nClusters = labels.select("lbl").distinct().count()
-    println(s"""{"check":"winnow_cc","sf_dir":"$sfDir",""" +
-      s""""n_docs":$nDocs,"n_edges":$nEdges,"n_clusters":$nClusters,""" +
-      s""""propagation_iters":$iters,"label_mismatch":$mismatch}""")
+    pairs.unpersist()
+    WinnowCcResult(nDocs, nEdges, nClusters, iters, mismatch)
   }
 
-  private def ivfPq(spark: SparkSession, sfDir: String, nq: Int): Unit = {
+  private[graft] def ivfPq(spark: SparkSession, sfDir: String, nq: Int): IvfPqResult = {
     val k = 10
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -165,10 +184,7 @@ object ScaleCheck {
       .head()
 
     ModelStore.destroy(root)
-    println(s"""{"check":"ivfpq_adc_recall","sf_dir":"$sfDir",""" +
-      s""""n_queries":$nq,"k":$k,"n_adc":${row.getLong(0)},""" +
-      s""""hit_probed_exact":${row.getLong(1)},""" +
-      s""""hit_brute":${row.getLong(2)},""" +
-      s""""store_seam_mismatch":$nMismatch}""")
+    adcFull.unpersist()
+    IvfPqResult(k, row.getLong(0), row.getLong(1), row.getLong(2), nMismatch)
   }
 }
