@@ -16,6 +16,19 @@ object VectorFunctions {
 
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** A constant vector as ONE `Literal` node (`typedlit`) instead of a
+    * `CreateArray` over dim `Literal` nodes. The VALUE is identical —
+    * ConstantFolding collapses the CreateArray form to exactly this
+    * literal — but the pre-folding expression tree is dim× smaller,
+    * which cuts the per-job analyzer/optimizer walks that dominate the
+    * literal-heavy ANN plans (k cells × dim components per cosine; a
+    * k=64 assignment carried 64·64 Literal nodes per projection).
+    * Guide §1/§7.3: the cost was driver-side planning, not execution. */
+  def litVec(a: Array[Double]): Column = typedlit(a.toSeq)
+
+  /** [[litVec]] for a constant matrix (`array<array<double>>`). */
+  def litMat(m: Seq[Array[Double]]): Column = typedlit(m.map(_.toSeq))
+
   /** Dot product as a codegen'd single left-fold loop
     * (graftshim.VecDot) — same summation order as the interpreted
     * `aggregate(zip_with(...))` it replaced and as DuckDB's
@@ -77,7 +90,7 @@ object VectorFunctions {
     * vectors at cosine θ collide with probability (1 - θ/π)^k. */
   def hyperplaneBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val lp = array(p.map(lit).toIndexedSeq: _*)
+      val lp = litVec(p)
       when(dot(v, lp) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 

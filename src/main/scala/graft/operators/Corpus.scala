@@ -33,13 +33,54 @@ object Corpus {
     * construction; pick maxDf so df*8 bytes fits an executor's row
     * budget. */
   def postings(df: DataFrame, textCol: String, idCol: String,
-               minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
+               minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
+    postingsBanded(df, textCol, idCol, lit(minDf), lit(maxDf))
+
+  /** [[postings]] with Column-valued df bounds — lets a corpus-size-
+    * derived band ride the SAME plan as a broadcast scalar instead of
+    * paying a separate eager `count()` job before the query body
+    * (guide §1.2: one job, not two; the count branch prunes to zero
+    * columns, so the parquet reader serves it from row-group counts). */
+  def postingsBanded(df: DataFrame, textCol: String, idCol: String,
+                     minDf: Column, maxDf: Column): DataFrame = {
     val pairs = df
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
       .distinct()
     val vocab = pairs.groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+    pairs.join(vocab, Seq("token"))
+      .groupBy("token")
+      .agg(max(col("df")).as("df"),
+        array_join(
+          transform(array_sort(collect_list(col("__id"))),
+            x => x.cast("string")),
+          ",").as("posting"))
+  }
+
+  /** [[postingsBanded]] with the r20 scale-invariant integer band
+    * lo = max(3, ceil(0.006·N)), hi = floor(0.79·N) derived IN-PLAN from
+    * `count(*)` over the same corpus (a broadcast 1-row scalar), so the
+    * band costs no separate Spark job — VERDICT r20 "what's wrong #3"
+    * measured the eager-count form at 2× the r19 query time. Exact
+    * integer arithmetic, identical to the literal band the oracle CTE
+    * computes. */
+  def postingsScaleBanded(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__n"))
+    val minDf = greatest(lit(3L), expr("(6 * __n + 999) DIV 1000"))
+    val maxDf = expr("79 * __n DIV 100")
+    // the band filter sits on the vocab aggregate, which is where the
+    // scalar must be visible: rebuild postingsBanded's plan with the
+    // 1-row count broadcast-cross-joined in ahead of the filter
+    val pairs = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val vocab = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("token"), col("df"))
     pairs.join(vocab, Seq("token"))
       .groupBy("token")
       .agg(max(col("df")).as("df"),
@@ -288,7 +329,7 @@ object Corpus {
       val x = math.log((t(b) + 1.0) / tTot) - math.log((r(b) + 1.0) / rTot)
       math.floor(x * quantScale + 0.5).toLong
     }
-    val llrCol = array(llr.map(lit): _*)
+    val llrCol = typedlit(llr)
     raw.select(col(idCol),
       when(col(textCol).isNull, lit(0L)).otherwise(
         aggregate(
@@ -348,7 +389,7 @@ object Corpus {
     val h = Array.tabulate(dim + 1)(j => 1.0 + sq.getOrElse(j, 0L) / (4.0 * n))
     val w = Array.fill(dim + 1)(0.0) // w(dim) = bias
     for (_ <- 0 until epochs) {
-      val wLit = array(w.toIndexedSeq.take(dim).map(lit): _*)
+      val wLit = typedlit(w.toSeq.take(dim))
       val z = aggregate(
         zip_with(featureHash(col("__t"), dim), wLit,
           (c, wj) => c.cast("double") * wj),
@@ -378,7 +419,7 @@ object Corpus {
   def qualityClassifierScore(df: DataFrame, textCol: String, idCol: String,
                              weightsMicro: Seq[Long],
                              biasMicro: Long): DataFrame = {
-    val wCol = array(weightsMicro.map(lit): _*)
+    val wCol = typedlit(weightsMicro)
     df.select(col(idCol),
       when(col(textCol).isNull, lit(biasMicro)).otherwise(
         aggregate(
@@ -700,7 +741,7 @@ object Corpus {
         .cast("long").as("n_ellipsis"),
       size(filter(col("__toks"), w => w.rlike("[A-Za-z]")))
         .cast("long").as("n_alpha_words"),
-      size(filter(array(GopherStopwords.map(lit): _*),
+      size(filter(typedlit(GopherStopwords),
         w => array_contains(col("__toks"), w))).cast("long").as("n_stop_hits"))
     // the paper REMOVES strictly past each threshold, so a document
     // sitting exactly on a boundary passes (<=/>=, the repetitionRules

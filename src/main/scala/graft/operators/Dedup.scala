@@ -398,7 +398,11 @@ object Dedup {
                             tauPct: Int = 50,
                             shingleSize: Int = 3): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    val sets = shingleSets(df, textCol, idCol, shingleSize)
+    // PlanCache pin (r21): this frame feeds FOUR plan branches (df
+    // counts, the sorted prefix index via join, and both verify sides)
+    // — unpinned, each branch re-scanned the corpus and re-ran the
+    // md5-per-shingle kernel (6 scans per execution, q_jaccard_join plan)
+    val sets = PlanCache.pinned(shingleSets(df, textCol, idCol, shingleSize))
     val ex = sets.select(col("id"), explode(col("__ss")).as("__h"))
     val dfc = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
     // rarest-first total order (df, hash) — collect_list order is
@@ -454,8 +458,9 @@ object Dedup {
     // candidates are LSH-bounded, so exact overlap is ONE bounded
     // array_intersect per candidate (full sets re-joined by id) — no
     // pair-generation join at all on the exact side
-    val sets = shingleSets(df, textCol, idCol, shingleSize)
-      .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n"))
+    val sets = PlanCache.pinned(
+      shingleSets(df, textCol, idCol, shingleSize)
+        .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n")))
     minhashCandidates(df, textCol, idCol, k, bands, bucketCap, minEstJaccard)
       .join(sets.select(col("id").as("id_a"), col("__ss").as("__sa"),
         col("__n").as("__na")), Seq("id_a"))
@@ -488,8 +493,9 @@ object Dedup {
                        k: Int = 12, w: Int = 8, bucketCap: Int = 64,
                        minShared: Long = 4L,
                        shingleSize: Int = 3): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, shingleSize)
-      .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n"))
+    val sets = PlanCache.pinned(
+      shingleSets(df, textCol, idCol, shingleSize)
+        .select(col("id"), col("__ss"), size(col("__ss")).cast("long").as("__n")))
     winnowCandidates(df, textCol, idCol, k, w, bucketCap, minShared)
       .select(col("id_a"), col("id_b"))
       .join(sets.select(col("id").as("id_a"), col("__ss").as("__sa"),
@@ -519,8 +525,10 @@ object Dedup {
                               tauPct: Int = 50,
                               shingleSize: Int = 3): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    val lSets = shingleSets(left, textCol, idCol, shingleSize)
-    val rSets = shingleSets(right, textCol, idCol, shingleSize)
+    // PlanCache pins (r21): each side feeds three branches (union df
+    // counts, its prefix index, its verify side) — the jaccard-join rule
+    val lSets = PlanCache.pinned(shingleSets(left, textCol, idCol, shingleSize))
+    val rSets = PlanCache.pinned(shingleSets(right, textCol, idCol, shingleSize))
     val union = lSets.select(col("id"), explode(col("__ss")).as("__h"))
       .unionByName(rSets.select(col("id"), explode(col("__ss")).as("__h")))
     val dfc = union.groupBy("__h").agg(count(lit(1)).as("__df"))
@@ -1084,8 +1092,10 @@ object Dedup {
     import org.apache.spark.sql.graftshim.{DistinctShingleHashes, Shim, SortedMembershipCount}
     val hashesCol = Shim.toColumn(DistinctShingleHashes(
       Shim.toExpression(col(textCol)), n))
-    val withHashes = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), hashesCol.as("__hs"))
+    // PlanCache pin (r21): consumed by the shared-hash probe AND the
+    // final projection — unpinned, the window-hash kernel ran twice
+    val withHashes = PlanCache.pinned(df.filter(col(textCol).isNotNull)
+      .select(col(idCol), hashesCol.as("__hs")))
     val shared = withHashes
       .select(explode(col("__hs")).as("__h"))
       .groupBy(col("__h"))
@@ -1258,10 +1268,14 @@ object Dedup {
                                           idCol: String, cells: DataFrame,
                                           minCosine: Double,
                                           bucketCap: Int): DataFrame = {
+    // PlanCache pin (r21): `cells` carries the k-way literal-centroid
+    // assignment projection and feeds BOTH the pair screen and the
+    // closing anti-join — unpinned, the k×dim cosine projection ran twice
+    val pinned = PlanCache.pinned(cells)
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val drops = semanticPairsFromCells(cells, vecs, minCosine, bucketCap)
+    val drops = semanticPairsFromCells(pinned, vecs, minCosine, bucketCap)
       .select(col("id_b").as("vec_id")).distinct()
-    cells.join(drops, Seq("vec_id"), "left_anti")
+    pinned.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
 

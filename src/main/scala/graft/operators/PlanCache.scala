@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** In-query persist of a subtree several plan branches share — the
+  * guide-§5 trade ("caching is only worth it when a DataFrame is reused
+  * AND recomputing it is more expensive than the memory pressure"):
+  * Catalyst performs no common-subtree elimination across DataFrame
+  * branches, so e.g. [[Dedup.jaccardSimilarityJoin]]'s shingle-set frame
+  * was scanned SIX times per execution, each scan re-running the
+  * md5-per-shingle kernel (and the pushed size/notNull filters evaluated
+  * it twice more inside each scan). Pinning the shared frame turns that
+  * into one kernel pass plus cache reads.
+  *
+  * Values are unchanged — the pinned frame is deterministic, and a lost
+  * block simply recomputes (unlike the range-bucket snapshots, there is
+  * no cross-job alignment to lose). Lifecycle is the established
+  * [[SnapshotRegistry]] contract: harnesses release every pin between
+  * queries via [[GlobalOps.releaseSnapshots]]; library callers that
+  * execute a returned plan later simply pay a recompute on a released
+  * pin — never a wrong answer. */
+object PlanCache extends SnapshotRegistry {
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for harness
+    * release. Returns `df` itself for inline use. */
+  def pinned(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    register(Some(df))
+    df
+  }
+}

@@ -140,7 +140,7 @@ object Similarity {
     * agree). A pure projection: no join, no shuffle. */
   private def cellCosArr(v: Column, centroids: Seq[Array[Double]]): Column =
     array(centroids.map(p =>
-      cosine(v, array(p.toIndexedSeq.map(lit): _*))): _*)
+      cosine(v, litVec(p))): _*)
 
   private def cellOf(v: Column, centroids: Seq[Array[Double]]): Column = {
     val cc = cellCosArr(v, centroids)
@@ -151,7 +151,7 @@ object Similarity {
     * `element_at(matrix, cell)` looks a row's assigned centroid back up
     * inline (cell is the 1-based [[cellOf]] index). */
   private def centroidMatrix(centroids: Seq[Array[Double]]): Column =
-    array(centroids.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    litMat(centroids)
 
   /** Queries exploded to their top-2 cells (nprobe=2): argmax, then
     * argmax with the first masked out. Returns (query_id, qv, cell). */
@@ -277,7 +277,7 @@ object Similarity {
     if (probe.length <= maxLiteralVectors) {
       val vecs = probe.map(_.getSeq[Double](1).toArray)
       val cosArr = array(vecs.toIndexedSeq.map(c =>
-        cosine(col("__sdv"), array(c.toIndexedSeq.map(lit): _*))): _*)
+        cosine(col("__sdv"), litVec(c))): _*)
       corpus.withColumn("__sdv", toDoubleArray(col(vecCol)))
         .filter(!coalesce(array_max(cosArr) >= lit(minCos), lit(false)))
         .drop("__sdv")
@@ -325,8 +325,8 @@ object Similarity {
   private def assignCells(e: DataFrame,
                           cents: Seq[(Long, Array[Double])]): DataFrame = {
     val cosArr = array(cents.map { case (_, c) =>
-      cosine(col("v"), array(c.toIndexedSeq.map(lit): _*)) }: _*)
-    val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
+      cosine(col("v"), litVec(c)) }: _*)
+    val cellIds = typedlit(cents.map(_._1))
     e.withColumn("__cc", cosArr)
       .withColumn("cell", element_at(cellIds,
         array_position(col("__cc"), array_max(col("__cc"))).cast("int")))
@@ -335,6 +335,12 @@ object Similarity {
 
   private def lloyd(e: DataFrame, k: Int, iters: Int,
                     quantScale: Double): Seq[(Long, Array[Double])] = {
+    // PlanCache pin (r21): the normalized image is scanned once for the
+    // seeds and once per Lloyd round (and callers like kmeansAssign scan
+    // it again for the final assignment — the CacheManager matches their
+    // identical logical plan); unpinned, every scan re-read the parquet
+    // and re-ran the toDoubleArray projection
+    PlanCache.pinned(e)
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -394,6 +400,7 @@ object Similarity {
     require(m >= 1 && dim % m == 0,
       s"pqCodebooks: dim=$dim must split evenly into m=$m subspaces")
     val d = dim / m
+    PlanCache.pinned(e) // the lloyd rule: seeds + one scan per round
     val seeds = e.filter(col("vec_id") < ncode).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toArray)
     require(seeds.nonEmpty,
@@ -432,7 +439,7 @@ object Similarity {
     val codes = books.zipWithIndex.map { case (cb, s) =>
       val sub = slice(col("v"), s * d + 1, d)
       val ds = array(cb.map { cw =>
-        val lc = array(cw.toIndexedSeq.map(lit): _*)
+        val lc = litVec(cw)
         (dot(sub, sub) - lit(2.0) * dot(sub, lc)) + lit(selfDot(cw))
       }: _*)
       (array_position(ds, array_min(ds)) - lit(1L)).cast("int")
@@ -494,7 +501,7 @@ object Similarity {
   private def pqReconExpr(books: Seq[Seq[Array[Double]]],
                           codes: Column): Column =
     concat(books.zipWithIndex.map { case (cb, s) =>
-      val cwLit = array(cb.map(cw => array(cw.toIndexedSeq.map(lit): _*)): _*)
+      val cwLit = litMat(cb)
       element_at(cwLit, element_at(codes, s + 1) + lit(1))
     }: _*)
 
@@ -570,7 +577,7 @@ object Similarity {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val e = normalized(corpus, vecCol, idCol)
     e.select(col("vec_id") +: planes.zipWithIndex.map { case (p, i) =>
-      (dot(col("v"), array(p.toIndexedSeq.map(lit): _*)) * lit(scale))
+      (dot(col("v"), litVec(p)) * lit(scale))
         .as(s"jl_$i")
     }: _*)
   }
@@ -803,7 +810,7 @@ object Similarity {
     val sel = scala.collection.mutable.ArrayBuffer(
       (first(0).getLong(0), first(0).getSeq[Double](1).toArray))
     def centerCos(c: Array[Double]): Column =
-      cosine(col("v"), array(c.toIndexedSeq.map(lit): _*))
+      cosine(col("v"), litVec(c))
     def notSelected: Column =
       !col("vec_id").isin(sel.toSeq.map(_._1): _*)
     def takeNext(scored: DataFrame): Option[(Long, Array[Double])] = {
@@ -931,8 +938,8 @@ object Similarity {
     * q_sq_encode from q_ann_sq). */
   private def sqCodes(v: Column, lo: Array[Double],
                       hi: Array[Double]): Column = {
-    val loLit = array(lo.toIndexedSeq.map(lit): _*)
-    val hiLit = array(hi.toIndexedSeq.map(lit): _*)
+    val loLit = litVec(lo)
+    val hiLit = litVec(hi)
     transform(v, (x, i) => {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)
@@ -951,8 +958,8 @@ object Similarity {
              lo: Array[Double], hi: Array[Double],
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int): DataFrame = {
-    val loLit = array(lo.toIndexedSeq.map(lit): _*)
-    val hiLit = array(hi.toIndexedSeq.map(lit): _*)
+    val loLit = litVec(lo)
+    val hiLit = litVec(hi)
     val codes = sqCodes(col("v"), lo, hi)
     val recon = transform(codes, (c, i) => {
       val l = element_at(loLit, i + 1)

@@ -55,5 +55,5 @@ private[graft] trait SnapshotRegistry {
 object GlobalOps {
   def releaseSnapshots(): Int =
     GlobalRank.releaseSnapshots() + GlobalShift.releaseSnapshots() +
-      GlobalCumSum.releaseSnapshots()
+      GlobalCumSum.releaseSnapshots() + PlanCache.releaseSnapshots()
 }
