@@ -483,33 +483,35 @@ object Corpus {
     * Stops early when no adjacent pair remains. */
   def bpeTrain(df: DataFrame, textCol: String,
                merges: Int = 8): (DataFrame, Seq[(String, Long)]) = {
-    val hist = df
+    // PlanCache pin (r21, replacing the local persist/unpersist): the
+    // returned `vocab` frame reads THROUGH the histogram, so releasing
+    // the pin on return forced every vocab consumer (tokenize, the
+    // ModelStore publish) to rebuild the corpus-scan histogram; the
+    // harness-released pin keeps it hot for the whole query instead.
+    val hist = PlanCache.pinned(df
       .select(explode(tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-    hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var seqCol: Column = bpeInitSeq(col("word"))
-      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      var exhausted = false
-      while (picked.length < merges && !exhausted) {
-        val top = hist.select(col("n"), seqCol.as("seq"))
-          .select(col("n"), split(col("seq"), " ").as("syms"))
-          .select(col("n"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("pair"))
-          .groupBy("pair").agg(sum("n").as("c"))
-          .orderBy(col("c").desc, col("pair").asc)
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          picked += pair -> top(0).getLong(1)
-          seqCol = bpeApplyMerge(seqCol, pair)
-        }
+      .groupBy("word").agg(count(lit(1)).as("n")))
+    var seqCol: Column = bpeInitSeq(col("word"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var exhausted = false
+    while (picked.length < merges && !exhausted) {
+      val top = hist.select(col("n"), seqCol.as("seq"))
+        .select(col("n"), split(col("seq"), " ").as("syms"))
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        picked += pair -> top(0).getLong(1)
+        seqCol = bpeApplyMerge(seqCol, pair)
       }
-      (hist.select(col("word"), col("n"), seqCol.as("seq")), picked.toSeq)
-    } finally hist.unpersist(blocking = false)
+    }
+    (hist.select(col("word"), col("n"), seqCol.as("seq")), picked.toSeq)
   }
 
   /** Tokenize with a trained BPE vocab: per-document subword count via

@@ -78,7 +78,10 @@ class GlobalCumSumSuite extends SparkSpec {
     assert(GlobalShift.withGlobalLag(dec, "prev", col("w"), 1, Seq(col("k"))).count() == 1000L)
     val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(pinned.size == 3, s"expected 3 legacy snapshots, got $pinned")
-    assert(GlobalOps.releaseSnapshots() == 3)
+    // GlobalOps also drains PlanCache pins left by other suites sharing
+    // this SparkContext (r21), so assert >= and check the three
+    // operator registries directly
+    assert(GlobalOps.releaseSnapshots() >= 3)
     assert(GlobalCumSum.liveSnapshotCount == 0 &&
       GlobalRank.liveSnapshotCount == 0 && GlobalShift.liveSnapshotCount == 0)
   }
