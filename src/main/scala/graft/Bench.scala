@@ -74,6 +74,11 @@ object Bench {
     // against them measures data size, not box speed, so the protocol
     // fields are only emitted for the scale they were anchored at
     val anchorsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // a silently-missing control_factor is undiagnosable from the
+    // artifact alone (ADVICE r20) — say WHY the protocol fields are absent
+    if (!anchorsApply)
+      System.err.println(s"[bench] anchor protocol skipped: '$sfDir' is " +
+        "not the sf0.1 dataset the r10 control anchors were measured at")
     val rmap = results.toMap
     val controlRatios =
       (if (anchorsApply) controlAnchors else Seq.empty)
@@ -89,8 +94,11 @@ object Bench {
     val normSecPerQuery =
       if (controlFactor <= 0 || nOk == 0) -1.0
       else results.map(_._2._2).filter(_ >= 0).sum / nOk / controlFactor
+    // n_controls records how many of the 5 anchors actually contributed
+    // (ADVICE r20: a factor computed from 1 surviving control is not the
+    // same protocol as one computed from 5, and the artifact must say so)
     val extra = if (controlFactor <= 0) "" else
-      s""","control_factor":${BenchFormat.fmt(controlFactor, 3)},"norm_sec_per_query":${BenchFormat.fmt(normSecPerQuery, 3)}"""
+      s""","control_factor":${BenchFormat.fmt(controlFactor, 3)},"n_controls":${controlRatios.size},"norm_sec_per_query":${BenchFormat.fmt(normSecPerQuery, 3)}"""
     val line = BenchFormat.line(results, sfDir, extra = extra)
     // full precision for local analysis (not part of the driver contract):
     // per-query cold shot + min of the three warm shots (individual warm

@@ -35,7 +35,7 @@ object ScaleCheck {
 
   final case class WinnowCcResult(nDocs: Long, nEdges: Long,
                                   nClusters: Long, iters: Int,
-                                  labelMismatch: Long)
+                                  labelMismatch: Long, converged: Boolean)
 
   final case class IvfPqResult(k: Int, nAdc: Long, hitProbedExact: Long,
                                hitBrute: Long, storeSeamMismatch: Long)
@@ -57,6 +57,7 @@ object ScaleCheck {
           s""""n_docs":${r.nDocs},"n_edges":${r.nEdges},""" +
           s""""n_clusters":${r.nClusters},""" +
           s""""propagation_iters":${r.iters},""" +
+          s""""converged":${r.converged},""" +
           s""""label_mismatch":${r.labelMismatch}}""")
       case sfDir =>
         val nq = if (args.length > 1) args(1).toInt else 40
@@ -125,7 +126,12 @@ object ScaleCheck {
     val nDocs = labels.count()
     val nClusters = labels.select("lbl").distinct().count()
     pairs.unpersist()
-    WinnowCcResult(nDocs, nEdges, nClusters, iters, mismatch)
+    // converged=false means labelMismatch was computed against a
+    // NON-fixpoint labeling (the 100-iteration bound tripped) — report
+    // it explicitly so the artifact can't be misread as a clustering
+    // disagreement (ADVICE r20)
+    WinnowCcResult(nDocs, nEdges, nClusters, iters, mismatch,
+      converged = changed == 0L)
   }
 
   private[graft] def ivfPq(spark: SparkSession, sfDir: String, nq: Int): IvfPqResult = {
@@ -142,6 +148,7 @@ object ScaleCheck {
 
     val root = s"/tmp/graft_scalecheck_${ProcessHandle.current().pid()}"
     ModelStore.destroy(root)
+    try {
     ModelStore.saveCentroids(spark, root, cells)
     ModelStore.saveCodebooks(spark, root, books)
     val cents = ModelStore.loadCentroids(spark, root).map(_._2)
@@ -183,8 +190,10 @@ object ScaleCheck {
         sum(coalesce(col("__b"), lit(0L))).as("hit_brute"))
       .head()
 
-    ModelStore.destroy(root)
     adcFull.unpersist()
     IvfPqResult(k, row.getLong(0), row.getLong(1), row.getLong(2), nMismatch)
+    // any failure between the first publish and here would otherwise
+    // leak /tmp/graft_scalecheck_<pid> on disk (ADVICE r20)
+    } finally ModelStore.destroy(root)
   }
 }

@@ -398,11 +398,13 @@ object Dedup {
                             tauPct: Int = 50,
                             shingleSize: Int = 3): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    // PlanCache pin (r21): this frame feeds FOUR plan branches (df
-    // counts, the sorted prefix index via join, and both verify sides)
-    // — unpinned, each branch re-scanned the corpus and re-ran the
-    // md5-per-shingle kernel (6 scans per execution, q_jaccard_join plan)
-    val sets = PlanCache.pinned(shingleSets(df, textCol, idCol, shingleSize))
+    // NOT PlanCache-pinned (r21, measured): the frame feeds four plan
+    // branches, but the ABAB isolated A/B read pinned ~0.5 s SLOWER at
+    // sf0.1 (q_jaccard_join 2.5-2.8 unpinned vs 3.2+ pinned; the
+    // DistinctShingleHashes kernel is cheap enough that re-scanning
+    // beats caching the array column, and the cached relation's stats
+    // perturb AQE's join choices) — recompute deliberately kept
+    val sets = shingleSets(df, textCol, idCol, shingleSize)
     val ex = sets.select(col("id"), explode(col("__ss")).as("__h"))
     val dfc = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
     // rarest-first total order (df, hash) — collect_list order is
@@ -525,10 +527,9 @@ object Dedup {
                               tauPct: Int = 50,
                               shingleSize: Int = 3): DataFrame = {
     require(tauPct > 0 && tauPct <= 100, s"tauPct in (0,100], got $tauPct")
-    // PlanCache pins (r21): each side feeds three branches (union df
-    // counts, its prefix index, its verify side) — the jaccard-join rule
-    val lSets = PlanCache.pinned(shingleSets(left, textCol, idCol, shingleSize))
-    val rSets = PlanCache.pinned(shingleSets(right, textCol, idCol, shingleSize))
+    // not pinned — the jaccardSimilarityJoin measurement (pin slower)
+    val lSets = shingleSets(left, textCol, idCol, shingleSize)
+    val rSets = shingleSets(right, textCol, idCol, shingleSize)
     val union = lSets.select(col("id"), explode(col("__ss")).as("__h"))
       .unionByName(rSets.select(col("id"), explode(col("__ss")).as("__h")))
     val dfc = union.groupBy("__h").agg(count(lit(1)).as("__df"))
@@ -1308,13 +1309,24 @@ object Dedup {
     * then score and threshold. `vecs` must be the narrow `(id, v)`
     * projection. */
   private def cosineVerifiedPairs(buckets: DataFrame, vecs: DataFrame,
-                                  minCosine: Double): DataFrame =
+                                  minCosine: Double): DataFrame = {
+    // each vector's norm rides the join ONCE instead of the fused kernel
+    // re-accumulating both self-dots per pair (r21 — 3·dim → dim
+    // multiplies per pair). Bit-identical: sqrt(dot(v,v)) is the same
+    // left fold the fused kernel runs (VecExprSuite pin), and
+    // ab/(na·nb) is the same op sequence as ab/(sqrt(aa)·sqrt(bb)).
+    import graft.functions.VectorFunctions.{dot, toDoubleArray}
+    val withNorm = vecs.select(col("id"), toDoubleArray(col("v")).as("v"))
+      .withColumn("__n", sqrt(dot(col("v"), col("v"))))
     inBucketIdPairs(buckets)
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("__n").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cos"))
+        (dot(col("v_a"), col("v_b")) / (col("__na") * col("__nb"))).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
 
   // ------------------------------------------------------------- clustering
 

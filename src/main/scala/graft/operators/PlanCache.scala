@@ -22,11 +22,19 @@ import org.apache.spark.storage.StorageLevel
   * pin — never a wrong answer. */
 object PlanCache extends SnapshotRegistry {
 
+  /** Diagnostic kill-switch (A/B tool, not a tuning knob): with
+    * SPARK_GRAFT_NO_PINS=1 every pin is a no-op, so pinned-vs-unpinned
+    * can be measured from ONE build in two JVMs — results are identical
+    * either way (the pins are a pure cost trade). */
+  private val disabled = sys.env.get("SPARK_GRAFT_NO_PINS").contains("1")
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for harness
     * release. Returns `df` itself for inline use. */
   def pinned(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    register(Some(df))
+    if (!disabled) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      register(Some(df))
+    }
     df
   }
 }

@@ -101,10 +101,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String,
                      queryIdCol: String, k: Int): DataFrame = {
+    // norms hoisted out of the pair fan (r21): the broadcast join scores
+    // each corpus row against every query, and the fused cosine kernel
+    // re-accumulated BOTH self-dots per pair — sqrt(dot(x,x)) per ROW
+    // once is the same left fold (VecExprSuite pin), ab/(na·nb) the same
+    // op sequence, so values are bit-identical at a third of the FLOPs.
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     rankTopK(partitionTopK(scored, k), k)
   }
@@ -127,20 +134,34 @@ object Similarity {
                     k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
       col(labelCol).as("__cl"))
+      .withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
     val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("__al"))
+      .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(a), col("__cl") =!= col("__al"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     rankTopK(partitionTopK(scored, k), k)
   }
 
   /** 1-based positional cosine-argmax cell of `v` against literal
     * centroids (first index wins ties — both engines' position functions
-    * agree). A pure projection: no join, no shuffle. */
-  private def cellCosArr(v: Column, centroids: Seq[Array[Double]]): Column =
+    * agree). A pure projection: no join, no shuffle.
+    *
+    * FLOP shape (r21): `cosine(v, c)` fuses ab/aa/bb into one loop, so a
+    * k-way array recomputed v·v and c·c k times — 3k·dim multiplies per
+    * row. Spelled as dot(v,c) / (sqrt(dot(v,v)) · √(c·c)), the c·c term
+    * folds to a driver literal (selfDot — the same left fold) and
+    * codegen's subexpression elimination computes sqrt(dot(v,v)) once
+    * per row, leaving (k+1)·dim multiplies. Bit-identical values: the
+    * fused kernel accumulates ab/aa/bb in the same index order as the
+    * unfused three-dot form (pinned in VecExprSuite), and √(c·c) is one
+    * IEEE sqrt on an identical input wherever it runs. */
+  private def cellCosArr(v: Column, centroids: Seq[Array[Double]]): Column = {
+    val na = sqrt(dot(v, v))
     array(centroids.map(p =>
-      cosine(v, litVec(p))): _*)
+      dot(v, litVec(p)) / (na * lit(math.sqrt(selfDot(p))))): _*)
+  }
 
   private def cellOf(v: Column, centroids: Seq[Array[Double]]): Column = {
     val cc = cellCosArr(v, centroids)
@@ -184,10 +205,12 @@ object Similarity {
               k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("cell", cellOf(col("cv"), centroids))
+      .withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
     val q = probeTop2(queries, centroids, vecCol, queryIdCol)
+      .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     rankTopK(partitionTopK(scored, k), k)
   }
@@ -276,8 +299,9 @@ object Similarity {
     if (probe.isEmpty) return corpus
     if (probe.length <= maxLiteralVectors) {
       val vecs = probe.map(_.getSeq[Double](1).toArray)
+      val na = sqrt(dot(col("__sdv"), col("__sdv")))
       val cosArr = array(vecs.toIndexedSeq.map(c =>
-        cosine(col("__sdv"), litVec(c))): _*)
+        dot(col("__sdv"), litVec(c)) / (na * lit(math.sqrt(selfDot(c))))): _*)
       corpus.withColumn("__sdv", toDoubleArray(col(vecCol)))
         .filter(!coalesce(array_max(cosArr) >= lit(minCos), lit(false)))
         .drop("__sdv")
@@ -307,8 +331,10 @@ object Similarity {
     val c = normalized(corpus, vecCol, idCol)
     val b = normalized(bench, vecCol, idCol)
       .select(col("vec_id").as("bench_id"), col("v").as("bv"))
-    c.crossJoin(broadcast(b))
-      .withColumn("cos", cosine(col("v"), col("bv")))
+    c.withColumn("__cn", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(broadcast(b.withColumn("__bn",
+        sqrt(dot(col("bv"), col("bv"))))))
+      .withColumn("cos", dot(col("v"), col("bv")) / (col("__cn") * col("__bn")))
       .filter(col("cos").isNotNull)
       .groupBy("bench_id")
       .agg(sum(when(col("cos") >= lit(minCos), 1L).otherwise(0L)).as("n_hits"),
@@ -321,11 +347,15 @@ object Similarity {
     corpus.select(col(idCol).cast("long").as("vec_id"),
       toDoubleArray(col(vecCol)).as("v"))
 
-  /** Cell assignment as a pure projection against literal centroids. */
+  /** Cell assignment as a pure projection against literal centroids
+    * (the [[cellCosArr]] hoisted-norm FLOP shape — at the SemDeDup k=64
+    * this third of the multiplies was the single largest compute job in
+    * the query). */
   private def assignCells(e: DataFrame,
                           cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val na = sqrt(dot(col("v"), col("v")))
     val cosArr = array(cents.map { case (_, c) =>
-      cosine(col("v"), litVec(c)) }: _*)
+      dot(col("v"), litVec(c)) / (na * lit(math.sqrt(selfDot(c)))) }: _*)
     val cellIds = typedlit(cents.map(_._1))
     e.withColumn("__cc", cosArr)
       .withColumn("cell", element_at(cellIds,
@@ -485,6 +515,12 @@ object Similarity {
              books: Seq[Seq[Array[Double]]],
              vecCol: String, idCol: String, queryIdCol: String,
              k: Int): DataFrame = {
+    // NOTE (r21): the hoisted-norm form is deliberately NOT applied to
+    // the synthesized corpus vectors (rv here, fv in ivfPqTopK, the SQ
+    // recon): referencing the reconstruction twice (norm + score)
+    // duplicates the codebook-lookup expression per row and measured
+    // SLOWER (q_ann_pq 3.6 s vs 1.0 s isolated) — the fused kernel is
+    // the right shape when the vector itself is synthesized
     val c = pqEncode(corpus, vecCol, idCol, books)
       .select(col("vec_id"), pqReconExpr(books, col("codes")).as("rv"))
     val q = queries.select(col(queryIdCol).as("query_id"),
@@ -601,8 +637,10 @@ object Similarity {
       toDoubleArray(col(vecCol)).as("qv"))
     val r = right.select(col(rightIdCol).cast("long").as("vec_id"),
       col(vecCol).as("cv"))
-    val scored = r.crossJoin(broadcast(l))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val scored = r.withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
+      .crossJoin(broadcast(l.withColumn("__qn",
+        sqrt(dot(col("qv"), col("qv"))))))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("__cn") * col("__qn")))
       .filter(col("cos") >= lit(minCos))
       .select(col("query_id"), col("vec_id"), col("cos"))
     val best = rankTopK(partitionTopK(scored, 1), 1)
@@ -810,7 +848,8 @@ object Similarity {
     val sel = scala.collection.mutable.ArrayBuffer(
       (first(0).getLong(0), first(0).getSeq[Double](1).toArray))
     def centerCos(c: Array[Double]): Column =
-      cosine(col("v"), litVec(c))
+      dot(col("v"), litVec(c)) /
+        (sqrt(dot(col("v"), col("v"))) * lit(math.sqrt(selfDot(c))))
     def notSelected: Column =
       !col("vec_id").isin(sel.toSeq.map(_._1): _*)
     def takeNext(scored: DataFrame): Option[(Long, Array[Double])] = {
@@ -998,9 +1037,11 @@ object Similarity {
       array((col("qbucket") +: flips): _*)
     } else array(col("qbucket"))
     val q = qBase.withColumn("bucket", explode(probes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
+    val scored = c.withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
+      .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     rankTopK(partitionTopK(scored, k), k)
   }

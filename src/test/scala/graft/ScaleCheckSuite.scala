@@ -18,6 +18,7 @@ class ScaleCheckSuite extends SparkSpec {
     assert(r.nDocs > 0 && r.nClusters > 0 && r.nClusters <= r.nDocs)
     // fixpoint genuinely reached (the loop did not run off its bound)
     assert(r.iters < 100)
+    assert(r.converged, "labelMismatch computed against a non-fixpoint labeling")
   }
 
   test("ivfpq: store-seam round-trip is bit-exact and hit counts are coherent") {
