@@ -14,10 +14,16 @@ match would auto-suppress ~65% of the fleet and make the gate
 vacuous; round-16 review finding). Waivers are exact-name matches on
 the marker, so q_jaccard_join_ab cannot waive q_jaccard_join.
 
-Usage: python3 tools/bench_ratchet.py <reference.json> [current.json]
+Usage: python3 tools/bench_ratchet.py <reference.json> [current.json ...]
   reference.json — a prior round's bench_detail.json (or the BENCH_DETAIL
                    snapshot committed for that round)
-  current.json   — defaults to ./bench_detail.json
+  current.json   — defaults to ./bench_detail.json. SEVERAL current
+                   captures may be given: a query then fails the gate
+                   only when it regresses in EVERY capture (r21: single
+                   fleet captures flag ~3 random sub-2s queries near the
+                   normalized gate — q_stratified read 14.5x in one
+                   capture and 1.0x in the next on untouched code;
+                   replication separates noise from regressions)
 
 Exit 0 = clean (or every regression explained), 1 = unexplained
 regressions, 2 = usage/IO error.
@@ -33,14 +39,19 @@ import os
 import re
 import sys
 
-RATCHET_X = 2.5
+RATCHET_X = 2.5          # raw-ratio gate (no control factors available)
+RATCHET_X_NORM = 1.5     # drift-normalized gate (VERDICT r20 #2): when both
+                         # artifacts stamp control_factor, per-query ratios
+                         # are divided by the factor ratio, which removes box
+                         # drift — so the gate can be much tighter than the
+                         # raw 2.5x that had to tolerate drift
 MIN_SEC = 0.5
 
 
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return d.get("queries_warm", d.get("queries", d))
+    return d.get("queries_warm", d.get("queries", d)), d.get("control_factor")
 
 
 def main():
@@ -48,12 +59,28 @@ def main():
         print(__doc__)
         return 2
     ref_path = sys.argv[1]
-    cur_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
+    cur_paths = sys.argv[2:] if len(sys.argv) > 2 else ["bench_detail.json"]
     try:
-        ref, cur = load(ref_path), load(cur_path)
+        ref, ref_cf = load(ref_path)
+        curs = [load(p) for p in cur_paths]
     except (OSError, json.JSONDecodeError) as e:
         print(f"bench_ratchet: cannot load inputs: {e}")
         return 2
+    cur, cur_cf = curs[0]
+    # drift normalization: with control factors on both sides, divide each
+    # per-query ratio by the box-drift ratio and gate at RATCHET_X_NORM
+    drifts = [(c_cf / ref_cf) if (ref_cf and c_cf and ref_cf > 0
+                                  and c_cf > 0) else None
+              for _, c_cf in curs]
+    drift = drifts[0]
+    gate = RATCHET_X_NORM if all(drifts) else RATCHET_X
+    if all(drifts):
+        print(f"drift-normalized gate: control_factor {ref_cf} -> "
+              f"{[c for _, c in curs]} (drift {[f'{d:.2f}' for d in drifts]}),"
+              f" per-query gate {gate}x normalized, "
+              f"{len(curs)} capture(s) — a regression must replicate in all")
+    else:
+        print(f"raw gate {gate}x (control_factor missing on one side)")
     waivers = set()
     plans_path = os.path.join(os.path.dirname(ref_path) or ".", "PLANS.md")
     if os.path.exists("PLANS.md"):
@@ -83,15 +110,23 @@ def main():
             continue
         if c < MIN_SEC:
             continue
-        if c > RATCHET_X * r:
-            (explained if q in waivers else bad).append((q, r, c))
+        # the worst capture is REPORTED, but the gate only trips when the
+        # regression replicates in every capture (min ratio over captures)
+        ratios = [(cw[q] / r) / (d or 1.0)
+                  for (cw, _), d in zip(curs, drifts)
+                  if q in cw and cw[q] >= 0]
+        if not ratios:
+            continue
+        ratio = min(ratios)
+        if ratio > gate:
+            (explained if q in waivers else bad).append((q, r, c, ratio))
 
-    for q, r, c in explained:
+    for q, r, c, ratio in explained:
         print(f"waived regression: {q} {r:.2f} -> {c:.2f} s "
-              f"({c / r:.1f}x, ratchet-waiver in PLANS.md)")
-    for q, r, c in bad:
+              f"({ratio:.1f}x normalized, ratchet-waiver in PLANS.md)")
+    for q, r, c, ratio in bad:
         print(f"UNEXPLAINED regression: {q} {r:.2f} -> {c:.2f} s "
-              f"({c / r:.1f}x > {RATCHET_X}x) — fix it or add "
+              f"({ratio:.1f}x normalized > {gate}x) — fix it or add "
               f"'ratchet-waiver: {q} — <reason>' to PLANS.md")
     n = len(set(ref) & set(cur))
     print(f"bench_ratchet: {n} compared, {len(bad)} unexplained, "
