@@ -234,11 +234,19 @@ private[graft] object QueriesLayout {
       // hash rows make every counter DuckDB-replayable)
       "q_countmin" -> ((s: SparkSession, dir: String) => {
         val docs = Tables.df(s, dir, "documents")
-        val top = docs.select(explode(tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        // ONE corpus scan + ONE vocabulary shuffle feed both the exact
+        // top-k side and the sketch counters (r21): the pinned
+        // token-frequency frame replaces two independent explode+count
+        // subtrees, and the sketch hashes each DISTINCT token once
+        // instead of every instance (countMinSketchFromCounts scaladoc)
+        val tokCounts = graft.operators.PlanCache.pinned(
+          docs.select(explode(tokens(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n_exact")))
+        val top = tokCounts
           .orderBy(col("n_exact").desc, col("tok")).limit(20)
-        val sk = Diagnostics.countMinSketch(docs, "text",
-          depth = 4, width = 256)
+        val sk = Diagnostics.countMinSketchFromCounts(
+          tokCounts.select(col("tok"), col("n_exact").as("cnt")),
+          "tok", "cnt", depth = 4, width = 256)
         graft.api.DataTable(
           top.join(Diagnostics.countMinEstimate(sk, top,
             depth = 4, width = 256), Seq("tok"))

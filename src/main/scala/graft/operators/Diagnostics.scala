@@ -111,11 +111,36 @@ object Diagnostics {
     require(depth >= 1, "countMinSketch: depth must be >= 1")
     require(width >= 1, "countMinSketch: width must be >= 1")
     import graft.functions.TextFunctions.tokens
-    df.select(explode(tokens(col(textCol))).as("tok"))
-      .select(posexplode(cmBuckets(col("tok"), depth, width))
-        .as(Seq("row", "bucket")))
+    // count per DISTINCT token first, hash after (r21, guide §2.3
+    // aggregate-before-the-expensive-work): cmBuckets costs depth
+    // md5-derived hashes per input row, and hashing token INSTANCES ran
+    // ~vocabulary-to-instance-ratio (~60x here) more md5s than hashing
+    // each distinct token once and summing its count into the counters.
+    // Identical sketch: count(1) over instances grouped by (row, bucket)
+    // == sum of per-token counts grouped by (row, bucket) — exact
+    // integer arithmetic.
+    countMinSketchFromCounts(
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      "tok", "cnt", depth, width)
+  }
+
+  /** [[countMinSketch]] from a PRE-AGGREGATED token-frequency frame
+    * `(tokCol, cntCol)` — for callers that already hold exact token
+    * counts (the q_countmin audit computes them for its exact top-k
+    * side), so the corpus scan + vocabulary shuffle happen once.
+    * Identical sketch: summing per-token counts into the counters equals
+    * counting instances — exact integer arithmetic. */
+  def countMinSketchFromCounts(tokenCounts: DataFrame, tokCol: String,
+                               cntCol: String,
+                               depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1, "countMinSketchFromCounts: depth must be >= 1")
+    require(width >= 1, "countMinSketchFromCounts: width must be >= 1")
+    tokenCounts
+      .select(col(cntCol).as("__tc"),
+        posexplode(cmBuckets(col(tokCol), depth, width)).as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__tc")).as("cnt"))
   }
 
   /** Classic CM point estimate for each probe token: MIN over the sketch
