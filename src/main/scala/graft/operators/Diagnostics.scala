@@ -118,11 +118,21 @@ object Diagnostics {
     // each distinct token once and summing its count into the counters.
     // Identical sketch: count(1) over instances grouped by (row, bucket)
     // == sum of per-token counts grouped by (row, bucket) — exact
-    // integer arithmetic.
-    countMinSketchFromCounts(
+    // integer arithmetic. STREAMS keep the single-aggregate instance
+    // form: the two-level aggregate is a chained stateful aggregation,
+    // which Structured Streaming rejects (and the stream twin's
+    // update-mode counters need the one-aggregate shape anyway).
+    if (df.isStreaming)
       df.select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt")),
-      "tok", "cnt", depth, width)
+        .select(posexplode(cmBuckets(col("tok"), depth, width))
+          .as(Seq("row", "bucket")))
+        .groupBy("row", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+    else
+      countMinSketchFromCounts(
+        df.select(explode(tokens(col(textCol))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")),
+        "tok", "cnt", depth, width)
   }
 
   /** [[countMinSketch]] from a PRE-AGGREGATED token-frequency frame
