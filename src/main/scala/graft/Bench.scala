@@ -12,6 +12,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // Warm up codegen/shuffle machinery so the first timed query doesn't
     // absorb one-time session cost.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -70,6 +72,14 @@ object Bench {
       "q_quality" -> 0.711343, "q_token_count" -> 0.331832,
       "q_fingerprint" -> 0.210499, "q_lang_id" -> 0.750644,
       "q_colminmax" -> 0.097683)
+    // Anchor v2 (VERDICT r20 #5/#6, r21 #6): the scan-local controls are
+    // blind to exchange/shuffle-phase load — the r20/r21 driver-vs-idle
+    // gaps (1.91x vs 1.66x at the SAME scan control factor) lived exactly
+    // there. Two EXCHANGE-HEAVY controls, untouched since r10 and
+    // anchored to their BENCH_DETAIL_r10.json warm numbers, stamp a
+    // second factor so a capture can say which phase the box was slow in.
+    val exchangeAnchors = Seq(
+      "q_inner_join" -> 0.327413, "q_window_ranks" -> 0.965815)
     // the anchors are sf0.1 warm times — at any other scale a ratio
     // against them measures data size, not box speed, so the protocol
     // fields are only emitted for the scale they were anchored at
@@ -80,25 +90,40 @@ object Bench {
       System.err.println(s"[bench] anchor protocol skipped: '$sfDir' is " +
         "not the sf0.1 dataset the r10 control anchors were measured at")
     val rmap = results.toMap
-    val controlRatios =
-      (if (anchorsApply) controlAnchors else Seq.empty)
-        .flatMap { case (q, anchor) =>
-          rmap.get(q).map(_._2).filter(_ > 0).map(_ / anchor) }
-        .sorted
-    val controlFactor =
-      if (controlRatios.isEmpty) -1.0
-      else if (controlRatios.size % 2 == 1) controlRatios(controlRatios.size / 2)
-      else (controlRatios(controlRatios.size / 2 - 1) +
-        controlRatios(controlRatios.size / 2)) / 2
+    def medianRatio(anchors: Seq[(String, Double)]): (Double, Int) = {
+      val ratios =
+        (if (anchorsApply) anchors else Seq.empty)
+          .flatMap { case (q, anchor) =>
+            rmap.get(q).map(_._2).filter(_ > 0).map(_ / anchor) }
+          .sorted
+      val m =
+        if (ratios.isEmpty) -1.0
+        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+      (m, ratios.size)
+    }
+    val (controlFactor, nControls) = medianRatio(controlAnchors)
+    val (exchangeFactor, nControlsEx) = medianRatio(exchangeAnchors)
     val nOk = results.count(_._2._2 >= 0)
     val normSecPerQuery =
       if (controlFactor <= 0 || nOk == 0) -1.0
       else results.map(_._2._2).filter(_ >= 0).sum / nOk / controlFactor
+    // load snapshot (anchor v2): 1-min system loadavg at start/end of the
+    // capture — an artifact-internal record of whether the box was busy,
+    // complementing the control factors (which only see the timed spans)
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // n_controls records how many of the 5 anchors actually contributed
     // (ADVICE r20: a factor computed from 1 surviving control is not the
     // same protocol as one computed from 5, and the artifact must say so)
-    val extra = if (controlFactor <= 0) "" else
-      s""","control_factor":${BenchFormat.fmt(controlFactor, 3)},"n_controls":${controlRatios.size},"norm_sec_per_query":${BenchFormat.fmt(normSecPerQuery, 3)}"""
+    val exExtra = if (exchangeFactor <= 0) "" else
+      s""","control_factor_ex":${BenchFormat.fmt(exchangeFactor, 3)},"n_controls_ex":$nControlsEx"""
+    val loadExtra =
+      if (loadStart < 0 && loadEnd < 0) "" // unavailable on this JVM/OS
+      else s""","load1m_start":${BenchFormat.fmt(loadStart, 2)},"load1m_end":${BenchFormat.fmt(loadEnd, 2)}"""
+    val extra = (if (controlFactor <= 0) "" else
+      s""","control_factor":${BenchFormat.fmt(controlFactor, 3)},"n_controls":$nControls,"norm_sec_per_query":${BenchFormat.fmt(normSecPerQuery, 3)}""") +
+      exExtra + loadExtra
     val line = BenchFormat.line(results, sfDir, extra = extra)
     // full precision for local analysis (not part of the driver contract):
     // per-query cold shot + min of the three warm shots (individual warm

@@ -24,13 +24,22 @@ object BenchFormat {
     *                min-of-N steady-state pick; -1 marks a failed query
     * @param budget  the driver captures only the LAST ~2000 stdout chars
     *                and parses the JSON found there — the line must stay
-    *                under this, whatever the query count grows to
+    *                under this MINUS everything printed after it (sbt's
+    *                "[success] Total time…" trailer is ~80 chars), or the
+    *                line's FRONT gets clipped out of the capture window.
+    *                r21 lost the round-over-round comparison exactly this
+    *                way (VERDICT r21 #1: r20's line parsed as null), so
+    *                the default keeps ~400 chars of slack
+    * @param maxShown hard cap on inline per-query entries regardless of
+    *                budget — the slowest K carry the regression signal;
+    *                the full map always lands in bench_detail.json
     * @param extra   pre-rendered JSON fields (", \"k\":v" form) appended
     *                after "sf" on every ladder tier — the bench-anchor
     *                protocol's control_factor rides here (BASELINE.md)
     */
   def line(results: Seq[(String, (Double, Double))], sfDir: String,
-           budget: Int = 1950, extra: String = ""): String = {
+           budget: Int = 1600, maxShown: Int = 40,
+           extra: String = ""): String = {
     val warmTotal = results.map(_._2._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._2._1).filter(_ >= 0).sum
     // failed queries (-1) sort to the very front so they are always shown
@@ -52,7 +61,8 @@ object BenchFormat {
     }
     // k=0 is a ~170-char floor; if the budget is below even that, emit
     // the k=0 line anyway (an over-budget line beats an exception)
-    (results.size to 0 by -1).iterator.map(mk).find(_.length <= budget)
+    (math.min(results.size, maxShown) to 0 by -1).iterator.map(mk)
+      .find(_.length <= budget)
       .getOrElse(mk(0))
   }
 }

@@ -24,7 +24,7 @@ object ProfileOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Seq[Int])]()
     val done = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, Double, String, Int, Long)]())
     val stageRec = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -32,7 +32,8 @@ object ProfileOne {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-        jobs.put(js.jobId, (System.nanoTime(), desc, js.stageInfos.size))
+        jobs.put(js.jobId,
+          (System.nanoTime(), desc, js.stageInfos.map(_.stageId).toSeq))
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -40,8 +41,13 @@ object ProfileOne {
           m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        Option(jobs.remove(je.jobId)).foreach { case (t0, desc, nst) =>
-          done.add((je.jobId, (System.nanoTime() - t0) / 1e9, desc, nst, 0L))
+        // the job's shuffle traffic = sum of its stages' write+read bytes
+        // (ADVICE r21: the listener collected these and then dropped them)
+        Option(jobs.remove(je.jobId)).foreach { case (t0, desc, stageIds) =>
+          val shuffleBytes = stageIds
+            .flatMap(sid => Option(stageRec.get(sid)).map(_.longValue)).sum
+          done.add((je.jobId, (System.nanoTime() - t0) / 1e9, desc,
+            stageIds.size, shuffleBytes))
         }
       }
     }
@@ -59,8 +65,8 @@ object ProfileOne {
         println(f"=== $name run$i: $dt%.2f s, ${done.size} jobs ===")
         if (i == 3) {
           import scala.jdk.CollectionConverters._
-          done.asScala.toSeq.sortBy(_._1).foreach { case (id, d, desc, nst, _) =>
-            println(f"  job $id%4d  $d%6.3f s  stages=$nst%2d  $desc")
+          done.asScala.toSeq.sortBy(_._1).foreach { case (id, d, desc, nst, sb) =>
+            println(f"  job $id%4d  $d%6.3f s  stages=$nst%2d  shuffle=${sb / 1024}%6d KiB  $desc")
           }
         }
       }

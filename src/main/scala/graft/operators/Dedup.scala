@@ -1271,8 +1271,13 @@ object Dedup {
                                           bucketCap: Int): DataFrame = {
     // PlanCache pin (r21): `cells` carries the k-way literal-centroid
     // assignment projection and feeds BOTH the pair screen and the
-    // closing anti-join — unpinned, the k×dim cosine projection ran twice
-    val pinned = PlanCache.pinned(cells)
+    // closing anti-join — unpinned, the k×dim cosine projection ran twice.
+    // The pin wraps an INTERNAL narrow (vec_id, cell) projection rather
+    // than the argument frame itself (ADVICE r21): a harness
+    // releaseSnapshots() can then never unpersist a frame the caller
+    // separately persisted, and the kmeansAssignWithCells path stops
+    // caching the dim-wide vector column it was carrying into the pin
+    val pinned = PlanCache.pinned(cells.select(col("vec_id"), col("cell")))
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val drops = semanticPairsFromCells(pinned, vecs, minCosine, bucketCap)
       .select(col("id_b").as("vec_id")).distinct()

@@ -226,7 +226,6 @@ object GlobalRank extends SnapshotRegistry {
         col("__pid").cast("string")))).otherwise(raw)
     }
     val w = Window.partitionBy("__pid").orderBy(okCols: _*)
-    val tieW = Window.partitionBy((col("__pid") +: okCols): _*)
     val rnk = offset(rowOff) + rank().over(w)
     val drnk = offset(keyOff) + dense_rank().over(w)
     // SQL defines percent_rank of a 1-row table as 0.0 — avoid 0/0
@@ -234,14 +233,24 @@ object GlobalRank extends SnapshotRegistry {
       if (total > 1L)
         (col(rankName) - lit(1L)).cast("double") / lit((total - 1L).toDouble)
       else lit(0.0)
+    // cume_dist numerator = rows ≤ current in the order, PEERS INCLUDED —
+    // exactly count(*) over the default RANGE UNBOUNDED PRECEDING ..
+    // CURRENT ROW frame of the SAME (partition, order) spec the ranks
+    // use: locally that count is rank + tie_size − 1, so the global
+    // numerator is rowOffset + localCount — the identical exact-integer
+    // sum the previous (rank + tie − 1) form produced. Sharing w keeps
+    // every window expression in ONE Window operator; the old tie count
+    // partitioned by (__pid, okCols…), a DIFFERENT distribution that
+    // forced a second full-width Exchange + Sort into pass 2
+    // (guide §2.4: operations keyed the same way share one exchange).
+    val cume = (offset(rowOff) + count(lit(1)).over(w)).cast("double") /
+      lit(total.toDouble)
     (parted
       .withColumn(rankName, rnk)
       .withColumn(denseName, drnk)
-      .withColumn("__tie", count(lit(1)).over(tieW))
       .withColumn(pctName, prnk)
-      .withColumn(cumeName,
-        (col(rankName) + col("__tie") - lit(1L)).cast("double") / lit(total.toDouble))
-      .drop(okNames :+ "__pid" :+ "__tie": _*), snapshot, total)
+      .withColumn(cumeName, cume)
+      .drop(okNames :+ "__pid": _*), snapshot, total)
   }
 
   /** Loan-pattern twin of [[withGlobalRanks]] that releases the snapshot

@@ -95,6 +95,13 @@ object GlobalShift extends SnapshotRegistry {
     r._1
   }
 
+  /** TEST SEAM (GlobalShiftSuite): when set, [[build]] records the pass-1
+    * strip job's physical plan string — the strip executes eagerly inside
+    * build(), so no returned frame can be asked to explain it. Off in
+    * production (no plan stringification on the query path). */
+  private[graft] var captureStripPlanForTest = false
+  private[graft] var lastStripPlanForTest: String = ""
+
   /** Hard bound on strip/fill rows (n × partitions). Beyond it the
     * "boundary hand-off" framing is false — pass 1's collect and the
     * broadcast fill would scale with the shift distance, the exact
@@ -188,49 +195,80 @@ object GlobalShift extends SnapshotRegistry {
     val (parted, snapshot) = RangeBuckets.bucketOrSnapshot(
       keyed, firstType, okNames.head, okCols, numParts)
 
-    // pass 1: ONE job collects boundary strips AND per-partition counts —
-    // per partition, the first maxLead and last maxLag rows' shift values
-    // (≤ (maxLag + maxLead) × partitions tiny rows, bounded by the
-    // shuffle-partition count, never by data), each row tagged with its
-    // ASCENDING row_number __j and the partition row count __cnt (count
-    // over the same partitioning — no second sort, no second job). The
-    // counts are load-bearing: (1) they translate "i-th row from the
-    // reached boundary" into the ascending row_number pass 2 already
-    // computes, so lag and lead share ONE per-partition sort; (2) they
-    // bound every partition at Int.MaxValue rows — row_number's
+    // pass 1: ONE job (three unioned subtrees, one collect) gathers the
+    // boundary strips AND per-partition counts — per partition, the
+    // first maxLead rows (ascending rank-limit window), the last maxLag
+    // rows (descending rank-limit window), and a hash-agg row count
+    // (≤ (maxLag + maxLead + 1) × partitions tiny rows, bounded by the
+    // shuffle-partition count, never by data). The rank-limit filters
+    // sit DIRECTLY above their windows, so Catalyst's
+    // InferWindowGroupLimit turns each strip into map-side bounded
+    // selection (WindowGroupLimit Partial below the exchange): only
+    // ≤ n candidate rows per bucket per map task reach the shuffle,
+    // where the previous shape exchanged and fully sorted EVERY row
+    // just to keep the n boundary rows of each bucket (guide §2.3/§2.4
+    // — at 100 TB this removes a full-data shuffle+sort from pass 1).
+    // The counts stay load-bearing: (1) they translate "i-th row before
+    // the END of a bucket" into the ascending row_number pass 2
+    // computes (lead fills attach at rn = cnt − i + 1); (2) they bound
+    // every partition at Int.MaxValue rows — pass 2's row_number
     // IntegerType wraps past that and a wrapped interior row could
     // silently collide with a boundary fill key — and (3) their key set
     // is the misalignment-guard domain below (the GlobalRank rule).
-    val stripW = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
-    val cntW = Window.partitionBy(col("__pid"))
-    val headCond =
-      if (maxLead > 0) col("__j") <= maxLead else lit(false)
-    val tailCond =
-      if (maxLag > 0) col("__j") > col("__cnt") - maxLag else lit(false)
-    val strip = parted
-      .withColumn("__j", row_number().over(stripW))
-      .withColumn("__cnt", count(lit(1)).over(cntW))
-      .filter(headCond || tailCond)
-      .select(col("__pid") +: col("__j") +: col("__cnt") +: svNames.map(col): _*)
-      .collect()
-    val byPid: Map[Int, Map[Int, Row]] = strip
+    // Under the UNIQUE-total-order contract the descending row_number k
+    // selects exactly the row the old ascending strip indexed at
+    // cnt − k + 1, so the hand-off values are identical by construction.
+    val svTypes = svNames.map(nm => parted.schema(nm).dataType)
+    val narrow = parted.select((col("__pid") +: okCols) ++ svNames.map(col): _*)
+    def stripDf(isHead: Boolean, lim: Int): DataFrame = {
+      val ord = if (isHead) okCols else okCols.map(_.desc)
+      val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      narrow.withColumn("__j", row_number().over(w))
+        .filter(col("__j") <= lim)
+        .select(Seq(col("__pid"), lit(if (isHead) 0 else 1).as("__kind"),
+          col("__j"), lit(null).cast("long").as("__cnt")) ++
+          svNames.map(col): _*)
+    }
+    val cntDf = narrow.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(Seq(col("__pid"), lit(2).as("__kind"), lit(0).as("__j"),
+        col("__cnt")) ++
+        svNames.zip(svTypes).map { case (nm, t) =>
+          lit(null).cast(t).as(nm) }: _*)
+    val subtrees =
+      (if (maxLead > 0) Seq(stripDf(isHead = true, maxLead)) else Nil) ++
+        (if (maxLag > 0) Seq(stripDf(isHead = false, maxLag)) else Nil) :+
+        cntDf
+    val stripFrame = subtrees.reduce(_.union(_))
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_PASS1").contains("1"))
+      // dev-only (plan audit): the strip job runs eagerly inside build(),
+      // so its plan never appears in the returned frame's explain
+      System.err.println("=== GlobalShift pass-1 strip plan ===\n" +
+        stripFrame.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    if (captureStripPlanForTest)
+      lastStripPlanForTest = stripFrame.queryExecution.executedPlan.toString
+    val strip = stripFrame.collect()
+    def stripMap(kind: Int): Map[Int, Map[Int, Row]] = strip
+      .filter(_.getInt(1) == kind)
       .groupBy(_.getInt(0))
-      .map { case (p, rs) => p -> rs.map(r => r.getInt(1) -> r).toMap }
-    val counts: Map[Int, Long] = strip
-      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      .map { case (p, rs) => p -> rs.map(r => r.getInt(2) -> r).toMap }
+    val headRows = stripMap(0) // pid -> (k-th from bucket START -> row)
+    val tailRows = stripMap(1) // pid -> (k-th from bucket END -> row)
+    val counts: Map[Int, Long] = strip.filter(_.getInt(1) == 2)
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
     counts.foreach { case (p, cnt) =>
       require(cnt <= Int.MaxValue,
         s"GlobalShift: range partition $p holds $cnt rows — row_number " +
           "wraps past Int.MaxValue and boundary fills would be silently " +
           "wrong; raise spark.sql.shuffle.partitions")
     }
-    val pids = byPid.keys.toSeq.sorted
+    val pids = counts.keys.toSeq.sorted
     // k-th strip value (1-based, nearest-boundary first) of partition q
     // for shift spec si: heads count from the partition start (lead
     // hand-off), tails from the end (lag hand-off)
-    def headVal(q: Int, k: Int, si: Int): Any = byPid(q)(k).get(3 + si)
-    def tailVal(q: Int, k: Int, si: Int): Any =
-      byPid(q)(counts(q).toInt - k + 1).get(3 + si)
+    def headVal(q: Int, k: Int, si: Int): Any = headRows(q)(k).get(4 + si)
+    def tailVal(q: Int, k: Int, si: Int): Any = tailRows(q)(k).get(4 + si)
 
     // driver-side hand-off: for target partition p and spec s, the
     // cross-boundary sequence b[1], b[2], … (b[1] = nearest row beyond
@@ -278,7 +316,6 @@ object GlobalShift extends SnapshotRegistry {
         Row.fromSeq(p +: rn.toInt +: cells)
       }
     }
-    val svTypes = svNames.map(nm => parted.schema(nm).dataType)
     val spark = df.sparkSession
     val fillDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(fillRows).asJava),

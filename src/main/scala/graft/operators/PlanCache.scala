@@ -19,7 +19,16 @@ import org.apache.spark.storage.StorageLevel
   * [[SnapshotRegistry]] contract: harnesses release every pin between
   * queries via [[GlobalOps.releaseSnapshots]]; library callers that
   * execute a returned plan later simply pay a recompute on a released
-  * pin — never a wrong answer. */
+  * pin — never a wrong answer.
+  *
+  * Library use WITHOUT a harness (ADVICE r21): pins accumulate until
+  * `GlobalOps.releaseSnapshots()` or session end — a long-running
+  * embedder process should call the release between logical batches
+  * (after the consuming actions finish), or disable pinning wholesale
+  * via SPARK_GRAFT_NO_PINS=1; both are safe because a released pin only
+  * ever costs a recompute. Pins deliberately wrap INTERNAL projections,
+  * never caller-supplied frames, so a release can't unpersist a cache
+  * entry the caller created and still depends on. */
 object PlanCache extends SnapshotRegistry {
 
   /** Diagnostic kill-switch (A/B tool, not a tuning knob): with

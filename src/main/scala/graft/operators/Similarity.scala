@@ -106,7 +106,16 @@ object Similarity {
     // re-accumulated BOTH self-dots per pair — sqrt(dot(x,x)) per ROW
     // once is the same left fold (VecExprSuite pin), ab/(na·nb) the same
     // op sequence, so values are bit-identical at a third of the FLOPs.
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // Corpus scan routed through the SHARED normalized() projection
+    // (r22): queries that also train an index (q_ann_recall, the model
+    // store paths) pin that exact plan in lloyd/pqTrain, and the
+    // CacheManager only substitutes the InMemoryRelation when the scan
+    // subtree canonicalizes identically — the previous raw-column `cv`
+    // projection never matched, so every index path re-read the parquet.
+    // Values are unchanged: VecDot widens float elements exactly as
+    // toDoubleArray's per-element cast does (same IEEE widening).
+    val c = normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"), col("v").as("cv"))
       .withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__qn", sqrt(dot(col("qv"), col("qv"))))
@@ -203,7 +212,10 @@ object Similarity {
               centroids: Seq[Array[Double]],
               vecCol: String, idCol: String, queryIdCol: String,
               k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // shared normalized() scan (r22) — canonicalizes to the plan the
+    // trained-centroid callers pin (see bruteForceTopK); values identical
+    val c = normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"), col("v").as("cv"))
       .withColumn("cell", cellOf(col("cv"), centroids))
       .withColumn("__cn", sqrt(dot(col("cv"), col("cv"))))
     val q = probeTop2(queries, centroids, vecCol, queryIdCol)
@@ -1026,7 +1038,10 @@ object Similarity {
               k: Int, dim: Int, numPlanes: Int = 8,
               probeBits: Int = 1): DataFrame = {
     val planes = hashPlanes(numPlanes, dim)
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // shared normalized() scan (r22) — canonicalizes to the plan the
+    // trained-centroid callers pin (see bruteForceTopK); values identical
+    val c = normalized(corpus, vecCol, idCol)
+      .select(col("vec_id"), col("v").as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
     // query buckets + single-bit-flip probes (multi-probe LSH)
     val qBase = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))

@@ -79,6 +79,21 @@ class BenchFormatSuite extends AnyFunSuite {
     assert(line.contains(":4.75"))
   }
 
+  test("maxShown caps inline entries even under a generous budget (clip-proof line)") {
+    // VERDICT r21 #1: a 77-entry line left no slack for sbt's trailer in
+    // the driver's 2000-char tail window and r20's line was front-clipped
+    // out of the parse. The default cap bounds the line at the slowest 40
+    // + rest, independent of how slow the fleet runs.
+    val line = BenchFormat.line(mkResults(188), "/sf")
+    assert(line.length <= 1600, s"line overflowed the default budget: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() <= 40)
+    assert(node.get("rest").get("n").asInt() == 188 - node.get("queries").size())
+    // a huge explicit budget still respects the cap
+    val capped = BenchFormat.line(mkResults(188), "/sf", budget = 100000)
+    assert(mapper.readTree(capped).get("queries").size() == 40)
+  }
+
   test("extra fields (bench-anchor control factor) survive every ladder tier") {
     val extra = ""","control_factor":1.171,"norm_sec_per_query":0.618"""
     // full-map tier

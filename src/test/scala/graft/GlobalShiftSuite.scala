@@ -214,6 +214,43 @@ class GlobalShiftSuite extends SparkSpec {
     assert(e3.getMessage.contains("output name"), e3.getMessage)
   }
 
+  test("pass-1 strip plans bounded rank-limit windows, not a full-sort strip (r22)") {
+    // the r22 pass-1 shape: two rank-limit windows + a hash-agg count,
+    // each strip filter directly above its window so Catalyst inserts
+    // WindowGroupLimit (map-side bounded selection) — the full-data
+    // exchange+sort of the old single-window strip must be gone
+    GlobalShift.captureStripPlanForTest = true
+    try {
+      val out = GlobalShift.withGlobalShifts(frame,
+        Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false),
+          GlobalShift.Shift("next", col("v"), 3, isLead = true)),
+        Seq(col("k")))
+      out.write.format("noop").mode("overwrite").save()
+      val plan = GlobalShift.lastStripPlanForTest
+      assert(plan.contains("WindowGroupLimit"),
+        s"strip must plan bounded WindowGroupLimit selection:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"per-bucket counts must come from a hash aggregate:\n$plan")
+      // lag strip orders descending — the k-th-from-END selection
+      assert(plan.contains("DESC"),
+        s"tail strip must plan the descending rank-limit window:\n$plan")
+    } finally GlobalShift.captureStripPlanForTest = false
+  }
+
+  test("legacy (struct-key) tier: deep mixed lag+lead crossing several boundaries") {
+    // the r22 strip rewrite indexes tails from the bucket END (descending
+    // row_number) — exercise that indexing on the SAMPLED legacy tier,
+    // where bucket sizes are uneven, with shifts deeper than a bucket
+    val sframe = frame.withColumn("ks", struct(col("k")))
+    val out = GlobalShift.withGlobalShifts(sframe,
+      Seq(GlobalShift.Shift("prev", col("v"), 7, isLead = false, default = -1L),
+        GlobalShift.Shift("next", col("v"), 30, isLead = true)),
+      Seq(col("ks")))
+    assert(got(out, "prev") == expectedLag(7).map(_.orElse(Some(-1L))))
+    assert(got(out, "next") == expectedLead(30))
+    GlobalShift.releaseSnapshots()
+  }
+
   test("pass-parity guard trips loudly when pass-2 counts diverge from pass 1") {
     // simulate the snapshot-recompute case via the test seam: the guard
     // believes pass 1 saw one more row per partition than pass 2 has —

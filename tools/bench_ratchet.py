@@ -68,13 +68,19 @@ def main():
         return 2
     cur, cur_cf = curs[0]
     # drift normalization: with control factors on both sides, divide each
-    # per-query ratio by the box-drift ratio and gate at RATCHET_X_NORM
+    # per-query ratio by the box-drift ratio and gate at RATCHET_X_NORM.
+    # Normalization is all-or-nothing (ADVICE r21): when ANY capture lacks
+    # a factor the gate falls back to raw 2.5x, and dividing the captures
+    # that do have one would double-count drift tolerance — so raw ratios
+    # are used for EVERY capture in that mode.
     drifts = [(c_cf / ref_cf) if (ref_cf and c_cf and ref_cf > 0
                                   and c_cf > 0) else None
               for _, c_cf in curs]
-    drift = drifts[0]
-    gate = RATCHET_X_NORM if all(drifts) else RATCHET_X
-    if all(drifts):
+    normalize = all(drifts)
+    if not normalize:
+        drifts = [None] * len(curs)
+    gate = RATCHET_X_NORM if normalize else RATCHET_X
+    if normalize:
         print(f"drift-normalized gate: control_factor {ref_cf} -> "
               f"{[c for _, c in curs]} (drift {[f'{d:.2f}' for d in drifts]}),"
               f" per-query gate {gate}x normalized, "
@@ -108,18 +114,24 @@ def main():
         r, c = ref[q], cur[q]
         if r <= 0 or c < 0:  # failed shots recorded as -1
             continue
-        if c < MIN_SEC:
+        # MIN_SEC gates on the MAX current time across captures (ADVICE
+        # r21): a query fast in capture 1 but slow-and-regressed in every
+        # other would otherwise be silently skipped
+        times = [cw[q] for cw, _ in curs if q in cw and cw[q] >= 0]
+        if not times or max(times) < MIN_SEC:
             continue
-        # the worst capture is REPORTED, but the gate only trips when the
-        # regression replicates in every capture (min ratio over captures)
-        ratios = [(cw[q] / r) / (d or 1.0)
-                  for (cw, _), d in zip(curs, drifts)
-                  if q in cw and cw[q] >= 0]
-        if not ratios:
+        # the gate only trips when the regression replicates in every
+        # capture (min ratio over captures); the REPORTED time is the one
+        # from the capture that produced that gating ratio, so the printed
+        # seconds and the ratio beside them agree (ADVICE r21)
+        pairs = [((cw[q] / r) / (d or 1.0), cw[q])
+                 for (cw, _), d in zip(curs, drifts)
+                 if q in cw and cw[q] >= 0]
+        if not pairs:
             continue
-        ratio = min(ratios)
+        ratio, c_at_min = min(pairs)
         if ratio > gate:
-            (explained if q in waivers else bad).append((q, r, c, ratio))
+            (explained if q in waivers else bad).append((q, r, c_at_min, ratio))
 
     for q, r, c, ratio in explained:
         print(f"waived regression: {q} {r:.2f} -> {c:.2f} s "
