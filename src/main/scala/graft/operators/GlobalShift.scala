@@ -102,6 +102,12 @@ object GlobalShift extends SnapshotRegistry {
   private[graft] var captureStripPlanForTest = false
   private[graft] var lastStripPlanForTest: String = ""
 
+  /** TEST SEAM: Some(true/false) forces the pass-1 strip tier (bounded
+    * rank-limit strips vs single-exchange strip) regardless of the
+    * input-size rule, so the suite can pin both plans and their result
+    * parity on one tiny frame. None (production) = input-derived rule. */
+  private[graft] var forceBoundedStripForTest: Option[Boolean] = None
+
   /** Hard bound on strip/fill rows (n × partitions). Beyond it the
     * "boundary hand-off" framing is false — pass 1's collect and the
     * broadcast fill would scale with the shift distance, the exact
@@ -195,31 +201,68 @@ object GlobalShift extends SnapshotRegistry {
     val (parted, snapshot) = RangeBuckets.bucketOrSnapshot(
       keyed, firstType, okNames.head, okCols, numParts)
 
-    // pass 1: ONE job (three unioned subtrees, one collect) gathers the
-    // boundary strips AND per-partition counts — per partition, the
-    // first maxLead rows (ascending rank-limit window), the last maxLag
-    // rows (descending rank-limit window), and a hash-agg row count
-    // (≤ (maxLag + maxLead + 1) × partitions tiny rows, bounded by the
-    // shuffle-partition count, never by data). The rank-limit filters
-    // sit DIRECTLY above their windows, so Catalyst's
-    // InferWindowGroupLimit turns each strip into map-side bounded
-    // selection (WindowGroupLimit Partial below the exchange): only
-    // ≤ n candidate rows per bucket per map task reach the shuffle,
-    // where the previous shape exchanged and fully sorted EVERY row
-    // just to keep the n boundary rows of each bucket (guide §2.3/§2.4
-    // — at 100 TB this removes a full-data shuffle+sort from pass 1).
-    // The counts stay load-bearing: (1) they translate "i-th row before
-    // the END of a bucket" into the ascending row_number pass 2
-    // computes (lead fills attach at rn = cnt − i + 1); (2) they bound
-    // every partition at Int.MaxValue rows — pass 2's row_number
+    // pass 1: ONE job, ONE collect, gathering the boundary strips AND
+    // per-partition counts as rows of a shared (pid, kind, j, cnt, sv…)
+    // schema. TWO strip tiers (r22), picked by the input's map-side
+    // parallelism:
+    //
+    //  - BOUNDED tier (the at-scale shape): three unioned subtrees — the
+    //    first maxLead rows per bucket via an ascending rank-limit
+    //    window, the last maxLag rows via a DESCENDING rank-limit
+    //    window, and a hash-agg row count. Each rank-limit filter sits
+    //    directly above its window, so Catalyst's InferWindowGroupLimit
+    //    inserts map-side WindowGroupLimit bounded selection: only ≤ n
+    //    candidate rows per bucket per map task reach the shuffle, where
+    //    the exchange tier shuffles and sorts EVERY row just to keep the
+    //    n boundary rows of each bucket (guide §2.3/§2.4 — at 100 TB
+    //    this removes a full-data shuffle from pass 1). Under the
+    //    UNIQUE-total-order contract the descending row_number k selects
+    //    exactly the row the ascending strip indexes at cnt − k + 1, so
+    //    the hand-off values are identical by construction.
+    //  - EXCHANGE tier (the small-input shape): the pre-r22 single
+    //    window stack — one hash exchange on __pid, row_number + count
+    //    windows over one sort, boundary filter. The bounded tier's
+    //    map-side sorts run on the SCAN's partitions, and a small
+    //    parquet input is a handful of splits (sf0.1 lineitem is ONE) —
+    //    two serial full-input sorts measured ~3× slower there than one
+    //    exchange that fans the sort across numParts tasks (ProfileOne
+    //    r22: strip jobs 0.3→1.4+1.3 s). The exchange of a small input
+    //    is the cheaper way to BUY parallelism; at scale it is the cost.
+    //
+    // Tier rule: bounded when the estimated scan task count reaches
+    // numParts/2 (map sorts then no less parallel than the exchange
+    // tier's reduce sorts, and the saved shuffle only grows with data),
+    // and ALWAYS on the legacy snapshot tier (the cache is already
+    // numParts range partitions — strips sort them in place; the
+    // exchange tier would re-shuffle the whole cache). Env override
+    // SPARK_GRAFT_SHIFT_BOUNDED=1/0 for deployment tuning and plan
+    // audits; the crossover is input-derived, not a local[32] constant.
+    //
+    // The counts stay load-bearing either way: (1) they translate "i-th
+    // row before the END of a bucket" into the ascending row_number
+    // pass 2 computes (lead fills attach at rn = cnt − i + 1); (2) they
+    // bound every partition at Int.MaxValue rows — pass 2's row_number
     // IntegerType wraps past that and a wrapped interior row could
     // silently collide with a boundary fill key — and (3) their key set
     // is the misalignment-guard domain below (the GlobalRank rule).
-    // Under the UNIQUE-total-order contract the descending row_number k
-    // selects exactly the row the old ascending strip indexed at
-    // cnt − k + 1, so the hand-off values are identical by construction.
     val svTypes = svNames.map(nm => parted.schema(nm).dataType)
     val narrow = parted.select((col("__pid") +: okCols) ++ svNames.map(col): _*)
+    val boundedStrips: Boolean = sys.env.get("SPARK_GRAFT_SHIFT_BOUNDED") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => forceBoundedStripForTest.getOrElse {
+        if (snapshot.isDefined) true
+        else {
+          val conf = df.sparkSession.sessionState.conf
+          val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+          val inBytes = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+          // unknown catalyst stats read as Long.MaxValue-scale — treat as
+          // large (the scale side is the safe default for this operator)
+          if (inBytes <= 0 || inBytes >= BigInt(Long.MaxValue) / 4) true
+          else (inBytes / maxSplit + 1) * 2 >= numParts
+        }
+      }
+    }
     def stripDf(isHead: Boolean, lim: Int): DataFrame = {
       val ord = if (isHead) okCols else okCols.map(_.desc)
       val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
@@ -235,10 +278,25 @@ object GlobalShift extends SnapshotRegistry {
         col("__cnt")) ++
         svNames.zip(svTypes).map { case (nm, t) =>
           lit(null).cast(t).as(nm) }: _*)
+    val exchangeStrip: DataFrame = {
+      val w = Window.partitionBy(col("__pid")).orderBy(okCols: _*)
+      val cntW = Window.partitionBy(col("__pid"))
+      val headCond =
+        if (maxLead > 0) col("__j") <= maxLead else lit(false)
+      val tailCond =
+        if (maxLag > 0) col("__j") > col("__cnt") - maxLag else lit(false)
+      narrow.withColumn("__j", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(cntW))
+        .filter(headCond || tailCond)
+        .select(Seq(col("__pid"), lit(3).as("__kind"), col("__j"),
+          col("__cnt")) ++ svNames.map(col): _*)
+    }
     val subtrees =
-      (if (maxLead > 0) Seq(stripDf(isHead = true, maxLead)) else Nil) ++
-        (if (maxLag > 0) Seq(stripDf(isHead = false, maxLag)) else Nil) :+
-        cntDf
+      if (boundedStrips)
+        (if (maxLead > 0) Seq(stripDf(isHead = true, maxLead)) else Nil) ++
+          (if (maxLag > 0) Seq(stripDf(isHead = false, maxLag)) else Nil) :+
+          cntDf
+      else Seq(exchangeStrip)
     val stripFrame = subtrees.reduce(_.union(_))
     if (sys.env.get("SPARK_GRAFT_EXPLAIN_PASS1").contains("1"))
       // dev-only (plan audit): the strip job runs eagerly inside build(),
@@ -253,10 +311,25 @@ object GlobalShift extends SnapshotRegistry {
       .filter(_.getInt(1) == kind)
       .groupBy(_.getInt(0))
       .map { case (p, rs) => p -> rs.map(r => r.getInt(2) -> r).toMap }
-    val headRows = stripMap(0) // pid -> (k-th from bucket START -> row)
-    val tailRows = stripMap(1) // pid -> (k-th from bucket END -> row)
-    val counts: Map[Int, Long] = strip.filter(_.getInt(1) == 2)
-      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val legacyRows = strip.filter(_.getInt(1) == 3)
+    // pid -> (k-th from bucket START -> row)
+    val headRows: Map[Int, Map[Int, Row]] =
+      if (boundedStrips) stripMap(0)
+      else legacyRows.filter(r => maxLead > 0 && r.getInt(2) <= maxLead)
+        .groupBy(_.getInt(0))
+        .map { case (p, rs) => p -> rs.map(r => r.getInt(2) -> r).toMap }
+    // pid -> (k-th from bucket END -> row); on the exchange tier the
+    // end-index is derived as cnt − j + 1 (the pre-r22 tailVal formula)
+    val tailRows: Map[Int, Map[Int, Row]] =
+      if (boundedStrips) stripMap(1)
+      else legacyRows
+        .filter(r => maxLag > 0 && r.getInt(2) > r.getLong(3) - maxLag)
+        .groupBy(_.getInt(0))
+        .map { case (p, rs) => p -> rs.map(r =>
+          (r.getLong(3) - r.getInt(2) + 1).toInt -> r).toMap }
+    val counts: Map[Int, Long] =
+      (if (boundedStrips) strip.filter(_.getInt(1) == 2) else legacyRows)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
     counts.foreach { case (p, cnt) =>
       require(cnt <= Int.MaxValue,
         s"GlobalShift: range partition $p holds $cnt rows — row_number " +

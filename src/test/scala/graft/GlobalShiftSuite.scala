@@ -214,12 +214,13 @@ class GlobalShiftSuite extends SparkSpec {
     assert(e3.getMessage.contains("output name"), e3.getMessage)
   }
 
-  test("pass-1 strip plans bounded rank-limit windows, not a full-sort strip (r22)") {
-    // the r22 pass-1 shape: two rank-limit windows + a hash-agg count,
-    // each strip filter directly above its window so Catalyst inserts
-    // WindowGroupLimit (map-side bounded selection) — the full-data
-    // exchange+sort of the old single-window strip must be gone
+  test("pass-1 bounded tier plans rank-limit windows, not a full-sort strip (r22)") {
+    // the r22 at-scale pass-1 shape: two rank-limit windows + a hash-agg
+    // count, each strip filter directly above its window so Catalyst
+    // inserts WindowGroupLimit (map-side bounded selection) — the
+    // full-data exchange+sort of the exchange-tier strip must be gone
     GlobalShift.captureStripPlanForTest = true
+    GlobalShift.forceBoundedStripForTest = Some(true)
     try {
       val out = GlobalShift.withGlobalShifts(frame,
         Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false),
@@ -234,7 +235,31 @@ class GlobalShiftSuite extends SparkSpec {
       // lag strip orders descending — the k-th-from-END selection
       assert(plan.contains("DESC"),
         s"tail strip must plan the descending rank-limit window:\n$plan")
-    } finally GlobalShift.captureStripPlanForTest = false
+    } finally {
+      GlobalShift.captureStripPlanForTest = false
+      GlobalShift.forceBoundedStripForTest = None
+    }
+  }
+
+  test("pass-1 strip tiers agree: bounded and exchange shapes, identical hand-off") {
+    // the tier rule picks by input size; both shapes must produce the
+    // exact same shifted frame (the bounded tier's descending row_number
+    // k ≡ the exchange tier's ascending index cnt − k + 1)
+    def run(bounded: Boolean) = {
+      GlobalShift.forceBoundedStripForTest = Some(bounded)
+      try {
+        val out = GlobalShift.withGlobalShifts(frame,
+          Seq(GlobalShift.Shift("prev", col("v"), 2, isLead = false, default = -1L),
+            GlobalShift.Shift("next", col("v"), 30, isLead = true)),
+          Seq(col("k")))
+        (got(out, "prev"), got(out, "next"))
+      } finally GlobalShift.forceBoundedStripForTest = None
+    }
+    val (bp, bn) = run(bounded = true)
+    val (ep, en) = run(bounded = false)
+    assert(bp == ep && bn == en, "strip tiers must be value-identical")
+    assert(bp == expectedLag(2).map(_.orElse(Some(-1L))))
+    assert(bn == expectedLead(30))
   }
 
   test("legacy (struct-key) tier: deep mixed lag+lead crossing several boundaries") {
